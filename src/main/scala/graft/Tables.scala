@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders and shared helpers for the driver-generated corpus
+  * (schemas: FIXTURES.md). Every query goes through here so the
+  * events nanosecond-timestamp fix and the decimal-cast discipline
+  * live in one place (SURVEY.md §7.4–§7.5).
+  *
+  * Scale note: each loader returns a lazy parquet scan — Catalyst
+  * pushes filters/projections down to the columnar reader, so the
+  * same plans run unmodified on a partitioned multi-file layout at
+  * cluster scale. The plan cache only avoids re-reading footers on
+  * repeated calls within one session.
+  */
+object Tables {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** events.ts is parquet INT64 TIMESTAMP(NANOS,false) — Spark 4 throws
+    * PARQUET_TYPE_ILLEGAL without the legacy flag. Read as raw
+    * nanoseconds (long) and truncate to microseconds with integer
+    * division (`div`, not `/`, which would go through double and lose
+    * precision above 2^53). The truncation matches DuckDB's own
+    * CAST(ts AS TIMESTAMP) ns→µs behavior. `ts2` is TIMESTAMP_NTZ.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** D2: never SUM/AVG a raw double — cast to decimal first so
+    * aggregation is exact and independent of partial-agg order.
+    *
+    * All money-ish doubles in the corpus are exact 2-dp values
+    * (measured: max |x - round(x,2)| = 0 on every double column), so a
+    * cast to DECIMAL(12,2) is unambiguous in both engines regardless of
+    * their double→decimal rounding mode — the double is within 1e-10 of
+    * the 2-dp value, never near a rounding boundary. Downstream decimal
+    * arithmetic must then stay exact (keep result precision ≤ 38, only
+    * widen on output) so no engine-dependent rounding exists anywhere.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Rates (discount/tax, |x| ≤ 1, 2-dp) as DECIMAL(4,2) so products
+    * like price*(1-d)*(1+t) stay within precision 38 and remain exact. */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact decimal SUM of a 2-dp column, widened (exactly) to the
+    * output type DECIMAL(18,4) to match the oracle's CAST. */
+  def sumDec(c: Column): Column = sum(dec(c)).cast(DecimalType(18, 4))
+
+  /** Unzoned timestamp literal (P2): compare NTZ columns against NTZ
+    * literals — never a zoned TimestampType literal. */
+  def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
+}

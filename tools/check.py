@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local differential checker emulating the driver's DuckDB oracle gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Registers each corpus table as a DuckDB view named after the table, runs
+every statement in <verifyOutDir>/oracle_sql.json, and compares against
+the Spark result parquet dumped by graft.Verify: columns sorted by name,
+rows compared in order, exact equality (Decimal/ts normalized).
+"""
+import sys, json, glob, decimal, math
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v.normalize()}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"f:{v!r}"
+    if isinstance(v, bytes):
+        return f"b:{v.hex()}"
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return f"{type(v).__name__ if not isinstance(v,(int,str,bool)) else ''}:{v}"
+
+def table_rows(t: pa.Table):
+    t = t.select(sorted(t.column_names))
+    cols = [c.to_pylist() for c in t.columns]
+    return t.column_names, [tuple(canon(c[i]) for c in cols) for i in range(t.num_rows)]
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            odf = con.execute(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output at {out}/{name}")
+            n_fail += 1
+            continue
+        sdf = pa.concat_tables([pq.read_table(f) for f in files],
+                               promote_options="permissive") if len(files) > 1 else pq.read_table(files[0])
+        oc, orows = table_rows(odf)
+        sc, srows = table_rows(sdf)
+        if oc != sc:
+            print(f"FAIL {name}: columns differ  oracle={oc}  spark={sc}")
+            n_fail += 1
+            continue
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: row count  oracle={len(orows)}  spark={len(srows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(orows, srows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first at row {i}:")
+            print(f"  cols   : {oc}")
+            print(f"  oracle : {a}")
+            print(f"  spark  : {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(orows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
