@@ -9,14 +9,14 @@ import graft.operators._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.aggQ1Pricing(spark, "/root/testdata/sf0.001")
+    Aggregates.aggQ1Pricing(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SortSet.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SortSet.oracle
 }

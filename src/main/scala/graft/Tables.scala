@@ -19,10 +19,14 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
-  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Write timestamps as µs (not legacy INT96 nanos) so dumped results
+    // carry the same physical type the DuckDB oracle produces.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     cache.getOrElseUpdate(
       (spark.sparkContext.applicationId, sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
@@ -44,7 +48,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      // timestamp_micros() yields zoned TimestampType; cast to NTZ (D6 —
+      // identity under the pinned UTC session) so outputs stay naive
+      // like every other corpus timestamp.
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
 
   /** D2: never SUM/AVG a raw double — cast to decimal first so
@@ -71,4 +78,9 @@ object Tables {
   /** Unzoned timestamp literal (P2): compare NTZ columns against NTZ
     * literals — never a zoned TimestampType literal. */
   def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  /** Re-assert TIMESTAMP_NTZ (D6): Spark time functions like
+    * date_trunc/timestamp_micros return zoned TimestampType even on NTZ
+    * input; under the pinned UTC session the cast is an identity. */
+  def ntz(c: Column): Column = c.cast("timestamp_ntz")
 }

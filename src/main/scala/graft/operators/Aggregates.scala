@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{dec, rate, sumDec, tsLit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregations (SURVEY.md §2.4): group-agg, HAVING, DISTINCT aggs,
+  * approximate distinct, rollup/cube/grouping-sets, order statistics.
+  *
+  * Partial (map-side) + final aggregation is automatic in Spark's
+  * HashAggregateExec, so every groupBy here shuffles only the compact
+  * per-group partial state — the 100 TB-safe shape. Determinism: all
+  * money math is exact decimal (no engine-dependent rounding — see
+  * Tables.dec), and stddev is derived from exact decimal sums with one
+  * fixed IEEE expression instead of order-dependent native stddev.
+  */
+object Aggregates {
+
+  /** TPC-H-Q1-style pricing summary: scan → NTZ-timestamp filter →
+    * multi-measure aggregate with exact decimal arithmetic → sort. */
+  def aggQ1Pricing(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.lineitem(spark, sf)
+    // Exact decimal pipeline: 2-dp inputs → exact products at scale 4/6
+    // → exact sums → widening-only output casts. No rounding anywhere,
+    // so Spark and DuckDB agree bit-for-bit.
+    val price = dec(col("l_extendedprice"))              // DECIMAL(12,2)
+    val disc1 = lit(1) - rate(col("l_discount"))         // DECIMAL(5,2) exact
+    val tax1  = lit(1) + rate(col("l_tax"))
+    li.filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * disc1).cast(DecimalType(24, 4)).as("sum_disc_price"),
+        sum(price * disc1 * tax1).cast(DecimalType(24, 6)).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  def aggHaving(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 15)
+      .orderBy("o_custkey")
+
+  /** COUNT(DISTINCT) and SUM(DISTINCT) — distinct sets are engine-
+    * independent, and the distinct sum is over exact decimals. */
+  def aggDistinct(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("supp_cnt"),
+        countDistinct(col("l_partkey")).as("part_cnt"),
+        sum_distinct(dec(col("l_quantity"))).cast(DecimalType(18, 4))
+          .as("qty_dsum"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate cardinality — sketch implementations differ per
+    * engine, so this is declared WITHOUT an oracle (rows-only check);
+    * the unit test asserts it is within rsd of the exact count. */
+  def aggApproxDistinct(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Rollup hierarchy over a join. The DataFrame .rollup API after a
+    * join trips Spark 4.1.2's DetectAmbiguousSelfJoin false positive
+    * (SURVEY.md P8), so this goes through the SQL entry point — same
+    * Catalyst plan from analysis onward. */
+  def aggRollup(spark: SparkSession, sf: String): DataFrame = {
+    Tables.customer(spark, sf).createOrReplaceTempView("customer")
+    Tables.nation(spark, sf).createOrReplaceTempView("nation")
+    spark.sql(
+      "SELECT n_name, c_mktsegment, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY ROLLUP(n_name, c_mktsegment) " +
+        "ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST")
+  }
+
+  /** Cube over a single table — the DataFrame .cube API is safe here
+    * (no upstream join). */
+  def aggCube(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** Explicit grouping sets + GROUPING indicators (SQL entry point). */
+  def aggGroupingSets(spark: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    spark.sql(
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+        "CAST(GROUPING(l_returnflag) AS INT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_status " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+  }
+
+  /** Order statistics: min/max/median plus sample stddev derived from
+    * exact decimal sums via one fixed IEEE expression — deterministic
+    * across engines and partial-agg orders, unlike native stddev_samp
+    * over doubles. */
+  def aggStats(spark: SparkSession, sf: String): DataFrame = {
+    val x = col("l_extendedprice")
+    val s1 = sum(dec(x))                  // exact Σx
+    val s2 = sum(dec(x) * dec(x))         // exact Σx²
+    val n = count(lit(1))
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        n.as("n"),
+        min(x).as("mn"),
+        max(x).as("mx"),
+        median(x).as("med"),
+        sqrt((s2.cast("double") - (s1.cast("double") * s1.cast("double"))
+          / n.cast("double")) / (n.cast("double") - lit(1.0))).as("sd"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_q1_pricing" -> aggQ1Pricing,
+    "agg_having" -> aggHaving,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_stats" -> aggStats
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_q1_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(24,6)) AS sum_charge, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "agg_having" ->
+      "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey",
+    "agg_distinct" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supp_cnt, COUNT(DISTINCT l_partkey) AS part_cnt, " +
+        "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS qty_dsum " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_rollup" ->
+      ("SELECT n_name, c_mktsegment, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY ROLLUP(n_name, c_mktsegment) " +
+        "ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"),
+    "agg_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "agg_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+        "CAST(GROUPING(l_returnflag) AS INT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_status " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "agg_stats" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx, " +
+        "MEDIAN(l_extendedprice) AS med, " +
+        "SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        "- (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)) " +
+        "/ CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS sd " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+  )
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{dec, rate, tsLit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Join operators (SURVEY.md §2.3): equi/broadcast/multi-way/outer/
+  * semi/anti/theta-range/as-of/cross.
+  *
+  * Scale notes: dimension tables (region/nation/part/supplier) are
+  * explicitly broadcast so the fact-side never shuffles for them; the
+  * big fact⋈fact joins shuffle on their equi keys, which AQE re-plans
+  * at runtime (skew split, partition coalescing). The theta/range and
+  * as-of joins pre-aggregate / pre-filter their inputs so the
+  * quadratic part runs on bounded per-key groups, not raw fact tables.
+  */
+object Joins {
+
+  /** Plain equi inner join orders⋈customer — Catalyst picks the
+    * physical strategy (SMJ/shuffled-hash/broadcast by stats). */
+  def joinInner2Way(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Explicit broadcast of the part dimension: no shuffle of lineitem,
+    * map-side hash join at any fact-table scale. */
+  def joinBroadcast(spark: SparkSession, sf: String): DataFrame = {
+    val l = Tables.lineitem(spark, sf)
+    val p = Tables.part(spark, sf)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H-Q5-style 6-table chain with region filter; dims broadcast,
+    * facts shuffle on join keys only. */
+  def join5WayQ5(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    val s = Tables.supplier(spark, sf)
+    val n = Tables.nation(spark, sf)
+    val r = Tables.region(spark, sf).filter(col("r_name") === "ASIA")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast(DecimalType(24, 4)).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Left outer join with null-extension: per-customer order stats,
+    * customers with no orders keep count 0 / null sum. */
+  def joinLeft(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("order_cnt"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join on intersecting key domains: right-only rows get
+    * null supplier columns; null ordering is explicit (D4). */
+  def joinFull(spark: SparkSession, sf: String): DataFrame = {
+    val s = Tables.supplier(spark, sf)
+    val c = Tables.customer(spark, sf)
+    s.join(c, s("s_suppkey") === c("c_custkey"), "full_outer")
+      .select(col("s_suppkey"), col("s_name"), col("c_custkey"), col("c_name"))
+      .orderBy(asc_nulls_first("s_suppkey"), asc_nulls_first("c_custkey"))
+  }
+
+  /** Left-semi: customers WITH at least one order (EXISTS). */
+  def joinSemi(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti: customers WITHOUT orders (NOT EXISTS — not NOT IN,
+    * which has the null trap). */
+  def joinAnti(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Non-equi range join over pre-aggregated daily event counts: the
+    * quadratic BNLJ runs on ~30 rows per side, not 100k events —
+    * the aggregate-first shape is the 100 TB scale path. */
+  def joinThetaRange(spark: SparkSession, sf: String): DataFrame = {
+    val daily = Tables.events(spark, sf)
+      .groupBy(Tables.ntz(date_trunc("day", col("ts2"))).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("d").as("a_d"), col("cnt").as("a_cnt"))
+    val b = daily.select(col("d").as("b_d"), col("cnt").as("b_cnt"))
+    a.join(b, col("b_d") >= col("a_d")
+        && col("b_d") <= col("a_d") + expr("INTERVAL 3 DAYS"))
+      .groupBy(col("a_d"))
+      .agg(count(lit(1)).as("ndays"), sum(col("b_cnt")).as("cnt4"))
+      .orderBy("a_d")
+  }
+
+  /** As-of join: for each purchase event, the most recent click of the
+    * same user at or before it. Spark has no native ASOF JOIN; the
+    * range-join + row_number()=1 idiom is deterministic and shuffles
+    * once on user_id. */
+  def joinAsof(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts2").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"),
+        col("ts2").as("c_ts"))
+    val w = Window.partitionBy("p_id").orderBy(desc("c_ts"), desc("c_id"))
+    p.join(c, col("user_id") === col("c_uid") && col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("p_id", "user_id", "p_ts", "c_id", "c_ts")
+      .orderBy("p_id")
+  }
+
+  /** Cartesian product of the two smallest dims. */
+  def joinCross(spark: SparkSession, sf: String): DataFrame =
+    Tables.region(spark, sf).select("r_name")
+      .crossJoin(Tables.nation(spark, sf).select("n_name"))
+      .orderBy("r_name", "n_name")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_2way" -> joinInner2Way,
+    "join_broadcast" -> joinBroadcast,
+    "join_5way_q5" -> join5WayQ5,
+    "join_left" -> joinLeft,
+    "join_full" -> joinFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_theta_range" -> joinThetaRange,
+    "join_asof" -> joinAsof,
+    "join_cross" -> joinCross
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_2way" ->
+      "SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "join_broadcast" ->
+      "SELECT p_brand, COUNT(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
+    "join_5way_q5" ->
+      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS revenue " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+        "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "join_left" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS order_cnt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_full" ->
+      ("SELECT s_suppkey, s_name, c_custkey, c_name FROM supplier " +
+        "FULL JOIN customer ON s_suppkey = c_custkey " +
+        "ORDER BY s_suppkey NULLS FIRST, c_custkey NULLS FIRST"),
+    "join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "join_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "join_theta_range" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d, COUNT(*) AS cnt FROM events GROUP BY 1) " +
+        "SELECT a.d AS a_d, COUNT(*) AS ndays, CAST(SUM(b.cnt) AS BIGINT) AS cnt4 FROM daily a JOIN daily b " +
+        "ON b.d >= a.d AND b.d <= a.d + INTERVAL 3 DAY GROUP BY a.d ORDER BY a_d"),
+    "join_asof" ->
+      ("SELECT p_id, user_id, p_ts, c_id, c_ts FROM (" +
+        "SELECT p.event_id AS p_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, " +
+        "c.event_id AS c_id, CAST(c.ts AS TIMESTAMP) AS c_ts, " +
+        "row_number() OVER (PARTITION BY p.event_id ORDER BY CAST(c.ts AS TIMESTAMP) DESC, c.event_id DESC) AS rn " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) t " +
+        "WHERE rn = 1 ORDER BY p_id"),
+    "join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+  )
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{dec, rate, tsLit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans, projections and filters (SURVEY.md §2.1–§2.2).
+  *
+  * All predicates and projections are declarative Column expressions, so
+  * Catalyst pushes them into the parquet scan (PushedFilters/ReadSchema)
+  * — at cluster scale only the referenced columns and matching row
+  * groups are read.
+  */
+object Scans {
+
+  /** Column-pruned scan with a stable total order (D1). */
+  def scanProject(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Scan with explicit schema coercion: int32→int64 keys, 2-dp double
+    * money → DECIMAL(12,2). */
+  def scanSchemaCoerce(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .select(
+        col("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey_l"),
+        dec(col("c_acctbal")).as("c_acctbal_dec"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Read the NANOS-timestamp events table (landmine P1): raw ns longs
+    * truncated to µs — same truncation DuckDB applies in CAST. */
+  def scanEventsNs(spark: SparkSession, sf: String): DataFrame =
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts2"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  /** Conjunctive/disjunctive predicates: BETWEEN, IN, LIKE, IS NULL,
+    * comparison — all pushdown-eligible. */
+  def filterPred(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .filter(
+        (col("l_shipdate").between(
+            tsLit("1996-01-01 00:00:00"), tsLit("1996-12-31 23:59:59"))
+          && col("l_returnflag").isin("A", "R")
+          && col("l_quantity") < 25
+          && col("l_linestatus").like("F%"))
+        || col("l_quantity").isNull)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Computed predicate over column arithmetic; revenue emitted as an
+    * exact decimal product. */
+  def filterExpr(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .filter(col("l_extendedprice") * (lit(1) - col("l_discount")) > 90000.0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project" -> scanProject,
+    "scan_schema_coerce" -> scanSchemaCoerce,
+    "scan_events_ns" -> scanEventsNs,
+    "filter_pred" -> filterPred,
+    "filter_expr" -> filterExpr
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_schema_coerce" ->
+      "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey_l, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal_dec, c_mktsegment FROM customer ORDER BY c_custkey",
+    "scan_events_ns" ->
+      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts2, user_id, event_type, value FROM events ORDER BY event_id",
+    "filter_pred" ->
+      ("SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem " +
+        "WHERE ((l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59') " +
+        "AND l_returnflag IN ('A','R') AND l_quantity < 25 AND l_linestatus LIKE 'F%') " +
+        "OR l_quantity IS NULL ORDER BY l_orderkey, l_linenumber"),
+    "filter_expr" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS revenue " +
+        "FROM lineitem WHERE l_extendedprice * (1 - l_discount) > 90000.0 " +
+        "ORDER BY l_orderkey, l_linenumber")
+  )
+}

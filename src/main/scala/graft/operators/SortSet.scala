@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{dec, rate, tsLit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sorts, top-k and set operations (SURVEY.md §2.6–§2.7).
+  *
+  * Global top-k compiles to TakeOrderedAndProjectExec — a per-partition
+  * bounded heap plus a driver-side merge of k rows, so no full sort or
+  * single-partition shuffle happens at scale. Set operations shuffle on
+  * the full row as key (distinct semantics), which Catalyst plans as
+  * hash aggregates.
+  */
+object SortSet {
+
+  /** Multi-key sort with explicit null placement (D4): Spark defaults
+    * nulls-first, DuckDB nulls-last — both sides pin NULLS FIRST. */
+  def sortMulti(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        expr("nullif(c_mktsegment, 'AUTOMOBILE')").as("seg"),
+        col("c_acctbal"))
+      .orderBy(asc_nulls_first("seg"), desc("c_acctbal"), asc("c_custkey"))
+
+  /** Q3-style global top-10 by revenue with mandatory tiebreak (D3). */
+  def topkLimit(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast(DecimalType(24, 4)).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  private def custSide(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("k"), lit("cust").as("src"))
+
+  private def ordSide(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F" && col("o_custkey") < 100)
+      .select(col("o_custkey").as("k"), lit("ord").as("src"))
+
+  /** Bag union (UNION ALL): duplicate rows preserved; duplicates are
+    * identical rows so the sort is still hash-stable. */
+  def setUnionAll(spark: SparkSession, sf: String): DataFrame =
+    custSide(spark, sf).unionByName(ordSide(spark, sf)).orderBy("src", "k")
+
+  /** Set union (UNION DISTINCT). */
+  def setUnionDistinct(spark: SparkSession, sf: String): DataFrame =
+    custSide(spark, sf).union(ordSide(spark, sf)).distinct().orderBy("src", "k")
+
+  /** INTERSECT (distinct semantics): customer keys that placed orders. */
+  def setIntersect(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf).select(col("c_custkey").as("k"))
+      .intersect(Tables.orders(spark, sf).select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  /** EXCEPT (distinct semantics): customer keys with no orders. */
+  def setExcept(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf).select(col("c_custkey").as("k"))
+      .except(Tables.orders(spark, sf).select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_multi" -> sortMulti,
+    "topk_limit" -> topkLimit,
+    "set_union_all" -> setUnionAll,
+    "set_union_distinct" -> setUnionDistinct,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sort_multi" ->
+      ("SELECT c_custkey, nullif(c_mktsegment, 'AUTOMOBILE') AS seg, c_acctbal FROM customer " +
+        "ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC"),
+    "topk_limit" ->
+      ("SELECT o_orderkey, o_orderdate, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS revenue " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"),
+    "set_union_all" ->
+      ("SELECT * FROM (SELECT c_custkey AS k, 'cust' AS src FROM customer WHERE c_mktsegment = 'AUTOMOBILE' " +
+        "UNION ALL SELECT o_custkey AS k, 'ord' AS src FROM orders WHERE o_orderstatus = 'F' AND o_custkey < 100) t " +
+        "ORDER BY src, k"),
+    "set_union_distinct" ->
+      ("SELECT * FROM (SELECT c_custkey AS k, 'cust' AS src FROM customer WHERE c_mktsegment = 'AUTOMOBILE' " +
+        "UNION SELECT o_custkey AS k, 'ord' AS src FROM orders WHERE o_orderstatus = 'F' AND o_custkey < 100) t " +
+        "ORDER BY src, k"),
+    "set_intersect" ->
+      "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k",
+    "set_except" ->
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k"
+  )
+}

@@ -8,7 +8,7 @@ every statement in <verifyOutDir>/oracle_sql.json, and compares against
 the Spark result parquet dumped by graft.Verify: columns sorted by name,
 rows compared in order, exact equality (Decimal/ts normalized).
 """
-import sys, json, glob, decimal, math
+import sys, json, glob, decimal, math, datetime
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -27,6 +27,10 @@ def canon(v):
         return f"f:{v!r}"
     if isinstance(v, bytes):
         return f"b:{v.hex()}"
+    if isinstance(v, datetime.datetime) or type(v).__name__ == "Timestamp":
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return f"{type(v).__name__ if not isinstance(v,(int,str,bool)) else ''}:{v}"
