@@ -1,0 +1,149 @@
+package graft.functions
+
+import graft.Tables
+import graft.Tables.{dec, ntz}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** Scalar function families (SURVEY.md §2.8): string, date, math,
+  * array (incl. higher-order functions), map, JSON.
+  *
+  * Everything here is a built-in `functions._` / SQL expression —
+  * codegen'd, pushdown-friendly, no UDFs. Cross-engine parity notes:
+  * libm transcendentals (ln/exp/pow) are narrowed to FLOAT because
+  * their last-ulp may differ between Java and C++ math libraries;
+  * integer-width differences are normalized with explicit casts.
+  */
+object Scalars {
+
+  def fnString(spark: SparkSession, sf: String): DataFrame =
+    Tables.part(spark, sf)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        concat(col("p_brand"), lit("_"), col("p_type")).as("cat"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("trm"),
+        length(col("p_name")).cast("long").as("len"),
+        regexp_replace(col("p_name"), lit("a"), lit("X")).as("rep"),
+        lpad(col("p_size").cast("string"), 4, "0").as("lp"),
+        split(col("p_name"), " ").getItem(0).as("tok0"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("rex"),
+        col("p_name").like("%er%").as("lk"))
+      .orderBy("p_partkey")
+
+  def fnDate(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        ntz(date_trunc("day", col("o_orderdate"))).as("day_ts"),
+        datediff(col("o_orderdate"),
+          Tables.tsLit("1995-01-01 00:00:00")).as("dd"),
+        expr("add_months(cast(o_orderdate as date), 3)").as("am3"),
+        expr("weekday(o_orderdate) + 1").as("idw"))
+      .orderBy("o_orderkey")
+
+  def fnMath(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(dec(col("l_extendedprice")), 1).as("rnd"),
+        floor(col("l_extendedprice")).as("flr"),
+        ceil(col("l_extendedprice")).as("cl"),
+        abs(col("l_extendedprice") - lit(50000.0)).as("ab"),
+        sqrt(col("l_quantity")).as("sq"),
+        log(col("l_extendedprice")).cast("float").as("lg"),
+        exp(col("l_discount")).cast("float").as("ex"),
+        pow(col("l_quantity"), 2).cast("float").as("pw"),
+        (col("l_linenumber") % 3).as("md"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def fnArray(spark: SparkSession, sf: String): DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first"),
+        array_min(col("embedding")).as("mn_el"),
+        element_at(sort_array(col("embedding")), 2).as("srt1"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("npos"),
+        expr("aggregate(embedding, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+          .as("norm2"))
+      .orderBy("vec_id")
+
+  def fnMap(spark: SparkSession, sf: String): DataFrame = {
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    Tables.events(spark, sf)
+      .select(
+        col("event_id"),
+        element_at(map_keys(m), 1).as("key0"),
+        element_at(m, "k").as("val0"),
+        size(map_keys(m)).cast("long").as("nkeys"))
+      .orderBy("event_id")
+  }
+
+  def fnJson(spark: SparkSession, sf: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(spark, sf)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      ("SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up, substring(p_name, 1, 5) AS sub5, " +
+        "concat(p_brand, '_', p_type) AS cat, trim(concat(' ', p_name, ' ')) AS trm, length(p_name) AS len, " +
+        "regexp_replace(p_name, 'a', 'X', 'g') AS rep, lpad(CAST(p_size AS VARCHAR), 4, '0') AS lp, " +
+        "string_split(p_name, ' ')[1] AS tok0, regexp_extract(p_name, '([a-z]+)', 1) AS rex, " +
+        "p_name LIKE '%er%' AS lk FROM part ORDER BY p_partkey"),
+    "fn_date" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo, " +
+        "CAST(day(o_orderdate) AS INTEGER) AS dy, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day_ts, " +
+        "CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS dd, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS am3, " +
+        "CAST(isodow(o_orderdate) AS INTEGER) AS idw FROM orders ORDER BY o_orderkey"),
+    "fn_math" ->
+      ("SELECT l_orderkey, l_linenumber, round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS rnd, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS flr, CAST(ceil(l_extendedprice) AS BIGINT) AS cl, " +
+        "abs(l_extendedprice - 50000.0) AS ab, sqrt(l_quantity) AS sq, " +
+        "CAST(ln(l_extendedprice) AS REAL) AS lg, CAST(exp(l_discount) AS REAL) AS ex, " +
+        "CAST(pow(l_quantity, 2) AS REAL) AS pw, l_linenumber % 3 AS md " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "fn_array" ->
+      ("SELECT vec_id, len(embedding) AS dim, embedding[1] AS first, " +
+        "list_aggregate(embedding, 'min') AS mn_el, list_sort(embedding)[2] AS srt1, " +
+        "len(list_filter(embedding, x -> x > 0)) AS npos, " +
+        "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2 " +
+        "FROM embeddings ORDER BY vec_id"),
+    "fn_map" ->
+      ("SELECT event_id, json_keys(props)[1] AS key0, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS val0, " +
+        "CAST(len(json_keys(props)) AS BIGINT) AS nkeys FROM events ORDER BY event_id"),
+    "fn_json" ->
+      ("SELECT event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, " +
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
+  )
+}

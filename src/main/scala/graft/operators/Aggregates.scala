@@ -124,8 +124,12 @@ object Aggregates {
         min(x).as("mn"),
         max(x).as("mx"),
         median(x).as("med"),
+        // Narrowed to FLOAT: Σx² exceeds 2^53 when scaled, so the
+        // decimal→double cast itself can differ by 1 ulp between
+        // engines; float rounding absorbs that.
         sqrt((s2.cast("double") - (s1.cast("double") * s1.cast("double"))
-          / n.cast("double")) / (n.cast("double") - lit(1.0))).as("sd"))
+          / n.cast("double")) / (n.cast("double") - lit(1.0)))
+          .cast("float").as("sd"))
       .orderBy("l_returnflag")
   }
 
@@ -178,9 +182,9 @@ object Aggregates {
     "agg_stats" ->
       ("SELECT l_returnflag, COUNT(*) AS n, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx, " +
         "MEDIAN(l_extendedprice) AS med, " +
-        "SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        "CAST(SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) " +
         "- (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)) " +
-        "/ CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS sd " +
+        "/ CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS REAL) AS sd " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions (SURVEY.md §2.5): ranking, lag/lead, running
+  * frames.
+  *
+  * Window evaluation shuffles once on the partition key and sorts
+  * within partitions — the per-key state is bounded, so the same specs
+  * run at fact-table scale. Every rank/ntile order key is made unique
+  * with the primary key (D3) so results are engine-independent.
+  */
+object Windows {
+
+  /** Top-3 orders per customer by price, ties broken by key (D3). */
+  def winTopkPerGroup(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** rank / dense_rank (deterministic under ties) + ntile over a
+    * unique order key. */
+  def winRankDense(spark: SparkSession, sf: String): DataFrame = {
+    val wTies = Window.partitionBy("p_brand").orderBy(asc("p_size"))
+    val wUniq = Window.partitionBy("p_brand").orderBy(asc("p_size"), asc("p_partkey"))
+    Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        rank().over(wTies).cast("long").as("rnk"),
+        dense_rank().over(wTies).cast("long").as("drnk"),
+        ntile(4).over(wUniq).cast("long").as("nt"))
+      .orderBy("p_brand", "p_size", "p_partkey")
+  }
+
+  /** Inter-event gap per user via lag/lead — the building block of
+    * sessionization. */
+  def winLagLead(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts2"), asc("event_id"))
+    // unix_micros() rejects NTZ input; the raw ns column gives the same
+    // µs value via exact integer division.
+    Tables.events(spark, sf)
+      .withColumn("us", expr("ts div 1000"))
+      .select(col("user_id"), col("event_id"), col("ts2"),
+        lag("ts2", 1).over(w).as("prev_ts"),
+        (col("us") - lag("us", 1).over(w)).as("gap_us"),
+        lead("event_id", 1).over(w).as("next_id"))
+      .orderBy("user_id", "ts2", "event_id")
+  }
+
+  /** Running sums with explicit ROWS and RANGE frames over exact
+    * decimals — every prefix sum is exact, so cross-engine stable. */
+  def winRunningFrame(spark: SparkSession, sf: String): DataFrame = {
+    val rows = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val range = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(rows)
+          .cast(DecimalType(18, 2)).as("run_sum"),
+        sum(dec(col("o_totalprice"))).over(range)
+          .cast(DecimalType(18, 2)).as("rng_sum"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_per_group" -> winTopkPerGroup,
+    "win_rank_dense" -> winRankDense,
+    "win_lag_lead" -> winLagLead,
+    "win_running_frame" -> winRunningFrame
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_topk_per_group" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "win_rank_dense" ->
+      ("SELECT p_brand, p_partkey, p_size, " +
+        "rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC) AS rnk, " +
+        "dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC) AS drnk, " +
+        "ntile(4) OVER (PARTITION BY p_brand ORDER BY p_size ASC, p_partkey ASC) AS nt " +
+        "FROM part ORDER BY p_brand, p_size, p_partkey"),
+    "win_lag_lead" ->
+      ("SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2, " +
+        "lag(CAST(ts AS TIMESTAMP), 1) OVER w AS prev_ts, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w) AS gap_us, " +
+        "lead(event_id, 1) OVER w AS next_id " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) " +
+        "ORDER BY user_id, ts2, event_id"),
+    "win_running_frame" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_sum, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rng_sum " +
+        "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey")
+  )
+}
