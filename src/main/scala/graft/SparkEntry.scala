@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SortSet.queries ++
-      Windows.queries ++ graft.functions.Scalars.queries
+      Windows.queries ++ graft.functions.Scalars.queries ++
+      graft.streaming.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SortSet.oracle ++
-      Windows.oracle ++ graft.functions.Scalars.oracle
+      Windows.oracle ++ graft.functions.Scalars.oracle ++
+      graft.streaming.Events.oracle
 }
