@@ -15,12 +15,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SortSet.queries ++
       Windows.queries ++ graft.functions.Scalars.queries ++
-      graft.streaming.Events.queries
+      graft.streaming.Events.queries ++ graft.functions.Udfs.queries ++
+      graft.llm.Dedup.queries ++ graft.llm.Similarity.queries ++
+      graft.llm.TextStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SortSet.oracle ++
       Windows.oracle ++ graft.functions.Scalars.oracle ++
-      graft.streaming.Events.oracle
+      graft.streaming.Events.oracle ++ graft.functions.Udfs.oracle ++
+      graft.llm.Dedup.oracle ++ graft.llm.Similarity.oracle ++
+      graft.llm.TextStats.oracle
 }

