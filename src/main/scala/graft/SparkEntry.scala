@@ -17,7 +17,9 @@ object SparkEntry {
       Windows.queries ++ graft.functions.Scalars.queries ++
       graft.streaming.Events.queries ++ graft.functions.Udfs.queries ++
       graft.llm.Dedup.queries ++ graft.llm.Similarity.queries ++
-      graft.llm.TextStats.queries
+      graft.llm.TextStats.queries ++ graft.llm.TextHash.queries ++
+      graft.llm.LangId.queries ++ graft.llm.Ann.queries ++
+      graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +28,7 @@ object SparkEntry {
       Windows.oracle ++ graft.functions.Scalars.oracle ++
       graft.streaming.Events.oracle ++ graft.functions.Udfs.oracle ++
       graft.llm.Dedup.oracle ++ graft.llm.Similarity.oracle ++
-      graft.llm.TextStats.oracle
+      graft.llm.TextStats.oracle ++ graft.llm.TextHash.oracle ++
+      graft.llm.LangId.oracle ++ graft.llm.Ann.oracle ++
+      graft.llm.Multimodal.oracle
 }

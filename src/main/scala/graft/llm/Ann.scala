@@ -1,0 +1,91 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-cosine near-duplicate detection: exact baseline and the
+  * LSH-bucketed approximate variant (the 100 TB scale path).
+  *
+  * The ANN variant buckets vectors by a 6-bit random-hyperplane
+  * signature. Hyperplanes are Rademacher (±1) vectors derived from a
+  * Knuth multiplicative LCG over (plane, dim) — plain integer
+  * arithmetic, so the oracle reproduces the exact same buckets and the
+  * result is deterministic. The quadratic pair search then runs only
+  * within buckets: ~B× cheaper than brute force, and bucket-parallel
+  * across the cluster (shuffle on the bucket id).
+  */
+object Ann {
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0 as double), (acc, v) -> acc + v)")
+
+  /** Exact embedding-cosine near-dup pairs (sim >= 0.5). */
+  def cosNearDup(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+    val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("y"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= 0.5)
+      .orderBy("x", "y")
+  }
+
+  /** Signed projection onto Rademacher hyperplane `i` (SQL text —
+    * identical integer arithmetic in both engines). */
+  private def planeDot(i: Int): String =
+    s"aggregate(sequence(0, 63), cast(0 as double), (acc, d) -> acc + " +
+      s"cast(element_at(embedding, cast(d + 1 as int)) as double) * " +
+      s"(CASE WHEN (($i * 64 + d) * 2654435761) % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END))"
+
+  /** LSH-bucketed approximate near-dup: same predicate as cosNearDup
+    * but only pairs sharing the 6-bit hyperplane bucket are examined. */
+  def annLsh(spark: SparkSession, sf: String): DataFrame = {
+    val bucketExpr = (0 until 6).map { i =>
+      s"(CASE WHEN ${planeDot(i)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("bucket", expr(bucketExpr).cast("long"))
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+    val a = e.select(col("vec_id").as("x"), col("bucket"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("y"), col("bucket").as("bucket_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("x") < col("y"))
+      .select(col("x"), col("y"), col("bucket"),
+        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= 0.5)
+      .orderBy("x", "y")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cos_neardup" -> cosNearDup,
+    "llm_ann_lsh" -> annLsh
+  )
+
+  private val duckPlaneDot: Int => String = i =>
+    s"list_sum(list_transform(range(64), d -> CAST(embedding[d + 1] AS DOUBLE) * " +
+      s"(CASE WHEN (($i * 64 + d) * 2654435761) % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)))"
+
+  private val duckBucket: String =
+    (0 until 6).map { i =>
+      s"(CASE WHEN ${duckPlaneDot(i)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "llm_cos_neardup" ->
+      ("SELECT x, y, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t " +
+        "WHERE sim >= 0.5 ORDER BY x, y"),
+    "llm_ann_lsh" ->
+      (s"WITH sig AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket FROM embeddings) " +
+        "SELECT x, y, bucket, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.bucket AS bucket, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
+        "WHERE sim >= 0.5 ORDER BY x, y")
+  )
+}

@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (training-pipeline operator): treat
+  * opaque binary payloads as first-class columns and run an imperative
+  * per-partition "decoder" over them.
+  *
+  * The corpus has no image/audio tables, so the binary column is the
+  * UTF-8 encoding of `text` and the decode step is a deterministic
+  * stand-in (byte length, content hash, leading bytes — the places a
+  * real pipeline extracts dimensions/duration/frames). Everything
+  * around the stub is the real pattern: a BinaryType column, a typed
+  * Dataset, and mapPartitions so a real decoder would amortize its
+  * per-batch init (model load, codec context) across each partition's
+  * iterator and hold only one record's media in memory at a time —
+  * the shape that survives 100 TB of binaries.
+  */
+object Multimodal {
+
+  /** Extracted "features" of one binary payload. */
+  final case class MmFeature(doc_id: Long, byte_len: Long,
+      content_hash: String, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def decodeStub(spark: SparkSession, sf: String): DataFrame = {
+    val bin = Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val ds = bin.as[(Long, Array[Byte])](
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val feats = ds.mapPartitions { it =>
+      // Per-partition init would go here (codec/model handles).
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) =>
+        md.reset()
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        def b(i: Int): Int = if (bytes.length > i) bytes(i) & 0xff else -1
+        MmFeature(id, bytes.length.toLong, hex, b(0), b(1), b(2), b(3))
+      }
+    }(Encoders.product[MmFeature])
+    feats.toDF().orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_stub" -> decodeStub
+  )
+
+  val oracle: Map[String, String] = Map(
+    // ASCII corpus: byte k of the UTF-8 payload == ascii of char k+1.
+    "mm_decode_stub" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS content_hash, " +
+        "CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS b0, CAST(ascii(substring(text, 2, 1)) AS INTEGER) AS b1, " +
+        "CAST(ascii(substring(text, 3, 1)) AS INTEGER) AS b2, CAST(ascii(substring(text, 4, 1)) AS INTEGER) AS b3 " +
+        "FROM documents ORDER BY doc_id")
+  )
+}
