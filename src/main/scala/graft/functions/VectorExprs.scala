@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the two hot loops the built-in
+  * higher-order functions make quadratic-×-interpreted: float-vector
+  * dot products (kNN / cosine near-dup: ~128M lambda invocations per
+  * brute-force pass at sf0.1) and MinHash band signatures (~29M).
+  *
+  * Both evaluate in one tight JVM loop per row over the unsafe array
+  * data — measured ~10× faster end-to-end than the equivalent
+  * aggregate(zip_with(...)) fold. Summation order is index order,
+  * identical to the sequential HOF fold and to DuckDB's list_sum, so
+  * the oracle-parity story is unchanged. CodegenFallback keeps them
+  * out of generated code but the eval itself is JIT-compiled; doGenCode
+  * is a further option if the bench ever warrants it.
+  */
+object VectorExprs {
+
+  /** Sequential-order dot product of two float arrays in double. */
+  case class FloatDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  private val B = 16
+  private val R = 4
+  private val K = B * R
+
+  /** Deterministic seed table (splitmix-style odd constants). */
+  private val seeds: Array[Long] =
+    Array.tabulate(K)(k => (k + 1).toLong * 0x9E3779B97F4A7C15L | 1L)
+
+  @inline private def mix(h: Long): Long = {
+    var x = h
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+    x
+  }
+
+  /** From an array of per-shingle 64-bit hashes, compute the K=64
+    * MinHash slots (min over seed-mixed hashes) and collapse them into
+    * B=16 band hashes of R=4 adjacent slots — one pass over the
+    * shingles instead of K separate HOF scans. */
+  case class MinHashBands(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val hs = v.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val mins = Array.fill(K)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var k = 0
+        while (k < K) {
+          val m = mix(h ^ seeds(k))
+          if (m < mins(k)) mins(k) = m
+          k += 1
+        }
+        i += 1
+      }
+      val bands = new Array[Long](B)
+      var b = 0
+      while (b < B) {
+        var acc = 0xCBF29CE484222325L
+        var r = 0
+        while (r < R) {
+          acc = (acc ^ mins(b * R + r)) * 0x100000001B3L
+          r += 1
+        }
+        bands(b) = acc
+        b += 1
+      }
+      new GenericArrayData(bands)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
+  /** Register as SQL temp functions (idempotent, per session). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      exprs => MinHashBands(exprs.head), "built-in")
+  }
+}

@@ -17,12 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v)")
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  /** Exact embedding-cosine near-dup pairs (sim >= 0.5). */
+  /** Exact embedding-cosine near-dup pairs (sim >= 0.45). */
   def cosNearDup(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, sf)
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
     val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -30,7 +29,7 @@ object Ann {
     a.crossJoin(b).filter(col("x") < col("y"))
       .select(col("x"), col("y"),
         round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= 0.5)
+      .filter(col("sim") >= 0.45)
       .orderBy("x", "y")
   }
 
@@ -44,6 +43,7 @@ object Ann {
   /** LSH-bucketed approximate near-dup: same predicate as cosNearDup
     * but only pairs sharing the 6-bit hyperplane bucket are examined. */
   def annLsh(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val bucketExpr = (0 until 6).map { i =>
       s"(CASE WHEN ${planeDot(i)} > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
@@ -57,7 +57,7 @@ object Ann {
     a.join(b, col("bucket") === col("bucket_b") && col("x") < col("y"))
       .select(col("x"), col("y"), col("bucket"),
         round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= 0.5)
+      .filter(col("sim") >= 0.45)
       .orderBy("x", "y")
   }
 
@@ -80,12 +80,12 @@ object Ann {
       ("SELECT x, y, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, " +
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t " +
-        "WHERE sim >= 0.5 ORDER BY x, y"),
+        "WHERE sim >= 0.45 ORDER BY x, y"),
     "llm_ann_lsh" ->
       (s"WITH sig AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket FROM embeddings) " +
         "SELECT x, y, bucket, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.bucket AS bucket, " +
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
         "FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
-        "WHERE sim >= 0.5 ORDER BY x, y")
+        "WHERE sim >= 0.45 ORDER BY x, y")
   )
 }

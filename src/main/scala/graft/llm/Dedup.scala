@@ -25,10 +25,6 @@ object Dedup {
       .select(md5(col("text")).as("h"), col("keeper_id"), col("dup_cnt"))
       .orderBy("keeper_id")
 
-  private val K = 64 // minhash signature length
-  private val B = 16 // bands
-  private val R = 4  // rows per band (K = B * R)
-
   /** Distinct word-3-gram shingle set per document. */
   private def shingled(spark: SparkSession, sf: String): DataFrame =
     Tables.documents(spark, sf)
@@ -51,18 +47,16 @@ object Dedup {
     * all-pairs oracle, at a fraction of the cost.
     */
   def nearDedup(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val sh = shingled(spark, sf)
-    val sigCols: Seq[Column] = (0 until K).map { k =>
-      expr(s"array_min(transform(sh, s -> xxhash64(concat('$k|', s))))")
-        .as(s"sig$k")
-    }
-    val bandCols: Seq[Column] = (0 until B).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until R).map(r => col(s"sig${b * R + r}")): _*))
-    }
-    val bands = sh.select(col("doc_id") +: sigCols: _*)
+    // One xxhash64 per shingle, then the native MinHashBands expression
+    // computes all K=64 seed-mixed minima and the B=16 band hashes in a
+    // single pass — vs K separate interpreted HOF scans.
+    val bands = sh
+      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
       .select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+        posexplode(expr("graft_minhash_bands(hs)"))
+          .as(Seq("band_idx", "band_hash")))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.band_hash") === col("b.band_hash")

@@ -15,17 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays in double —
-    * identical fold order on both engines. */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v)")
+  /** Sequential-order dot product in double via the native FloatDot
+    * expression (graft.functions.VectorExprs) — same summation order
+    * as the HOF fold and DuckDB's list math, ~10× faster. */
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
 
   /** Global top-10 cosine pairs, brute force over vec_id < vec_id. */
   def knnCosine(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val e = withNorm(Tables.embeddings(spark, sf))
     val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"),
       col("nrm").as("na"))
@@ -41,6 +41,7 @@ object Similarity {
   /** k-NN of one query vector (vec_id 0): top-3 per label. The query
     * row is a 1-row broadcast — no driver-side collect. */
   def knnQuery(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val e = withNorm(Tables.embeddings(spark, sf))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))

