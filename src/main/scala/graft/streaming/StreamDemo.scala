@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.Tables.ntz
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Genuine Structured Streaming path: the tumbling-window aggregation
+  * of Events.evTumbling executed as a streaming query over the events
+  * parquet with Trigger.AvailableNow into a memory sink. Batch and
+  * streaming share the same incremental operators in Spark, so the
+  * result is identical to the batch form — which is exactly what the
+  * oracle checks.
+  *
+  * In production this is `readStream` from a file/Kafka source with
+  * `withWatermark` bounding state and append-mode sinks; AvailableNow
+  * processes the backlog with the same semantics and then terminates,
+  * which keeps the driver's batch-shaped contract.
+  */
+object StreamDemo {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def tumblingStream(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val name = s"graft_ev_stream_${counter.incrementAndGet()}"
+    // FileStreamSource wants a directory; restrict the sf dir to the
+    // events file via pathGlobFilter.
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts2",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(ntz(col("window.start")).as("hour_start"),
+        col("event_type"), col("cnt"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour_start", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling_stream" -> tumblingStream
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_tumbling_stream" ->
+      ("SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, " +
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+  )
+}

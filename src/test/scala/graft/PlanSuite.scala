@@ -1,0 +1,68 @@
+package graft
+
+/** Physical-plan audits: the properties that make these queries hold
+  * up at 100 TB must appear in the plan, not just in intent. Each test
+  * pins one: column pruning, predicate pushdown into the parquet scan,
+  * broadcast joins for dims, TakeOrderedAndProject for global top-k,
+  * partial aggregation, and the absence of accidental cartesian
+  * products in the LSH paths.
+  */
+class PlanSuite extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan_project prunes columns at the parquet reader") {
+    val p = plan(operators.Scans.scanProject(spark, sf))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"))
+  }
+
+  test("filter_pred pushes predicates into the scan") {
+    val p = plan(operators.Scans.filterPred(spark, sf))
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("join_broadcast builds a broadcast hash join on the dim side") {
+    val p = plan(operators.Joins.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("join_5way_q5 broadcasts all dimension tables") {
+    val p = plan(operators.Joins.join5WayQ5(spark, sf))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("topk_limit fuses into TakeOrderedAndProject (no global sort)") {
+    val p = plan(operators.SortSet.topkLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_q1 uses two-phase hash aggregation (map-side partials)") {
+    val p = plan(operators.Aggregates.aggQ1Pricing(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("near-dedup candidates come from an equi band join, not a cartesian") {
+    val p = plan(llm.Dedup.nearDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "LSH candidate generation must join on (band_idx, band_hash)")
+  }
+
+  test("ann_lsh joins on the bucket key, not a cartesian") {
+    val p = plan(llm.Ann.annLsh(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("floatdot"), "native FloatDot expression in the plan")
+  }
+
+  test("knn_query broadcasts the 1-row query side") {
+    val p = plan(llm.Similarity.knnQuery(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("late-watermark max is broadcast, not collected") {
+    val p = plan(streaming.Events.evLateWatermark(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
+}
