@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sinks + skew helpers: round-trips, partition pruning evidence, and
+  * salted-aggregation equivalence.
+  */
+class SinkSuite extends SparkTestBase {
+
+  test("partitioned parquet round-trips and prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    val li = Tables.lineitem(spark, sf)
+    sources.Sinks.writePartitioned(li, dir, Seq("l_returnflag"))
+    val back = sources.Sinks.readPartitioned(spark, dir)
+    assert(back.count() == li.count())
+    val pruned = back.filter(col("l_returnflag") === "A")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("l_returnflag"),
+      s"expected partition pruning in plan:\n${plan.take(800)}")
+    assert(pruned.count() ==
+      li.filter(col("l_returnflag") === "A").count())
+  }
+
+  test("bucketed table join on the bucket key avoids the exchange") {
+    // Uses the default warehouse dir (./spark-warehouse, gitignored) —
+    // spark.sql.warehouse.dir is a static conf, unsettable at runtime.
+    val o = Tables.orders(spark, sf)
+    sources.Sinks.writeBucketed(o.select("o_orderkey", "o_totalprice"),
+      "graft_orders_b", "o_orderkey", 4)
+    sources.Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "graft_lineitem_b", "l_orderkey", 4)
+    val j = spark.table("graft_orders_b").join(spark.table("graft_lineitem_b"),
+      col("o_orderkey") === col("l_orderkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    // Both sides bucketed on the join key: SortMergeJoin with no
+    // hashpartitioning exchange under it (broadcast may still win; in
+    // that case force SMJ via hint to observe bucketing).
+    val smj = j.hint("merge")
+    val smjPlan = smj.queryExecution.executedPlan.toString
+    assert(!smjPlan.contains("Exchange hashpartitioning"),
+      s"bucketed SMJ should not re-shuffle:\n${smjPlan.take(1200)}")
+    assert(j.count() == Tables.lineitem(spark, sf).count())
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(Tables.dec(col("l_quantity"))).as("sum"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag").collect()
+    val salted = operators.Skew.saltedSumCount(li, Seq("l_returnflag"),
+        Tables.dec(col("l_quantity")), col("l_orderkey") * 10 + col("l_linenumber"))
+      .orderBy("l_returnflag").collect()
+    assert(direct.length == salted.length)
+    direct.zip(salted).foreach { case (d, s) =>
+      assert(d.getString(0) == s.getString(0))
+      assert(d.getDecimal(1).compareTo(s.getDecimal(1)) == 0)
+      assert(d.getLong(2) == s.getLong(2))
+    }
+  }
+}
