@@ -26,6 +26,19 @@ class SinkSuite extends SparkTestBase {
   test("bucketed table join on the bucket key avoids the exchange") {
     // Uses the default warehouse dir (./spark-warehouse, gitignored) —
     // spark.sql.warehouse.dir is a static conf, unsettable at runtime.
+    // The in-memory metastore is per-JVM but the warehouse dir is not:
+    // drop both the catalog entry and any orphaned location first.
+    Seq("graft_orders_b", "graft_lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val o = Tables.orders(spark, sf)
     sources.Sinks.writeBucketed(o.select("o_orderkey", "o_totalprice"),
       "graft_orders_b", "o_orderkey", 4)
