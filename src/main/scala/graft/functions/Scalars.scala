@@ -46,7 +46,14 @@ object Scalars {
         datediff(col("o_orderdate"),
           Tables.tsLit("1995-01-01 00:00:00")).as("dd"),
         expr("add_months(cast(o_orderdate as date), 3)").as("am3"),
-        expr("weekday(o_orderdate) + 1").as("idw"))
+        expr("weekday(o_orderdate) + 1").as("idw"),
+        // String→date parse from an ISO string assembled portably
+        // (date_format patterns differ per engine; lpad doesn't).
+        to_date(concat_ws("-",
+          year(col("o_orderdate")).cast("string"),
+          lpad(month(col("o_orderdate")).cast("string"), 2, "0"),
+          lpad(dayofmonth(col("o_orderdate")).cast("string"), 2, "0")))
+          .as("td"))
       .orderBy("o_orderkey")
 
   def fnMath(spark: SparkSession, sf: String): DataFrame =
@@ -122,7 +129,9 @@ object Scalars {
         "CAST(day(o_orderdate) AS INTEGER) AS dy, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day_ts, " +
         "CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS dd, " +
         "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS am3, " +
-        "CAST(isodow(o_orderdate) AS INTEGER) AS idw FROM orders ORDER BY o_orderkey"),
+        "CAST(isodow(o_orderdate) AS INTEGER) AS idw, " +
+        "CAST(concat(CAST(year(o_orderdate) AS VARCHAR), '-', lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0'), '-', " +
+        "lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0')) AS DATE) AS td FROM orders ORDER BY o_orderkey"),
     "fn_math" ->
       ("SELECT l_orderkey, l_linenumber, round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS rnd, " +
         "CAST(floor(l_extendedprice) AS BIGINT) AS flr, CAST(ceil(l_extendedprice) AS BIGINT) AS cl, " +

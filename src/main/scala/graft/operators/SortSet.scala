@@ -71,13 +71,25 @@ object SortSet {
       .except(Tables.orders(spark, sf).select(col("o_custkey").as("k")))
       .orderBy("k")
 
+  /** EXCEPT ALL (bag semantics): each match cancels one occurrence, so
+    * a customer with n orders keeps max(0, n-... here: order keys minus
+    * one occurrence per urgent order. */
+  def setExceptAll(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+    o.select(col("o_custkey").as("k"))
+      .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k")))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_multi" -> sortMulti,
     "topk_limit" -> topkLimit,
     "set_union_all" -> setUnionAll,
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
-    "set_except" -> setExcept
+    "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,6 +114,9 @@ object SortSet {
     "set_intersect" ->
       "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k",
     "set_except" ->
-      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k"
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k",
+    "set_except_all" ->
+      ("SELECT * FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL " +
+        "SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT') t ORDER BY k")
   )
 }
