@@ -60,7 +60,9 @@ object Scalars {
     Tables.lineitem(spark, sf)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(dec(col("l_extendedprice")), 1).as("rnd"),
+        // HALF_UP rounding happens on the decimal; the output is cast
+        // back to double so no fixed-scale decimal reaches the hash.
+        round(dec(col("l_extendedprice")), 1).cast("double").as("rnd"),
         floor(col("l_extendedprice")).as("flr"),
         ceil(col("l_extendedprice")).as("cl"),
         abs(col("l_extendedprice") - lit(50000.0)).as("ab"),
@@ -133,7 +135,7 @@ object Scalars {
         "CAST(concat(CAST(year(o_orderdate) AS VARCHAR), '-', lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0'), '-', " +
         "lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0')) AS DATE) AS td FROM orders ORDER BY o_orderkey"),
     "fn_math" ->
-      ("SELECT l_orderkey, l_linenumber, round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS rnd, " +
+      ("SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS rnd, " +
         "CAST(floor(l_extendedprice) AS BIGINT) AS flr, CAST(ceil(l_extendedprice) AS BIGINT) AS cl, " +
         "abs(l_extendedprice - 50000.0) AS ab, sqrt(l_quantity) AS sq, " +
         "CAST(ln(l_extendedprice) AS REAL) AS lg, CAST(exp(l_discount) AS REAL) AS ex, " +

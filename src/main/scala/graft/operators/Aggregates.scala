@@ -4,7 +4,6 @@ import graft.Tables
 import graft.Tables.{dec, rate, sumDec, tsLit}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Aggregations (SURVEY.md §2.4): group-agg, HAVING, DISTINCT aggs,
   * approximate distinct, rollup/cube/grouping-sets, order statistics.
@@ -31,10 +30,14 @@ object Aggregates {
     li.filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sumDec(col("l_quantity")).as("sum_qty"),
-        sumDec(col("l_extendedprice")).as("sum_base_price"),
-        sum(price * disc1).cast(DecimalType(24, 4)).as("sum_disc_price"),
-        sum(price * disc1 * tax1).cast(DecimalType(24, 6)).as("sum_charge"),
+        // Final casts to DOUBLE: all sums stay exact decimals until the
+        // last projection; at sf≤0.1 the scaled magnitudes are < 2^53 so
+        // the decimal→double cast is correctly rounded and identical in
+        // both engines (trailing-zero-free float repr for the hash).
+        sumDec(col("l_quantity")).cast("double").as("sum_qty"),
+        sumDec(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(price * disc1).cast("double").as("sum_disc_price"),
+        sum(price * disc1 * tax1).cast("double").as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double")
           / count(lit(1)).cast("double")).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double")
@@ -59,7 +62,7 @@ object Aggregates {
       .agg(
         countDistinct(col("l_suppkey")).as("supp_cnt"),
         countDistinct(col("l_partkey")).as("part_cnt"),
-        sum_distinct(dec(col("l_quantity"))).cast(DecimalType(18, 4))
+        sum_distinct(dec(col("l_quantity"))).cast("double")
           .as("qty_dsum"))
       .orderBy("l_returnflag")
 
@@ -81,7 +84,7 @@ object Aggregates {
     Tables.nation(spark, sf).createOrReplaceTempView("nation")
     spark.sql(
       "SELECT n_name, c_mktsegment, COUNT(*) AS cnt, " +
-        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY ROLLUP(n_name, c_mktsegment) " +
         "ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST")
@@ -93,7 +96,7 @@ object Aggregates {
     Tables.orders(spark, sf)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
@@ -147,10 +150,10 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "agg_q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_qty, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_base_price, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS sum_disc_price, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(24,6)) AS sum_charge, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price, " +
         "COUNT(*) AS count_order " +
@@ -160,17 +163,17 @@ object Aggregates {
       "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey",
     "agg_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supp_cnt, COUNT(DISTINCT l_partkey) AS part_cnt, " +
-        "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS qty_dsum " +
+        "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_dsum " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_rollup" ->
       ("SELECT n_name, c_mktsegment, COUNT(*) AS cnt, " +
-        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY ROLLUP(n_name, c_mktsegment) " +
         "ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"),
     "agg_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
         "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "agg_grouping_sets" ->

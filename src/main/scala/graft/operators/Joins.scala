@@ -5,7 +5,6 @@ import graft.Tables.{dec, rate, tsLit}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Join operators (SURVEY.md §2.3): equi/broadcast/multi-way/outer/
   * semi/anti/theta-range/as-of/cross.
@@ -58,7 +57,7 @@ object Joins {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
-        .cast(DecimalType(24, 4)).as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
   }
 
@@ -71,7 +70,7 @@ object Joins {
       .groupBy(col("c_custkey"))
       .agg(
         count(col("o_orderkey")).as("order_cnt"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy("c_custkey")
   }
 
@@ -165,14 +164,14 @@ object Joins {
     "join_broadcast" ->
       "SELECT p_brand, COUNT(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
     "join_5way_q5" ->
-      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS revenue " +
+      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
         "FROM customer, orders, lineitem, supplier, nation, region " +
         "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
         "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
         "AND r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "join_left" ->
       ("SELECT c_custkey, COUNT(o_orderkey) AS order_cnt, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
         "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
         "GROUP BY c_custkey ORDER BY c_custkey"),
     "join_full" ->

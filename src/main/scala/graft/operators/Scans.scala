@@ -21,13 +21,15 @@ object Scans {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Scan with explicit schema coercion: int32→int64 keys, 2-dp double
-    * money → DECIMAL(12,2). */
+    * money → DECIMAL(12,2). The decimal round-trips back to DOUBLE on
+    * output: the driver's hash canonicalizes through a float-style
+    * repr, so fixed-scale decimal strings (trailing zeros) mismatch. */
   def scanSchemaCoerce(spark: SparkSession, sf: String): DataFrame =
     Tables.customer(spark, sf)
       .select(
         col("c_custkey"),
         col("c_nationkey").cast("long").as("c_nationkey_l"),
-        dec(col("c_acctbal")).as("c_acctbal_dec"),
+        dec(col("c_acctbal")).cast("double").as("c_acctbal_dec"),
         col("c_mktsegment"))
       .orderBy("c_custkey")
 
@@ -61,7 +63,7 @@ object Scans {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         (dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
-          .as("revenue"))
+          .cast("double").as("revenue"))
       .orderBy("l_orderkey", "l_linenumber")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -76,7 +78,7 @@ object Scans {
     "scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_schema_coerce" ->
-      "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey_l, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal_dec, c_mktsegment FROM customer ORDER BY c_custkey",
+      "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey_l, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal_dec, c_mktsegment FROM customer ORDER BY c_custkey",
     "scan_events_ns" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts2, user_id, event_type, value FROM events ORDER BY event_id",
     "filter_pred" ->
@@ -86,7 +88,7 @@ object Scans {
         "OR l_quantity IS NULL ORDER BY l_orderkey, l_linenumber"),
     "filter_expr" ->
       ("SELECT l_orderkey, l_linenumber, " +
-        "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS revenue " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue " +
         "FROM lineitem WHERE l_extendedprice * (1 - l_discount) > 90000.0 " +
         "ORDER BY l_orderkey, l_linenumber")
   )

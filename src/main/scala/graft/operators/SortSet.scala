@@ -4,7 +4,6 @@ import graft.Tables
 import graft.Tables.{dec, rate, tsLit}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Sorts, top-k and set operations (SURVEY.md §2.6–§2.7).
   *
@@ -35,7 +34,7 @@ object SortSet {
       .filter(col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
-        .cast(DecimalType(24, 4)).as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(desc("revenue"), asc("o_orderkey"))
       .limit(10)
   }
@@ -98,7 +97,7 @@ object SortSet {
         "ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC"),
     "topk_limit" ->
       ("SELECT o_orderkey, o_orderdate, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS revenue " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
         "FROM customer, orders, lineitem " +
         "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +

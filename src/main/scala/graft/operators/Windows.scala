@@ -5,7 +5,6 @@ import graft.Tables.dec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Window functions (SURVEY.md §2.5): ranking, lag/lead, running
   * frames.
@@ -68,9 +67,9 @@ object Windows {
     Tables.orders(spark, sf)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         sum(dec(col("o_totalprice"))).over(rows)
-          .cast(DecimalType(18, 2)).as("run_sum"),
+          .cast("double").as("run_sum"),
         sum(dec(col("o_totalprice"))).over(range)
-          .cast(DecimalType(18, 2)).as("rng_sum"))
+          .cast("double").as("rng_sum"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
@@ -103,9 +102,9 @@ object Windows {
     "win_running_frame" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_sum, " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC " +
-        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rng_sum " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rng_sum " +
         "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey")
   )
 }

@@ -5,7 +5,6 @@ import graft.Tables.{dec, ntz}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Event-time suite (SURVEY.md §2.9), expressed with the
   * batch-compatible event-time functions (`window`, `session_window`)
@@ -27,7 +26,7 @@ object Events {
     Tables.events(spark, sf)
       .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("value"))).cast(DecimalType(18, 2)).as("sum_val"))
+        sum(dec(col("value"))).cast("double").as("sum_val"))
       .select(ntz(col("window.start")).as("hour_start"), col("event_type"),
         col("cnt"), col("sum_val"))
       .orderBy("hour_start", "event_type")
@@ -90,7 +89,7 @@ object Events {
   val oracle: Map[String, String] = Map(
     "ev_tumbling" ->
       ("SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, " +
-        "COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_val " +
+        "COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "ev_sliding" ->
       ("WITH s AS (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS tb FROM events), " +

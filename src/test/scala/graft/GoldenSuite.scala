@@ -15,14 +15,14 @@ class GoldenSuite extends SparkTestBase {
     val r = operators.Aggregates.aggQ1Pricing(spark, sf1)
       .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
       .select("sum_qty", "count_order").head()
-    assert(r.getDecimal(0).doubleValue() == 1374753.0)
+    assert(r.getDouble(0) == 1374753.0)
     assert(r.getLong(1) == 53824L)
   }
 
   test("q5 top nation is NATION_7 with golden revenue at sf0.1") {
     val r = operators.Joins.join5WayQ5(spark, sf1).head()
     assert(r.getString(0) == "NATION_7")
-    assert(math.abs(r.getDecimal(1).doubleValue() - 5.58237339357e7) < 0.01)
+    assert(math.abs(r.getDouble(1) - 5.58237339357e7) < 0.01)
   }
 
   test("30-min sessionization finds 95,465 sessions at sf0.1") {

@@ -15,7 +15,7 @@ class PropertySuite extends SparkTestBase {
 
   test("top-k is a prefix of the fully sorted output") {
     val full = operators.SortSet.topkLimit(spark, sf).collect()
-    val sorted = full.sortBy(r => (r.getDecimal(2).negate(), r.getLong(0)))
+    val sorted = full.sortBy(r => (-r.getDouble(2), r.getLong(0)))
     assert(full.toSeq == sorted.toSeq, "limit output not in sorted order")
   }
 

@@ -20,7 +20,12 @@ def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, decimal.Decimal):
-        return f"dec:{v.normalize()}"
+        # Match the driver's canonicalization: decimals go through a
+        # float-style shortest repr, so a fixed-scale string with
+        # trailing zeros (1275.0000) would differ from 1275.0 even when
+        # the values are identical. Round 1 shipped 10 hash failures
+        # because the old normalize() here masked exactly that.
+        return f"f:{float(v)!r}"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -65,6 +70,18 @@ def main():
             continue
         sdf = pa.concat_tables([pq.read_table(f) for f in files],
                                promote_options="permissive") if len(files) > 1 else pq.read_table(files[0])
+        dec_cols = [f.name for f in sdf.schema
+                    if pa.types.is_decimal(f.type)] + \
+                   [f.name for f in odf.schema if pa.types.is_decimal(f.type)]
+        if dec_cols:
+            # Hard failure: the driver hashes spark parquet and DuckDB
+            # arrow decimals through different canonical strings, which
+            # we cannot emulate here — the only safe rule is that no
+            # declared query emits a decimal-typed column at all.
+            print(f"FAIL {name}: decimal-typed output column(s) {sorted(set(dec_cols))} — "
+                  "the driver hash is float-repr sensitive; final-cast to DOUBLE on both sides")
+            n_fail += 1
+            continue
         oc, orows = table_rows(odf)
         sc, srows = table_rows(sdf)
         if oc != sc:
