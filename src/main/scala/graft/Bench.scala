@@ -15,6 +15,19 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().collect()
+    // Warm the native cosine kernels on tiny synthetic vectors (40k
+    // pair evaluations — enough for C2 to compile the inner loops).
+    graft.functions.VectorExprs.register(spark)
+    import org.apache.spark.sql.functions.{broadcast, collect_list, lit}
+    val v = spark.range(200).selectExpr("id",
+      "transform(sequence(0, 15), i -> cast((id * 31 + i) % 97 as float) / 97) as embedding")
+    val packed = v
+      .selectExpr("struct(id as vec_id, sqrt(graft_dot(embedding, embedding)) as nrm, embedding) as s")
+      .agg(collect_list("s").as("vs")).withColumn("j", lit(0))
+    v.withColumn("j", lit(0)).join(broadcast(packed), "j")
+      .selectExpr("explode(graft_cos_topk(id, embedding, vs, 3)) as p").count()
+    v.withColumn("j", lit(0)).join(broadcast(packed), "j")
+      .selectExpr("explode(graft_cos_nbrs(id, embedding, vs, cast(0.5 as double))) as p").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -45,13 +45,19 @@ object Tables {
     * precision above 2^53). The truncation matches DuckDB's own
     * CAST(ts AS TIMESTAMP) ns→µs behavior. `ts2` is TIMESTAMP_NTZ.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsRaw(s, d)
       // timestamp_micros() yields zoned TimestampType; cast to NTZ (D6 —
       // identity under the pinned UTC session) so outputs stay naive
       // like every other corpus timestamp.
       .withColumn("ts2", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+
+  /** The raw events scan (ts still a nanosecond long) — also the
+    * session-cached schema source for the streaming reader, which needs
+    * the file schema without the derived ts2 column. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
   }
 
   /** D2: never SUM/AVG a raw double — cast to decimal first so

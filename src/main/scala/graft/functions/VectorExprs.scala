@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -111,6 +112,183 @@ object VectorExprs {
       copy(c)
   }
 
+  private val pairStruct = StructType(Seq(
+    StructField("y", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+
+  /** Spark's round(_, 6) semantics exactly (BigDecimal HALF_UP over the
+    * canonical double string) — proven hash-parity with DuckDB round.
+    * Costs a Double.toString, so the kernels only call it on pairs that
+    * survive a raw-value prune with a 1e-6 margin (rounding moves a
+    * value by < 5e-7, so pruning at threshold−1e-6 is lossless). */
+  @inline private def round6(s: Double): Double =
+    java.math.BigDecimal.valueOf(s)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Base for the packed-vector cosine kernels: one scan per input row
+    * over the whole broadcast-packed vector table (an array of
+    * struct(vec_id, nrm, embedding) sitting in ONE build-side row), with
+    * the dot products running in a tight JVM loop over unsafe array
+    * data. This replaces the BroadcastNestedLoopJoin-Cross plan whose
+    * cost was dominated by materializing n² joined rows (each copying
+    * two 64-float arrays), not by the arithmetic.
+    *
+    * Scale path: the packed side must fit in a broadcast (~1 GB / ~1 M
+    * vectors); beyond that the bucketed `llm_ann_lsh` plan is the
+    * production shape for similarity search at 100 TB.
+    */
+  /** Decoded packed table: parallel primitive arrays (flat float matrix
+    * + per-vector offsets) so the pair loop runs over plain JVM arrays
+    * the JIT can vectorize — no per-pair wrapper allocation. */
+  final class PackedTable(packed: ArrayData) {
+    val n: Int = packed.numElements()
+    val ids = new Array[Long](n)
+    val norms = new Array[Double](n)
+    val off = new Array[Int](n + 1)
+    val flat: Array[Float] = {
+      val embs = new Array[ArrayData](n)
+      var i = 0
+      while (i < n) {
+        val st = packed.getStruct(i, 3)
+        ids(i) = st.getLong(0)
+        norms(i) = st.getDouble(1)
+        embs(i) = st.getArray(2)
+        off(i + 1) = off(i) + embs(i).numElements()
+        i += 1
+      }
+      val f = new Array[Float](off(n))
+      i = 0
+      while (i < n) {
+        val e = embs(i)
+        val base = off(i)
+        var t = 0
+        val m = e.numElements()
+        while (t < m) { f(base + t) = e.getFloat(t); t += 1 }
+        i += 1
+      }
+      f
+    }
+  }
+
+  abstract class CosKernel extends Expression with CodegenFallback {
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(pairStruct, containsNull = false)
+    override def foldable: Boolean = false
+
+    // Decoded once per task: the packed child is the same broadcast
+    // constant for every input row by construction of these queries
+    // (a single-row global collect_list joined on a constant key).
+    @transient private var table: PackedTable = _
+
+    /** (vecId, ownEmbedding, packedTable) → rows of (partnerId, sim). */
+    protected def scan(vecId: Long, emb: Array[Float], p: PackedTable): GenericArrayData
+
+    override def eval(input: InternalRow): Any = {
+      val vecId = children(0).eval(input).asInstanceOf[Long]
+      val emb = children(1).eval(input).asInstanceOf[ArrayData].toFloatArray()
+      val packed = children(2).eval(input).asInstanceOf[ArrayData]
+      if (table == null || table.n != packed.numElements())
+        table = new PackedTable(packed)
+      scan(vecId, emb, table)
+    }
+
+    @inline protected final def ownNorm(emb: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < emb.length) { val v = emb(i).toDouble; s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+
+    @inline protected final def dotWith(emb: Array[Float], flat: Array[Float],
+        base: Int, len: Int): Double = {
+      var d = 0.0
+      var t = 0
+      val m = math.min(emb.length, len)
+      while (t < m) { d += emb(t).toDouble * flat(base + t).toDouble; t += 1 }
+      d
+    }
+  }
+
+  /** Per-row top-k cosine partners over ALL other vectors, ordered by
+    * (rounded sim desc, partner id asc). Exactness argument for global
+    * top-k pairs: if pair (x,y) is in the global top-k, at most k-1
+    * pairs rank above it, in particular at most k-1 involving x — and
+    * partner-id-asc equals global-lex order among x's equal-sim pairs —
+    * so y is always within x's first k partners. The caller explodes,
+    * keeps x < y, and takes the global ordered limit. */
+  case class CosTopK(children: Seq[Expression]) extends CosKernel {
+    private lazy val k = children(3).eval(null).asInstanceOf[Int]
+
+    override protected def scan(vecId: Long, emb: Array[Float],
+        p: PackedTable): GenericArrayData = {
+      val na = ownNorm(emb)
+      val ids = new Array[Long](k)
+      val sims = new Array[Double](k)
+      var cnt = 0
+      @inline def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+        s1 > s2 || (s1 == s2 && i1 < i2)
+      var j = 0
+      while (j < p.n) {
+        val pid = p.ids(j)
+        if (pid != vecId) {
+          val raw = dotWith(emb, p.flat, p.off(j), p.off(j + 1) - p.off(j)) /
+            (na * p.norms(j))
+          // Raw-value prune: once the top-k is full, a pair whose raw
+          // sim is 1e-6 below the k-th rounded sim cannot round into it.
+          if (java.lang.Double.isFinite(raw) &&
+              (cnt < k || raw >= sims(k - 1) - 1e-6)) {
+            val s = round6(raw)
+            if (cnt < k || better(s, pid, sims(cnt - 1), ids(cnt - 1))) {
+              var pos = if (cnt < k) { cnt += 1; cnt - 1 } else k - 1
+              while (pos > 0 && better(s, pid, sims(pos - 1), ids(pos - 1))) {
+                sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+              }
+              sims(pos) = s; ids(pos) = pid
+            }
+          }
+        }
+        j += 1
+      }
+      new GenericArrayData(Array.tabulate[Any](cnt)(i =>
+        new GenericInternalRow(Array[Any](ids(i), sims(i)))))
+    }
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(c)
+  }
+
+  /** All forward partners (partner id > vec id) with rounded cosine
+    * similarity ≥ threshold — the exact near-dup pair scan without pair
+    * row materialization. */
+  case class CosNeighbors(children: Seq[Expression]) extends CosKernel {
+    private lazy val thr = children(3).eval(null) match {
+      case d: java.lang.Double => d.doubleValue()
+      case d: Decimal => d.toDouble
+    }
+
+    override protected def scan(vecId: Long, emb: Array[Float],
+        p: PackedTable): GenericArrayData = {
+      val na = ownNorm(emb)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var j = 0
+      while (j < p.n) {
+        val pid = p.ids(j)
+        if (pid > vecId) {
+          val raw = dotWith(emb, p.flat, p.off(j), p.off(j + 1) - p.off(j)) /
+            (na * p.norms(j))
+          // Same lossless prune: raw < thr − 1e-6 cannot round to ≥ thr.
+          if (java.lang.Double.isFinite(raw) && raw >= thr - 1e-6) {
+            val s = round6(raw)
+            if (s >= thr) out += new GenericInternalRow(Array[Any](pid, s))
+          }
+        }
+        j += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(c)
+  }
+
   /** Register as SQL temp functions (idempotent, per session). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -118,5 +296,9 @@ object VectorExprs {
       exprs => FloatDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => MinHashBands(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cos_topk",
+      exprs => CosTopK(exprs), "built-in")
+    reg.createOrReplaceTempFunction("graft_cos_nbrs",
+      exprs => CosNeighbors(exprs), "built-in")
   }
 }

@@ -19,17 +19,20 @@ object Ann {
 
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  /** Exact embedding-cosine near-dup pairs (sim >= 0.45). */
+  /** Exact embedding-cosine near-dup pairs (sim >= 0.45), via the
+    * packed-kernel scan (see Similarity.packedVectors / CosNeighbors):
+    * each row checks all forward partners in one tight loop instead of
+    * materializing n² joined rows. */
   def cosNearDup(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val e = Tables.embeddings(spark, sf)
-      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
-    val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("y"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("x") < col("y"))
-      .select(col("x"), col("y"),
-        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= 0.45)
+    Tables.embeddings(spark, sf)
+      // One parquet file → one split; spread the kernel across cores.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("j", lit(0))
+      .join(broadcast(Similarity.packedVectors(spark, sf)), "j")
+      .select(col("vec_id").as("x"),
+        explode(expr("graft_cos_nbrs(vec_id, embedding, vs, cast(0.45 as double))")).as("p"))
+      .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
       .orderBy("x", "y")
   }
 

@@ -23,17 +23,36 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
 
-  /** Global top-10 cosine pairs, brute force over vec_id < vec_id. */
+  /** The whole vector table packed into ONE row as an array of
+    * struct(vec_id, nrm, embedding), for broadcast to the cosine
+    * kernels. ~0.5 MB per 1k vectors: broadcastable to ~1 M vectors,
+    * beyond which llm_ann_lsh is the scale path. Joined on a constant
+    * key so the plan is a BroadcastHashJoin, never a nested loop. */
+  private[graft] def packedVectors(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    withNorm(Tables.embeddings(spark, sf))
+      .select(struct(col("vec_id"), col("nrm"), col("embedding")).as("v"))
+      .agg(collect_list(col("v")).as("vs"))
+      .withColumn("j", lit(0))
+  }
+
+  /** Global top-10 cosine pairs — exact (identical to the brute-force
+    * all-pairs result) but via the packed-kernel plan: each row scans
+    * the broadcast vector table in one tight loop and emits its top-10
+    * partners; the global ordered limit over the per-row top-10s is
+    * provably the global top-10 (see CosTopK). No n²-row
+    * materialization, no BroadcastNestedLoopJoin. */
   def knnCosine(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val e = withNorm(Tables.embeddings(spark, sf))
-    val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("y"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("x") < col("y"))
-      .select(col("x"), col("y"),
-        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
+    Tables.embeddings(spark, sf)
+      // One parquet file → one split; spread the kernel across cores.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("j", lit(0))
+      .join(broadcast(packedVectors(spark, sf)), "j")
+      .select(col("vec_id").as("x"),
+        explode(expr("graft_cos_topk(vec_id, embedding, vs, 10)")).as("p"))
+      .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
+      .filter(col("x") < col("y"))
       .orderBy(desc("sim"), asc("x"), asc("y"))
       .limit(10)
   }

@@ -107,9 +107,12 @@ object Joins {
     * quadratic BNLJ runs on ~30 rows per side, not 100k events —
     * the aggregate-first shape is the 100 TB scale path. */
   def joinThetaRange(spark: SparkSession, sf: String): DataFrame = {
+    // The ~30-row aggregate feeds BOTH sides of the self-join; cached,
+    // events is scanned once instead of twice.
     val daily = Tables.events(spark, sf)
       .groupBy(Tables.ntz(date_trunc("day", col("ts2"))).as("d"))
       .agg(count(lit(1)).as("cnt"))
+      .cache()
     val a = daily.select(col("d").as("a_d"), col("cnt").as("a_cnt"))
     val b = daily.select(col("d").as("b_d"), col("cnt").as("b_cnt"))
     a.join(b, col("b_d") >= col("a_d")

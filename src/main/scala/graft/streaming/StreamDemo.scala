@@ -22,8 +22,8 @@ object StreamDemo {
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def tumblingStream(spark: SparkSession, sf: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    // Schema from the session-cached batch scan — no extra footer read.
+    val schema = graft.Tables.eventsRaw(spark, sf).schema
     val name = s"graft_ev_stream_${counter.incrementAndGet()}"
     // FileStreamSource wants a directory; restrict the sf dir to the
     // events file via pathGlobFilter.

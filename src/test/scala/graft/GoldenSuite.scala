@@ -46,6 +46,22 @@ class GoldenSuite extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 0.600856) < 1e-6)
   }
 
+  test("kernel knn top-10 equals the brute-force cross-join top-10") {
+    // Independent brute-force reference (the round-1 plan shape).
+    val e = Tables.embeddings(spark, sf01)
+      .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+    val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("y"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val brute = a.crossJoin(b).filter(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("x"), asc("y")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val kernel = llm.Similarity.knnCosine(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(kernel == brute, s"kernel $kernel != brute $brute")
+  }
+
   test("exactly one customer without orders at sf0.1") {
     assert(operators.Joins.joinAnti(spark, sf1).count() == 1L)
   }

@@ -56,6 +56,21 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("floatdot"), "native FloatDot expression in the plan")
   }
 
+  test("knn_cosine and cos_neardup use the packed broadcast kernel, not an n² join") {
+    for ((df, kernel) <- Seq(llm.Similarity.knnCosine(spark, sf) -> "costopk",
+                             llm.Ann.cosNearDup(spark, sf) -> "cosneighbors")) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        "all-pairs cosine must not materialize n² join rows")
+      assert(p.toLowerCase.contains(kernel), s"native $kernel kernel in the plan")
+      // The only join is against the ONE-row packed aggregate (global
+      // collect_list, keys=[]) — Catalyst folds the constant key into a
+      // 1-row broadcast nested loop, which is n×1, not n².
+      assert(p.contains("ObjectHashAggregate(keys=[]"),
+        "packed side must be the single-row global aggregate")
+    }
+  }
+
   test("knn_query broadcasts the 1-row query side") {
     val p = plan(llm.Similarity.knnQuery(spark, sf))
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
