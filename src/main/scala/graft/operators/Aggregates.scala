@@ -66,13 +66,22 @@ object Aggregates {
           .as("qty_dsum"))
       .orderBy("l_returnflag")
 
-  /** HLL++ approximate cardinality — sketch implementations differ per
-    * engine, so this is declared WITHOUT an oracle (rows-only check);
-    * the unit test asserts it is within rsd of the exact count. */
+  /** HLL++ approximate cardinality. Raw sketch values differ per engine
+    * (different HLL implementations), so the scored output is the
+    * sketch's accuracy CONTRACT instead: the exact distinct count plus
+    * a flag that the approximation landed within 2×rsd of it. Both are
+    * deterministic, and the oracle reproduces them exactly (the flag is
+    * TRUE by the HLL++ guarantee on this fixed corpus). The approx
+    * aggregate still runs for real on the Spark side. */
   def aggApproxDistinct(spark: SparkSession, sf: String): DataFrame =
     Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.1).as("within_rsd"))
       .orderBy("l_returnflag")
 
   /** Rollup hierarchy over a join. The DataFrame .rollup API after a
@@ -161,6 +170,9 @@ object Aggregates {
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "agg_having" ->
       "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey",
+    "agg_approx_distinct" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_rsd " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supp_cnt, COUNT(DISTINCT l_partkey) AS part_cnt, " +
         "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_dsum " +

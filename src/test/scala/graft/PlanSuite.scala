@@ -80,4 +80,14 @@ class PlanSuite extends SparkTestBase {
     val p = plan(streaming.Events.evLateWatermark(spark, sf))
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("tripwire: no declared query plans a CartesianProduct") {
+    // join_cross IS the declared cartesian (two 5/25-row dims); every
+    // other query must keep an equi/broadcast join shape — a regression
+    // here is a scale-killer long before it is a wrong answer.
+    for ((name, fn) <- SparkEntry.queries if name != "join_cross") {
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
 }
