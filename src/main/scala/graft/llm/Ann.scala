@@ -64,9 +64,53 @@ object Ann {
       .orderBy("x", "y")
   }
 
+  /** Centroid-id offset so coarse-centroid ids can never equal a
+    * vector id inside the CosTopK kernel (which skips self-pairs). */
+  private val CentroidBase = 1000000000L
+
+  /** IVF-style approximate near-dup: the second standard ANN shape
+    * next to LSH. Coarse quantizer = the first 8 vectors (vec_id < 8,
+    * deterministic at every sf); every vector is assigned to its
+    * nearest centroid by rounded cosine (ties → lowest centroid id,
+    * exactly the CosTopK order), then the pair search runs only within
+    * cells via an equi-join on the cell id.
+    *
+    * 100 TB shape: centroids broadcast (kernel top-1 assignment, no
+    * shuffle), vectors shuffle once on cell id, per-cell pair search is
+    * cell-parallel. Real IVF trains centroids with k-means; the fixed
+    * deterministic quantizer keeps the oracle reproducible while the
+    * plan is identical. */
+  def annIvf(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(struct((col("vec_id") + CentroidBase).as("vec_id"),
+        sqrt(dot("embedding", "embedding")).as("nrm"), col("embedding")).as("v"))
+      .agg(collect_list(col("v")).as("cvs"))
+      .withColumn("j", lit(0))
+    val assigned = e
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+      .withColumn("j", lit(0))
+      .join(broadcast(centroids), "j")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (expr("graft_cos_topk(vec_id, embedding, cvs, 1)")
+          .getItem(0).getField("y") - CentroidBase).as("cell"))
+    val a = assigned.select(col("vec_id").as("x"), col("cell"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("y"), col("cell").as("cell_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("cell") === col("cell_b") && col("x") < col("y"))
+      .select(col("x"), col("y"), col("cell"),
+        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_cos_neardup" -> cosNearDup,
-    "llm_ann_lsh" -> annLsh
+    "llm_ann_lsh" -> annLsh,
+    "llm_ann_ivf" -> annIvf
   )
 
   private val duckPlaneDot: Int => String = i =>
@@ -89,6 +133,16 @@ object Ann {
         "SELECT x, y, bucket, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.bucket AS bucket, " +
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
         "FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
+        "WHERE sim >= 0.45 ORDER BY x, y"),
+    "llm_ann_ivf" ->
+      ("WITH c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "r AS (SELECT vec_id, embedding, c_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(ce AS DOUBLE[])), 6) DESC, c_id ASC) AS rn " +
+        "FROM embeddings CROSS JOIN c), " +
+        "asg AS (SELECT vec_id, embedding, c_id AS cell FROM r WHERE rn = 1) " +
+        "SELECT x, y, cell, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.cell AS cell, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y")
   )
 }

@@ -74,12 +74,23 @@ class GoldenSuite extends SparkTestBase {
     assert(pairs.forall(_.getDouble(5) >= 0.9))
   }
 
-  test("ANN-LSH pairs are a subset of exact cosine near-dups") {
+  test("ANN-LSH and IVF pairs are subsets of exact cosine near-dups") {
     val exact = llm.Ann.cosNearDup(spark, sf01).select("x", "y").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = llm.Ann.annLsh(spark, sf01).select("x", "y").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(ann.subsetOf(exact), "ANN returned a pair the exact scan lacks")
+    assert(ann.subsetOf(exact), "LSH returned a pair the exact scan lacks")
+    val ivf = llm.Ann.annIvf(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact), "IVF returned a pair the exact scan lacks")
+  }
+
+  test("char-n-gram Jaccard finds the planted near-dup pairs") {
+    val word = llm.Dedup.nearDedup(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngram = llm.Dedup.ngramJaccard(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngram == word, s"char-gram pairs $ngram != word-shingle pairs $word")
   }
 
   test("approx_count_distinct within rsd bound of exact at both sfs") {
