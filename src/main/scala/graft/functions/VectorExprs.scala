@@ -112,6 +112,43 @@ object VectorExprs {
       copy(c)
   }
 
+  /** Distinct 64-bit hashes of all n-byte grams of a string, sorted —
+    * one pass over the UTF-8 bytes instead of materializing millions
+    * of substring objects through interpreted HOFs (the corpus is pure
+    * ASCII, so byte grams ≡ character grams). The hash only needs to
+    * be deterministic and collision-free in practice (FNV-1a + an
+    * avalanche finalizer); the Jaccard oracle compares string-set
+    * counts, which equal hashed-set counts absent collisions. */
+  case class CharGramHashes(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val bytes = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val n = r.asInstanceOf[Int]
+      val cnt = bytes.length - n + 1
+      if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+      val hs = new Array[Long](cnt)
+      var i = 0
+      while (i < cnt) {
+        var h = 0xCBF29CE484222325L
+        var j = 0
+        while (j < n) { h = (h ^ (bytes(i + j) & 0xFFL)) * 0x100000001B3L; j += 1 }
+        hs(i) = mix(h)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var out = 1
+      i = 1
+      while (i < cnt) {
+        if (hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   private val pairStruct = StructType(Seq(
     StructField("y", LongType, nullable = false),
     StructField("sim", DoubleType, nullable = false)))
@@ -300,5 +337,7 @@ object VectorExprs {
       exprs => CosTopK(exprs), "built-in")
     reg.createOrReplaceTempFunction("graft_cos_nbrs",
       exprs => CosNeighbors(exprs), "built-in")
+    reg.createOrReplaceTempFunction("graft_chargram_hashes",
+      exprs => CharGramHashes(exprs(0), exprs(1)), "built-in")
   }
 }

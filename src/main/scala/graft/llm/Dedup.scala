@@ -34,7 +34,8 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
 
-  /** Distinct character-8-gram set per document (1-based substring).
+  /** Distinct hashed character-8-gram set per document, via the native
+    * one-pass CharGramHashes expression (no per-gram string objects).
     * n=8 is the discriminative choice on this corpus (31-token vocab):
     * background pair Jaccard has median 0.04 / p99.9 0.11, so LSH band
     * collisions are rare, while 3-grams put the background median at
@@ -42,25 +43,22 @@ object Dedup {
   private def charGrams(spark: SparkSession, sf: String): DataFrame =
     Tables.documents(spark, sf)
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, length(text) - 7), " +
-          "i -> substring(text, i, 8)))").as("sh"))
+      .select(col("doc_id"), expr("graft_chargram_hashes(text, 8)").as("hs"))
 
-  /** Shared MinHash-LSH pipeline: per-row band signatures over the
-    * shingle set `sh`, band-bucket candidate join, exact-Jaccard
-    * verification at `thr`. Every stage is shuffle-parallel; nothing
-    * is quadratic in the corpus. */
-  private def lshJaccard(sh: DataFrame, thr: Double): DataFrame = {
-    // One xxhash64 per shingle, then the native MinHashBands expression
-    // computes all K=64 seed-mixed minima and the B=16 band hashes in a
-    // single pass — vs K separate interpreted HOF scans. The hashed
-    // shingle sets are ALSO what the exact-Jaccard verify intersects:
-    // long equality beats 8+-char string equality ~3×, and with < 2^21
-    // distinct shingles the 64-bit collision probability (~5e-8) is
-    // far below any other nondeterminism budget, so counts match the
-    // string-set oracle exactly.
-    val hashed = sh.select(col("doc_id"),
-      expr("transform(sh, s -> xxhash64(s))").as("hs"))
+  /** Shared MinHash-LSH pipeline over hashed shingle sets (doc_id,
+    * hs: array<long>): per-row band signatures, band-bucket candidate
+    * join, exact-Jaccard verification at `thr`. Every stage is
+    * shuffle-parallel; nothing is quadratic in the corpus.
+    *
+    * The hashed shingle sets are ALSO what the exact-Jaccard verify
+    * intersects: long equality beats 8+-char string equality ~3×, and
+    * with < 2^21 distinct shingles the 64-bit collision probability
+    * (~5e-8) is far below any other nondeterminism budget, so counts
+    * match the string-set oracle exactly. */
+  private def lshJaccard(hashed: DataFrame, thr: Double): DataFrame = {
+    // The native MinHashBands expression computes all K=64 seed-mixed
+    // minima and the B=16 band hashes in a single pass — vs K separate
+    // interpreted HOF scans.
     val bands = hashed
       .select(col("doc_id"),
         posexplode(expr("graft_minhash_bands(hs)"))
@@ -100,7 +98,9 @@ object Dedup {
     */
   def nearDedup(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    lshJaccard(shingled(spark, sf), 0.9)
+    val hashed = shingled(spark, sf).select(col("doc_id"),
+      expr("transform(sh, s -> xxhash64(s))").as("hs"))
+    lshJaccard(hashed, 0.9)
   }
 
   /** Character-n-gram Jaccard near-dup (n=8) — the same LSH fan-out
