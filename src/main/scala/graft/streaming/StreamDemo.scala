@@ -41,13 +41,47 @@ object StreamDemo {
     spark.table(name).orderBy("hour_start", "event_type")
   }
 
+  /** Watermark-driven APPEND-mode streaming aggregation: hourly counts
+    * are emitted only once the watermark (max event time − 10 min)
+    * passes the window end, i.e. the window is finalized and its state
+    * dropped — the production shape for unbounded streams, where
+    * complete mode would retain all windows forever. AvailableNow runs
+    * the backlog, then one more batch after the watermark advances so
+    * closed windows flush; the last open window(s) stay withheld,
+    * which the oracle mirrors with a max-ts cutoff. */
+  def appendStream(spark: SparkSession, sf: String): DataFrame = {
+    val schema = graft.Tables.eventsRaw(spark, sf).schema
+    val name = s"graft_ev_append_${counter.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      // Watermarks require zoned TimestampType; identical values under
+      // the pinned UTC session, and the output re-casts to NTZ (D9).
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts2", "10 minutes")
+      .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(ntz(col("window.start")).as("hour_start"),
+        col("event_type"), col("cnt"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev_tumbling_stream" -> tumblingStream
+    "ev_tumbling_stream" -> tumblingStream,
+    "ev_append_stream" -> appendStream
   )
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling_stream" ->
       ("SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, " +
-        "COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "ev_append_stream" ->
+      ("SELECT hour_start, event_type, cnt FROM (" +
+        "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2) t " +
+        "WHERE hour_start + INTERVAL 1 HOUR <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE FROM events) " +
+        "ORDER BY hour_start, event_type")
   )
 }
