@@ -44,6 +44,21 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("native char-gram hash count equals distinct substring count") {
+    // Pins the byte-gram ≡ char-gram assumption (pure-ASCII corpus) and
+    // collision-freeness of the one-pass hasher on real data.
+    graft.functions.VectorExprs.register(spark)
+    val bad = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 8)
+      .select(
+        expr("size(graft_chargram_hashes(text, 8))").as("native"),
+        expr("size(array_distinct(transform(sequence(1, length(text) - 7), " +
+          "i -> substring(text, i, 8))))").as("strings"))
+      .filter(col("native") =!= col("strings"))
+      .count()
+    assert(bad == 0, s"$bad docs where native gram count != string gram count")
+  }
+
   test("jaccard is symmetric-free (x < y) and bounded") {
     val pairs = llm.Dedup.nearDedup(spark, sf).collect()
     pairs.foreach { r =>
