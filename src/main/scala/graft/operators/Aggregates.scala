@@ -120,6 +120,20 @@ object Aggregates {
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
   }
 
+  /** Skew-safe aggregation, declared: lineitem grouped by the 3-value
+    * l_returnflag is exactly the heavy-hitter shape where one reducer
+    * becomes the critical path at scale. The salted two-phase plan
+    * (groupBy(key, salt) partials → groupBy(key) merge) spreads each
+    * hot key over 16 sub-keys; the result is identical to the direct
+    * aggregate because decimal sums are exact and order-independent. */
+  def aggSaltedSkew(spark: SparkSession, sf: String): DataFrame =
+    Skew.saltedSumCount(
+        Tables.lineitem(spark, sf), Seq("l_returnflag"),
+        dec(col("l_quantity")), col("l_orderkey") * 8 + col("l_linenumber"))
+      .select(col("l_returnflag"),
+        col("sum").cast("double").as("qty_sum"), col("cnt"))
+      .orderBy("l_returnflag")
+
   /** Order statistics: min/max/median plus sample stddev derived from
     * exact decimal sums via one fixed IEEE expression — deterministic
     * across engines and partial-agg orders, unlike native stddev_samp
@@ -153,7 +167,8 @@ object Aggregates {
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
-    "agg_stats" -> aggStats
+    "agg_stats" -> aggStats,
+    "agg_salted_skew" -> aggSaltedSkew
   )
 
   val oracle: Map[String, String] = Map(
@@ -173,6 +188,10 @@ object Aggregates {
     "agg_approx_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_rsd " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // Salting is invisible in the result: the oracle is the direct agg.
+    "agg_salted_skew" ->
+      ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supp_cnt, COUNT(DISTINCT l_partkey) AS part_cnt, " +
         "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_dsum " +

@@ -44,6 +44,39 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("packed cosine kernel equals scala brute force on random vectors") {
+    graft.functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val dim = 8
+    val vecs = Array.tabulate(n)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    import spark.implicits._
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val packed = df
+      .select(struct(col("vec_id"),
+        sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"),
+        col("embedding")).as("v"))
+      .agg(collect_list(col("v")).as("vs")).withColumn("j", lit(0))
+    val kernel = df.withColumn("j", lit(0)).join(broadcast(packed), "j")
+      .select(col("vec_id").as("x"),
+        explode(expr("graft_cos_topk(vec_id, embedding, vs, 5)")).as("p"))
+      .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
+      .filter(col("x") < col("y"))
+      .orderBy(desc("sim"), asc("x"), asc("y")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val brute = (for {
+      (x, a) <- vecs; (y, b) <- vecs if x < y
+    } yield (x, y, round6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))))
+      .sortBy { case (x, y, s) => (-s, x, y) }.take(20).toSeq
+    assert(kernel == brute, s"kernel top-20 != brute force top-20")
+  }
+
   test("native char-gram hash count equals distinct substring count") {
     // Pins the byte-gram ≡ char-gram assumption (pure-ASCII corpus) and
     // collision-freeness of the one-pass hasher on real data.
