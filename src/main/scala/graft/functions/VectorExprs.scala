@@ -149,6 +149,53 @@ object VectorExprs {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Distinct 64-bit hashes of all word n-gram shingles of a string
+    * (tokens = space-separated runs), sorted — the word-shingle twin of
+    * CharGramHashes: per-token FNV hashes combined positionally over a
+    * sliding window, no shingle string materialization. Counts equal
+    * the distinct-string-shingle counts absent 64-bit collisions. */
+  case class WordShingleHashes(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val bytes = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val n = r.asInstanceOf[Int]
+      // Token hashes in order (split on single spaces, like split(' ')
+      // — empty tokens from doubled spaces hash the empty FNV basis,
+      // matching the empty-string tokens split() would produce).
+      val toks = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var h = 0xCBF29CE484222325L
+      var i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == ' ') { toks += h; h = 0xCBF29CE484222325L }
+        else h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
+        i += 1
+      }
+      toks += h
+      val cnt = toks.length - n + 1
+      if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+      val hs = new Array[Long](cnt)
+      i = 0
+      while (i < cnt) {
+        var acc = 0x9E3779B97F4A7C15L
+        var j = 0
+        while (j < n) { acc = acc * 0x100000001B3L ^ toks(i + j); j += 1 }
+        hs(i) = mix(acc)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var out = 1
+      i = 1
+      while (i < cnt) {
+        if (hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   private val pairStruct = StructType(Seq(
     StructField("y", LongType, nullable = false),
     StructField("sim", DoubleType, nullable = false)))
@@ -339,5 +386,7 @@ object VectorExprs {
       exprs => CosNeighbors(exprs), "built-in")
     reg.createOrReplaceTempFunction("graft_chargram_hashes",
       exprs => CharGramHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_wordshingle_hashes",
+      exprs => WordShingleHashes(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -98,8 +98,12 @@ object Dedup {
     */
   def nearDedup(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val hashed = shingled(spark, sf).select(col("doc_id"),
-      expr("transform(sh, s -> xxhash64(s))").as("hs"))
+    // Native one-pass word-3-gram shingle hashing (no shingle strings
+    // materialized); counts equal shingled()'s distinct string sets.
+    val hashed = Tables.documents(spark, sf)
+      .withColumn("hs", expr("graft_wordshingle_hashes(text, 3)"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"))
     lshJaccard(hashed, 0.9)
   }
 

