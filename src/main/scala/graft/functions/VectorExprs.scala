@@ -196,6 +196,38 @@ object VectorExprs {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** 6-bit random-hyperplane LSH bucket of a float vector — the native
+    * twin of the SQL-text plane fold in llm/Ann.scala: Rademacher sign
+    * for (plane p, dim d) is the SAME integer arithmetic the DuckDB
+    * oracle evaluates, ((p*64+d)*2654435761) mod 2^32 < 2^31, and the
+    * projection accumulates in index order, so buckets are bit-equal
+    * to the interpreted HOF version. */
+  case class RademacherBucket(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val e = v.asInstanceOf[ArrayData]
+      val n = math.min(e.numElements(), 64)
+      var bucket = 0L
+      var p = 0
+      while (p < 6) {
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          val r = ((p * 64 + d).toLong * 2654435761L) % 4294967296L
+          val sign = if (r < 2147483648L) 1.0 else -1.0
+          acc += e.getFloat(d).toDouble * sign
+          d += 1
+        }
+        if (acc > 0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
   private val pairStruct = StructType(Seq(
     StructField("y", LongType, nullable = false),
     StructField("sim", DoubleType, nullable = false)))
@@ -388,5 +420,7 @@ object VectorExprs {
       exprs => CharGramHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_wordshingle_hashes",
       exprs => WordShingleHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_rademacher_bucket",
+      exprs => RademacherBucket(exprs.head), "built-in")
   }
 }

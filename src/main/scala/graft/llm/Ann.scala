@@ -43,15 +43,22 @@ object Ann {
       s"cast(element_at(embedding, cast(d + 1 as int)) as double) * " +
       s"(CASE WHEN (($i * 64 + d) * 2654435761) % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END))"
 
-  /** LSH-bucketed approximate near-dup: same predicate as cosNearDup
-    * but only pairs sharing the 6-bit hyperplane bucket are examined. */
-  def annLsh(spark: SparkSession, sf: String): DataFrame = {
-    graft.functions.VectorExprs.register(spark)
-    val bucketExpr = (0 until 6).map { i =>
+  /** The 6-bit bucket as interpreted SQL HOFs — kept as the reference
+    * the native RademacherBucket expression is tested against. */
+  private[graft] def bucketHofExpr: String =
+    (0 until 6).map { i =>
       s"(CASE WHEN ${planeDot(i)} > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** LSH-bucketed approximate near-dup: same predicate as cosNearDup
+    * but only pairs sharing the 6-bit hyperplane bucket are examined.
+    * Bucket signatures come from the native RademacherBucket
+    * expression (same integer-arithmetic planes as the oracle, one
+    * pass per row instead of 6×64 interpreted lambdas). */
+  def annLsh(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, sf)
-      .withColumn("bucket", expr(bucketExpr).cast("long"))
+      .withColumn("bucket", expr("graft_rademacher_bucket(embedding)"))
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
     val a = e.select(col("vec_id").as("x"), col("bucket"),
       col("embedding").as("ea"), col("nrm").as("na"))

@@ -106,6 +106,17 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad docs where native shingle count != string shingle count")
   }
 
+  test("native Rademacher bucket equals the interpreted HOF bucket") {
+    graft.functions.VectorExprs.register(spark)
+    val bad = Tables.embeddings(spark, sf)
+      .select(
+        expr("graft_rademacher_bucket(embedding)").as("native"),
+        expr(llm.Ann.bucketHofExpr).cast("long").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(bad == 0, s"$bad vectors where native bucket != HOF bucket")
+  }
+
   test("jaccard is symmetric-free (x < y) and bounded") {
     val pairs = llm.Dedup.nearDedup(spark, sf).collect()
     pairs.foreach { r =>
