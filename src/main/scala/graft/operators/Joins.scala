@@ -122,6 +122,34 @@ object Joins {
       .orderBy("a_d")
   }
 
+  /** Bucketed interval join — the scale path for event-level range
+    * joins that joinThetaRange's aggregate-first BNLJ cannot express:
+    * for each purchase, count same-user clicks in the preceding hour.
+    * The range condition is decomposed into an equi-join on (user_id,
+    * hour bucket): each click is exploded into its own bucket and the
+    * next (covering every purchase whose 1-hour look-back can reach
+    * it), the join is keyed hash-parallel, and the exact window
+    * predicate filters inside the join condition. 2× click fan-out
+    * buys a pure equi-shuffle — no nested loop at any scale. */
+  def joinRangeBucket(spark: SparkSession, sf: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sf).withColumn("us", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("us").as("p_us"),
+        (col("us") - (col("us") % hourUs)).as("p_bk"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("us").as("c_us"),
+        (col("us") - (col("us") % hourUs)).as("c_bk"))
+      .withColumn("bk", explode(array(col("c_bk"), col("c_bk") + hourUs)))
+    p.join(c,
+        col("user_id") === col("c_uid") && col("p_bk") === col("bk")
+          && col("c_us") >= col("p_us") - hourUs && col("c_us") <= col("p_us"),
+        "left_outer")
+      .groupBy(col("p_id"))
+      .agg(count(col("c_us")).as("clicks_1h"))
+      .orderBy("p_id")
+  }
+
   /** As-of join: for each purchase event, the most recent click of the
     * same user at or before it. Spark has no native ASOF JOIN; the
     * range-join + row_number()=1 idiom is deterministic and shuffles
@@ -157,6 +185,7 @@ object Joins {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_theta_range" -> joinThetaRange,
+    "join_range_bucket" -> joinRangeBucket,
     "join_asof" -> joinAsof,
     "join_cross" -> joinCross
   )
@@ -189,6 +218,16 @@ object Joins {
       ("WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d, COUNT(*) AS cnt FROM events GROUP BY 1) " +
         "SELECT a.d AS a_d, COUNT(*) AS ndays, CAST(SUM(b.cnt) AS BIGINT) AS cnt4 FROM daily a JOIN daily b " +
         "ON b.d >= a.d AND b.d <= a.d + INTERVAL 3 DAY GROUP BY a.d ORDER BY a_d"),
+    // The bucket decomposition is invisible in the result: the oracle
+    // is the plain range join (DuckDB plans its own IEJoin).
+    "join_range_bucket" ->
+      ("SELECT p.event_id AS p_id, COUNT(c.ts) AS clicks_1h " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON c.user_id = p.user_id " +
+        "AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR " +
+        "AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) " +
+        "GROUP BY p.event_id ORDER BY p_id"),
     "join_asof" ->
       ("SELECT p_id, user_id, p_ts, c_id, c_ts FROM (" +
         "SELECT p.event_id AS p_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, " +
