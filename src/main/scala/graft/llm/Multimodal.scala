@@ -42,8 +42,42 @@ object Multimodal {
     feats.toDF().orderBy("doc_id")
   }
 
+  /** One sampled "frame" of a binary payload. */
+  final case class MmFrame(doc_id: Long, frame_idx: Long, frame_len: Long,
+      frame_hash: String)
+
+  /** Frame-sampling plumbing: treat the payload as fixed-size frames
+    * (64 bytes), keep every 4th, emit per-frame metadata + content
+    * hash. The row-expanding mapPartitions is the real shape for video
+    * frame extraction — per-partition codec init, one frame in memory
+    * at a time, sampled stride to bound output volume at scale. */
+  def frameSample(spark: SparkSession, sf: String): DataFrame = {
+    val frameBytes = 64
+    val stride = 4
+    val bin = Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val ds = bin.as[(Long, Array[Byte])](
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val frames = ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % stride == 0).map { fi =>
+          val start = fi * frameBytes
+          val len = math.min(frameBytes, bytes.length - start)
+          md.reset()
+          val hex = md.digest(java.util.Arrays.copyOfRange(bytes, start, start + len))
+            .map("%02x".format(_)).mkString
+          MmFrame(id, fi.toLong, len.toLong, hex)
+        }
+      }
+    }(Encoders.product[MmFrame])
+    frames.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_stub" -> decodeStub
+    "mm_decode_stub" -> decodeStub,
+    "mm_frame_sample" -> frameSample
   )
 
   val oracle: Map[String, String] = Map(
@@ -52,6 +86,12 @@ object Multimodal {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS content_hash, " +
         "CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS b0, CAST(ascii(substring(text, 2, 1)) AS INTEGER) AS b1, " +
         "CAST(ascii(substring(text, 3, 1)) AS INTEGER) AS b2, CAST(ascii(substring(text, 4, 1)) AS INTEGER) AS b3 " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    // ASCII corpus: frame byte-slices == character substrings.
+    "mm_frame_sample" ->
+      ("SELECT doc_id, i AS frame_idx, CAST(LEAST(64, length(text) - i * 64) AS BIGINT) AS frame_len, " +
+        "md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_hash " +
+        "FROM (SELECT doc_id, text, unnest(range(CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i FROM documents) t " +
+        "WHERE i % 4 = 0 ORDER BY doc_id, frame_idx")
   )
 }
