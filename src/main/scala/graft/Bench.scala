@@ -33,6 +33,21 @@ object Bench {
       .selectExpr("explode(graft_cos_topk(id, embedding, vs, 3)) as p").count()
     v.withColumn("j", lit(0)).join(broadcast(packed), "j")
       .selectExpr("explode(graft_cos_nbrs(id, embedding, vs, cast(0.5 as double))) as p").count()
+    // Warm the broadcast-join machinery (exchange thread pool, torrent
+    // broadcast) and the Structured Streaming engine (microbatch
+    // planner, state store, memory sink) on the 25-row nation table —
+    // shared one-time costs, not query-specific work.
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    nat.join(broadcast(spark.read.parquet(s"$sfDir/region.parquet")),
+      org.apache.spark.sql.functions.col("n_regionkey") ===
+        org.apache.spark.sql.functions.col("r_regionkey")).count()
+    spark.readStream.schema(nat.schema)
+      .option("pathGlobFilter", "nation.parquet").parquet(sfDir)
+      .groupBy("n_regionkey").count()
+      .writeStream.format("memory").queryName("graft_warm_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
