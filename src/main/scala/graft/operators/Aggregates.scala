@@ -134,6 +134,30 @@ object Aggregates {
         col("sum").cast("double").as("qty_sum"), col("cnt"))
       .orderBy("l_returnflag")
 
+  /** Pivot: per-priority order counts spread over the 3 status values
+    * as columns. The pivot value list is explicit, so the output
+    * schema is static and the plan is a single two-phase aggregate
+    * (one shuffle on the groupBy key — no per-value scans). Absent
+    * combinations count 0 on both engines (na.fill ≡ COUNT FILTER). */
+  def aggPivot(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** Unpivot (melt): wide numeric columns to (key, metric, value)
+    * rows — narrow-format reshaping, a per-row expansion with no
+    * shuffle before the final sort. */
+  def aggUnpivot(spark: SparkSession, sf: String): DataFrame =
+    Tables.part(spark, sf)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "val")
+      .orderBy("p_partkey", "metric")
+
   /** Order statistics: min/max/median plus sample stddev derived from
     * exact decimal sums via one fixed IEEE expression — deterministic
     * across engines and partial-agg orders, unlike native stddev_samp
@@ -168,7 +192,9 @@ object Aggregates {
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_stats" -> aggStats,
-    "agg_salted_skew" -> aggSaltedSkew
+    "agg_salted_skew" -> aggSaltedSkew,
+    "agg_pivot" -> aggPivot,
+    "agg_unpivot" -> aggUnpivot
   )
 
   val oracle: Map[String, String] = Map(
@@ -188,6 +214,16 @@ object Aggregates {
     "agg_approx_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_rsd " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_pivot" ->
+      ("SELECT o_orderpriority, COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F, " +
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O, " +
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "agg_unpivot" ->
+      ("SELECT p_partkey, metric, val FROM (" +
+        "SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part " +
+        "UNION ALL SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part) t " +
+        "ORDER BY p_partkey, metric"),
     // Salting is invisible in the result: the oracle is the direct agg.
     "agg_salted_skew" ->
       ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum, " +
