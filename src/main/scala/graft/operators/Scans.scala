@@ -66,8 +66,21 @@ object Scans {
           .cast("double").as("revenue"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Reproducible 10% sample via a portable integer hash of the key —
+    * the training-pipeline downsampling primitive: unlike TABLESAMPLE
+    * or rand()-based sampling, the selected set is a pure function of
+    * the data, identical across engines, runs and cluster layouts, and
+    * the filter pushes down like any other predicate. */
+  def sampleHash(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .filter(expr(
+        "((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 % 100 < 10"))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_project" -> scanProject,
+    "sample_hash" -> sampleHash,
     "scan_schema_coerce" -> scanSchemaCoerce,
     "scan_events_ns" -> scanEventsNs,
     "filter_pred" -> filterPred,
@@ -77,6 +90,10 @@ object Scans {
   val oracle: Map[String, String] = Map(
     "scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "sample_hash" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE ((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 % 100 < 10 " +
+        "ORDER BY l_orderkey, l_linenumber"),
     "scan_schema_coerce" ->
       "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey_l, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal_dec, c_mktsegment FROM customer ORDER BY c_custkey",
     "scan_events_ns" ->
