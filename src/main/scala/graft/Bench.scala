@@ -16,7 +16,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen/shuffle/parquet machinery once so the first
-    // timed query doesn't absorb ~5 s of one-time JVM costs.
+    // timed query doesn't absorb ~5 s of one-time JVM costs. Warmup is
+    // best-effort: a failure here must never kill the timed run.
+    try {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().collect()
@@ -48,6 +50,9 @@ object Bench {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -106,6 +106,29 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad docs where native shingle count != string shingle count")
   }
 
+  test("native expression edge cases: short inputs, k > n, empty sets") {
+    graft.functions.VectorExprs.register(spark)
+    val r = spark.sql(
+      "SELECT size(graft_chargram_hashes('abc', 8)) AS short_gram, " +
+        "size(graft_chargram_hashes('abcdefgh', 8)) AS one_gram, " +
+        "size(graft_wordshingle_hashes('one two', 3)) AS short_shingle, " +
+        "size(graft_wordshingle_hashes('a b c', 3)) AS one_shingle, " +
+        "size(graft_wordshingle_hashes('a  b', 2)) AS empty_tok_shingles"
+    ).head()
+    assert(r.getInt(0) == 0, "text shorter than n must yield no grams")
+    assert(r.getInt(1) == 1)
+    assert(r.getInt(2) == 0, "fewer tokens than n must yield no shingles")
+    assert(r.getInt(3) == 1)
+    assert(r.getInt(4) == 2, "doubled space produces an empty token, like split(' ')")
+    // CosTopK with k larger than the table: returns all partners, no crash.
+    val topk = spark.sql(
+      "SELECT size(graft_cos_topk(0L, array(cast(1.0 as float)), " +
+        "array(struct(0L, 1.0D, array(cast(1.0 as float))), " +
+        "struct(1L, 1.0D, array(cast(1.0 as float))), " +
+        "struct(2L, 1.0D, array(cast(1.0 as float)))), 10))").head().getInt(0)
+    assert(topk == 2, "self excluded, both partners returned when k > n")
+  }
+
   test("native Rademacher bucket equals the interpreted HOF bucket") {
     graft.functions.VectorExprs.register(spark)
     val bad = Tables.embeddings(spark, sf)
