@@ -75,9 +75,36 @@ object Multimodal {
     frames.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** A "resized" binary payload's metadata. */
+  final case class MmResized(doc_id: Long, orig_len: Long, resized_len: Long,
+      resized_hash: String)
+
+  /** Resize plumbing: downsample the payload by keeping every 2nd byte
+    * (the 1-D stand-in for image downscaling — a real pipeline calls
+    * the codec's resampler here), emitting the resized length and
+    * content hash. Same per-partition scalar-map shape as the decoder:
+    * one payload in memory at a time. */
+  def resizeStub(spark: SparkSession, sf: String): DataFrame = {
+    val bin = Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val ds = bin.as[(Long, Array[Byte])](
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val out = ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) =>
+        val resized = Array.tabulate((bytes.length + 1) / 2)(i => bytes(i * 2))
+        md.reset()
+        val hex = md.digest(resized).map("%02x".format(_)).mkString
+        MmResized(id, bytes.length.toLong, resized.length.toLong, hex)
+      }
+    }(Encoders.product[MmResized])
+    out.toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> decodeStub,
-    "mm_frame_sample" -> frameSample
+    "mm_frame_sample" -> frameSample,
+    "mm_resize_stub" -> resizeStub
   )
 
   val oracle: Map[String, String] = Map(
@@ -92,6 +119,13 @@ object Multimodal {
       ("SELECT doc_id, i AS frame_idx, CAST(LEAST(64, length(text) - i * 64) AS BIGINT) AS frame_len, " +
         "md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_hash " +
         "FROM (SELECT doc_id, text, unnest(range(CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i FROM documents) t " +
-        "WHERE i % 4 = 0 ORDER BY doc_id, frame_idx")
+        "WHERE i % 4 = 0 ORDER BY doc_id, frame_idx"),
+    // Every-2nd-byte downsample ≡ collapsing char pairs to their first
+    // char (ASCII corpus); an odd trailing char survives both ways.
+    "mm_resize_stub" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len, " +
+        "CAST(length(regexp_replace(text, '(.).', '\\1', 'g')) AS BIGINT) AS resized_len, " +
+        "md5(regexp_replace(text, '(.).', '\\1', 'g')) AS resized_hash " +
+        "FROM documents ORDER BY doc_id")
   )
 }
