@@ -10,8 +10,11 @@ object Bench {
       // AQE stays ON by default (the at-scale behavior: runtime skew
       // split / partition coalescing); the env knob exists to measure
       // its fixed re-planning cost at micro-bench scale.
+      // Normalized to a strict boolean: a stray value like "1" would
+      // otherwise throw on first conf read and abort the timed run.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        String.valueOf(!Set("false", "0", "off")
+          .contains(sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase)))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -249,6 +249,12 @@ object VectorExprs {
     * cost was dominated by materializing n² joined rows (each copying
     * two 64-float arrays), not by the arithmetic.
     *
+    * NaN semantics: pairs with a non-finite similarity (zero-norm or
+    * NaN-containing vectors) are skipped — a deliberate choice, since
+    * Spark (NaN sorts greatest) and DuckDB disagree on NaN ordering
+    * anyway. The corpus contains no such vectors; if one ever appears,
+    * the oracle needs a matching NaN filter.
+    *
     * Scale path: the packed side must fit in a broadcast (~1 GB / ~1 M
     * vectors); beyond that the bucketed `llm_ann_lsh` plan is the
     * production shape for similarity search at 100 TB.
@@ -258,6 +264,21 @@ object VectorExprs {
     * the JIT can vectorize — no per-pair wrapper allocation. */
   final class PackedTable(packed: ArrayData) {
     val n: Int = packed.numElements()
+
+    /** Cheap content check for the per-task cache: element count plus
+      * the first and last (id, nrm) entries. Identity can't be used —
+      * codegen materializes a fresh UnsafeRow (new backing buffer) per
+      * joined row — and this rejects any packed array that differs in
+      * length or boundary entries, which covers every realistic
+      * non-constant misuse of the kernel functions. */
+    def sameAs(other: ArrayData): Boolean = {
+      if (other.numElements() != n || n == 0) return other.numElements() == n && n == 0
+      val f = other.getStruct(0, 3)
+      val l = other.getStruct(n - 1, 3)
+      f.getLong(0) == ids(0) && f.getDouble(1) == norms(0) &&
+        l.getLong(0) == ids(n - 1) && l.getDouble(1) == norms(n - 1)
+    }
+
     val ids = new Array[Long](n)
     val norms = new Array[Double](n)
     val off = new Array[Int](n + 1)
@@ -294,6 +315,8 @@ object VectorExprs {
     // Decoded once per task: the packed child is the same broadcast
     // constant for every input row by construction of these queries
     // (a single-row global collect_list joined on a constant key).
+    // Reuse is content-checked per row via PackedTable.sameAs (length
+    // + boundary entries), so a different packed array decodes fresh.
     @transient private var table: PackedTable = _
 
     /** (vecId, ownEmbedding, packedTable) → rows of (partnerId, sim). */
@@ -303,7 +326,7 @@ object VectorExprs {
       val vecId = children(0).eval(input).asInstanceOf[Long]
       val emb = children(1).eval(input).asInstanceOf[ArrayData].toFloatArray()
       val packed = children(2).eval(input).asInstanceOf[ArrayData]
-      if (table == null || table.n != packed.numElements())
+      if ((table eq null) || !table.sameAs(packed))
         table = new PackedTable(packed)
       scan(vecId, emb, table)
     }
@@ -333,7 +356,10 @@ object VectorExprs {
     * so y is always within x's first k partners. The caller explodes,
     * keeps x < y, and takes the global ordered limit. */
   case class CosTopK(children: Seq[Expression]) extends CosKernel {
-    private lazy val k = children(3).eval(null).asInstanceOf[Int]
+    private lazy val k = children(3).eval(null) match {
+      case n: Number => n.intValue()
+      case d: Decimal => d.toInt
+    }
 
     override protected def scan(vecId: Long, emb: Array[Float],
         p: PackedTable): GenericArrayData = {
@@ -377,7 +403,7 @@ object VectorExprs {
     * row materialization. */
   case class CosNeighbors(children: Seq[Expression]) extends CosKernel {
     private lazy val thr = children(3).eval(null) match {
-      case d: java.lang.Double => d.doubleValue()
+      case n: Number => n.doubleValue()
       case d: Decimal => d.toDouble
     }
 

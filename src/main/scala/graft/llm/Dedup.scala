@@ -25,15 +25,6 @@ object Dedup {
       .select(md5(col("text")).as("h"), col("keeper_id"), col("dup_cnt"))
       .orderBy("keeper_id")
 
-  /** Distinct word-3-gram shingle set per document. */
-  private def shingled(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
-
   /** Distinct hashed character-8-gram set per document, via the native
     * one-pass CharGramHashes expression (no per-gram string objects).
     * n=8 is the discriminative choice on this corpus (31-token vocab):
@@ -99,7 +90,8 @@ object Dedup {
   def nearDedup(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     // Native one-pass word-3-gram shingle hashing (no shingle strings
-    // materialized); counts equal shingled()'s distinct string sets.
+    // materialized); counts equal the distinct string-shingle sets
+    // (pinned by PropertySuite's shingle-count parity test).
     val hashed = Tables.documents(spark, sf)
       .withColumn("hs", expr("graft_wordshingle_hashes(text, 3)"))
       .filter(size(col("hs")) > 0)

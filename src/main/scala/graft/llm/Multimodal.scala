@@ -20,23 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The binary-payload table as a typed Dataset — shared entry point
+    * of all three decoders. */
+  private def binaryDocs(spark: SparkSession,
+      sf: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+
+  private def hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
   /** Extracted "features" of one binary payload. */
   final case class MmFeature(doc_id: Long, byte_len: Long,
       content_hash: String, b0: Int, b1: Int, b2: Int, b3: Int)
 
   def decodeStub(spark: SparkSession, sf: String): DataFrame = {
-    val bin = Tables.documents(spark, sf)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val ds = bin.as[(Long, Array[Byte])](
-      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-    val feats = ds.mapPartitions { it =>
+    val feats = binaryDocs(spark, sf).mapPartitions { it =>
       // Per-partition init would go here (codec/model handles).
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, bytes) =>
-        md.reset()
-        val hex = md.digest(bytes).map("%02x".format(_)).mkString
         def b(i: Int): Int = if (bytes.length > i) bytes(i) & 0xff else -1
-        MmFeature(id, bytes.length.toLong, hex, b(0), b(1), b(2), b(3))
+        MmFeature(id, bytes.length.toLong, hex(md, bytes), b(0), b(1), b(2), b(3))
       }
     }(Encoders.product[MmFeature])
     feats.toDF().orderBy("doc_id")
@@ -54,21 +62,15 @@ object Multimodal {
   def frameSample(spark: SparkSession, sf: String): DataFrame = {
     val frameBytes = 64
     val stride = 4
-    val bin = Tables.documents(spark, sf)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val ds = bin.as[(Long, Array[Byte])](
-      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-    val frames = ds.mapPartitions { it =>
+    val frames = binaryDocs(spark, sf).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, bytes) =>
         val nFrames = (bytes.length + frameBytes - 1) / frameBytes
         Iterator.range(0, nFrames).filter(_ % stride == 0).map { fi =>
           val start = fi * frameBytes
           val len = math.min(frameBytes, bytes.length - start)
-          md.reset()
-          val hex = md.digest(java.util.Arrays.copyOfRange(bytes, start, start + len))
-            .map("%02x".format(_)).mkString
-          MmFrame(id, fi.toLong, len.toLong, hex)
+          val h = hex(md, java.util.Arrays.copyOfRange(bytes, start, start + len))
+          MmFrame(id, fi.toLong, len.toLong, h)
         }
       }
     }(Encoders.product[MmFrame])
@@ -85,17 +87,11 @@ object Multimodal {
     * content hash. Same per-partition scalar-map shape as the decoder:
     * one payload in memory at a time. */
   def resizeStub(spark: SparkSession, sf: String): DataFrame = {
-    val bin = Tables.documents(spark, sf)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val ds = bin.as[(Long, Array[Byte])](
-      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-    val out = ds.mapPartitions { it =>
+    val out = binaryDocs(spark, sf).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, bytes) =>
         val resized = Array.tabulate((bytes.length + 1) / 2)(i => bytes(i * 2))
-        md.reset()
-        val hex = md.digest(resized).map("%02x".format(_)).mkString
-        MmResized(id, bytes.length.toLong, resized.length.toLong, hex)
+        MmResized(id, bytes.length.toLong, resized.length.toLong, hex(md, resized))
       }
     }(Encoders.product[MmResized])
     out.toDF().orderBy("doc_id")

@@ -70,9 +70,16 @@ def main():
             continue
         sdf = pa.concat_tables([pq.read_table(f) for f in files],
                                promote_options="permissive") if len(files) > 1 else pq.read_table(files[0])
-        dec_cols = [f.name for f in sdf.schema
-                    if pa.types.is_decimal(f.type)] + \
-                   [f.name for f in odf.schema if pa.types.is_decimal(f.type)]
+        def has_decimal(t):
+            if pa.types.is_decimal(t):
+                return True
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                return has_decimal(t.value_type)
+            if pa.types.is_struct(t) or pa.types.is_map(t):
+                return any(has_decimal(t.field(i).type) for i in range(t.num_fields))
+            return False
+        dec_cols = [f.name for f in sdf.schema if has_decimal(f.type)] + \
+                   [f.name for f in odf.schema if has_decimal(f.type)]
         if dec_cols:
             # Hard failure: the driver hashes spark parquet and DuckDB
             # arrow decimals through different canonical strings, which
