@@ -35,6 +35,17 @@ object Scalars {
         col("p_name").like("%er%").as("lk"))
       .orderBy("p_partkey")
 
+  /** Edit distance (fuzzy-matching primitive for near-dup text): both
+    * engines implement classic Levenshtein DP — integer-exact parity. */
+  def fnEditDist(spark: SparkSession, sf: String): DataFrame =
+    Tables.part(spark, sf)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), lit("standard part name")).as("lev"),
+        levenshtein(split(col("p_name"), " ").getItem(0),
+          split(col("p_type"), " ").getItem(0)).as("lev_tok"))
+      .orderBy("p_partkey")
+
   def fnDate(spark: SparkSession, sf: String): DataFrame =
     Tables.orders(spark, sf)
       .select(
@@ -112,6 +123,7 @@ object Scalars {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fnString,
+    "fn_editdist" -> fnEditDist,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
@@ -126,6 +138,10 @@ object Scalars {
         "regexp_replace(p_name, 'a', 'X', 'g') AS rep, lpad(CAST(p_size AS VARCHAR), 4, '0') AS lp, " +
         "string_split(p_name, ' ')[1] AS tok0, regexp_extract(p_name, '([a-z]+)', 1) AS rex, " +
         "p_name LIKE '%er%' AS lk FROM part ORDER BY p_partkey"),
+    "fn_editdist" ->
+      ("SELECT p_partkey, CAST(levenshtein(p_name, 'standard part name') AS INTEGER) AS lev, " +
+        "CAST(levenshtein(string_split(p_name, ' ')[1], string_split(p_type, ' ')[1]) AS INTEGER) AS lev_tok " +
+        "FROM part ORDER BY p_partkey"),
     "fn_date" ->
       ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo, " +
         "CAST(day(o_orderdate) AS INTEGER) AS dy, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day_ts, " +
