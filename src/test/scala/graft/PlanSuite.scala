@@ -17,6 +17,12 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"))
   }
 
+  test("sample_hash prunes to its three columns at the reader") {
+    val p = plan(operators.Scans.sampleHash(spark, sf))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      "arithmetic sampling filter must not widen the scan")
+  }
+
   test("filter_pred pushes predicates into the scan") {
     val p = plan(operators.Scans.filterPred(spark, sf))
     assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(l_shipdate"))

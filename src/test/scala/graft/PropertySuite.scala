@@ -30,6 +30,13 @@ class PropertySuite extends SparkTestBase {
     assert(s5 >= s30 && s30 >= s120, s"$s5 >= $s30 >= $s120 violated")
   }
 
+  test("hash sampling keeps ~10% and is a strict subset of the source") {
+    val total = Tables.lineitem(spark, sf).count().toDouble
+    val sampled = operators.Scans.sampleHash(spark, sf).count().toDouble
+    val rate = sampled / total
+    assert(rate > 0.05 && rate < 0.15, s"sample rate $rate outside [0.05, 0.15]")
+  }
+
   test("set algebra: |A ∩ B| + |A \\ B| == |distinct A|") {
     val inter = operators.SortSet.setIntersect(spark, sf).count()
     val exc = operators.SortSet.setExcept(spark, sf).count()
