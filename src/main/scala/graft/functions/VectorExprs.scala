@@ -3,22 +3,26 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expressions for the two hot loops the built-in
+/** Native Catalyst expressions for the hot loops the built-in
   * higher-order functions make quadratic-×-interpreted: float-vector
   * dot products (kNN / cosine near-dup: ~128M lambda invocations per
-  * brute-force pass at sf0.1) and MinHash band signatures (~29M).
+  * brute-force pass at sf0.1), MinHash band signatures (~29M), and
+  * character/word shingle hashing.
   *
-  * Both evaluate in one tight JVM loop per row over the unsafe array
-  * data — measured ~10× faster end-to-end than the equivalent
-  * aggregate(zip_with(...)) fold. Summation order is index order,
-  * identical to the sequential HOF fold and to DuckDB's list_sum, so
-  * the oracle-parity story is unchanged. CodegenFallback keeps them
-  * out of generated code but the eval itself is JIT-compiled; doGenCode
-  * is a further option if the bench ever warrants it.
+  * Every expression here participates in whole-stage codegen: the
+  * generated code calls a static helper on this object (Scala emits
+  * static forwarders for object methods), so the heavy loop runs as
+  * JIT-compiled JVM code AND the surrounding projection/join stage
+  * stays fused — no CodegenFallback interpreted-row boundary in the
+  * hot path. Summation order is index order, identical to the
+  * sequential HOF fold and to DuckDB's list_sum, so the oracle-parity
+  * story is unchanged.
   */
 object VectorExprs {
 
@@ -72,44 +76,74 @@ object VectorExprs {
     x
   }
 
+  /** Static eval body of [[MinHashBands]] — called from generated code. */
+  def minHashBandsEval(v: ArrayData): ArrayData = {
+    val hs = v
+    val n = hs.numElements()
+    val mins = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < K) {
+        val m = mix(h ^ seeds(k))
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Long](B)
+    var b = 0
+    while (b < B) {
+      var acc = 0xCBF29CE484222325L
+      var r = 0
+      while (r < R) {
+        acc = (acc ^ mins(b * R + r)) * 0x100000001B3L
+        r += 1
+      }
+      bands(b) = acc
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
   /** From an array of per-shingle 64-bit hashes, compute the K=64
     * MinHash slots (min over seed-mixed hashes) and collapse them into
     * B=16 band hashes of R=4 adjacent slots — one pass over the
     * shingles instead of K separate HOF scans. */
-  case class MinHashBands(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashBands(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val hs = v.asInstanceOf[ArrayData]
-      val n = hs.numElements()
-      val mins = Array.fill(K)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        val h = hs.getLong(i)
-        var k = 0
-        while (k < K) {
-          val m = mix(h ^ seeds(k))
-          if (m < mins(k)) mins(k) = m
-          k += 1
-        }
-        i += 1
-      }
-      val bands = new Array[Long](B)
-      var b = 0
-      while (b < B) {
-        var acc = 0xCBF29CE484222325L
-        var r = 0
-        while (r < R) {
-          acc = (acc ^ mins(b * R + r)) * 0x100000001B3L
-          r += 1
-        }
-        bands(b) = acc
-        b += 1
-      }
-      new GenericArrayData(bands)
-    }
+    override def nullSafeEval(v: Any): Any =
+      minHashBandsEval(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.minHashBandsEval($c);")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(c)
+  }
+
+  /** Static eval body of [[CharGramHashes]] — called from generated code. */
+  def charGramHashesEval(str: UTF8String, n: Int): ArrayData = {
+    val bytes = str.getBytes
+    val cnt = bytes.length - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < n) { h = (h ^ (bytes(i + j) & 0xFFL)) * 0x100000001B3L; j += 1 }
+      hs(i) = mix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    i = 1
+    while (i < cnt) {
+      if (hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
   /** Distinct 64-bit hashes of all n-byte grams of a string, sorted —
@@ -120,33 +154,52 @@ object VectorExprs {
     * avalanche finalizer); the Jaccard oracle compares string-set
     * counts, which equal hashed-set counts absent collisions. */
   case class CharGramHashes(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val bytes = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-      val n = r.asInstanceOf[Int]
-      val cnt = bytes.length - n + 1
-      if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
-      val hs = new Array[Long](cnt)
-      var i = 0
-      while (i < cnt) {
-        var h = 0xCBF29CE484222325L
-        var j = 0
-        while (j < n) { h = (h ^ (bytes(i + j) & 0xFFL)) * 0x100000001B3L; j += 1 }
-        hs(i) = mix(h)
-        i += 1
-      }
-      java.util.Arrays.sort(hs)
-      var out = 1
-      i = 1
-      while (i < cnt) {
-        if (hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
-        i += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(hs, out))
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      charGramHashesEval(l.asInstanceOf[UTF8String], r.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (s, n) =>
+        s"${ev.value} = graft.functions.VectorExprs.charGramHashesEval($s, $n);")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** Static eval body of [[WordShingleHashes]] — called from generated
+    * code. */
+  def wordShingleHashesEval(str: UTF8String, n: Int): ArrayData = {
+    val bytes = str.getBytes
+    // Token hashes in order (split on single spaces, like split(' ')
+    // — empty tokens from doubled spaces hash the empty FNV basis,
+    // matching the empty-string tokens split() would produce).
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { toks += h; h = 0xCBF29CE484222325L }
+      else h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
+      i += 1
+    }
+    toks += h
+    val cnt = toks.length - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var acc = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) { acc = acc * 0x100000001B3L ^ toks(i + j); j += 1 }
+      hs(i) = mix(acc)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    i = 1
+    while (i < cnt) {
+      if (hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
   /** Distinct 64-bit hashes of all word n-gram shingles of a string
@@ -155,45 +208,37 @@ object VectorExprs {
     * sliding window, no shingle string materialization. Counts equal
     * the distinct-string-shingle counts absent 64-bit collisions. */
   case class WordShingleHashes(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val bytes = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-      val n = r.asInstanceOf[Int]
-      // Token hashes in order (split on single spaces, like split(' ')
-      // — empty tokens from doubled spaces hash the empty FNV basis,
-      // matching the empty-string tokens split() would produce).
-      val toks = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var h = 0xCBF29CE484222325L
-      var i = 0
-      while (i < bytes.length) {
-        if (bytes(i) == ' ') { toks += h; h = 0xCBF29CE484222325L }
-        else h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
-        i += 1
-      }
-      toks += h
-      val cnt = toks.length - n + 1
-      if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
-      val hs = new Array[Long](cnt)
-      i = 0
-      while (i < cnt) {
-        var acc = 0x9E3779B97F4A7C15L
-        var j = 0
-        while (j < n) { acc = acc * 0x100000001B3L ^ toks(i + j); j += 1 }
-        hs(i) = mix(acc)
-        i += 1
-      }
-      java.util.Arrays.sort(hs)
-      var out = 1
-      i = 1
-      while (i < cnt) {
-        if (hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
-        i += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(hs, out))
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      wordShingleHashesEval(l.asInstanceOf[UTF8String], r.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (s, n) =>
+        s"${ev.value} = graft.functions.VectorExprs.wordShingleHashesEval($s, $n);")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** Static eval body of [[RademacherBucket]] — called from generated
+    * code. */
+  def rademacherBucketEval(v: ArrayData): Long = {
+    val e = v
+    val n = math.min(e.numElements(), 64)
+    var bucket = 0L
+    var p = 0
+    while (p < 6) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val r = ((p * 64 + d).toLong * 2654435761L) % 4294967296L
+        val sign = if (r < 2147483648L) 1.0 else -1.0
+        acc += e.getFloat(d).toDouble * sign
+        d += 1
+      }
+      if (acc > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
   }
 
   /** 6-bit random-hyperplane LSH bucket of a float vector — the native
@@ -202,28 +247,13 @@ object VectorExprs {
     * oracle evaluates, ((p*64+d)*2654435761) mod 2^32 < 2^31, and the
     * projection accumulates in index order, so buckets are bit-equal
     * to the interpreted HOF version. */
-  case class RademacherBucket(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class RademacherBucket(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val e = v.asInstanceOf[ArrayData]
-      val n = math.min(e.numElements(), 64)
-      var bucket = 0L
-      var p = 0
-      while (p < 6) {
-        var acc = 0.0
-        var d = 0
-        while (d < n) {
-          val r = ((p * 64 + d).toLong * 2654435761L) % 4294967296L
-          val sign = if (r < 2147483648L) 1.0 else -1.0
-          acc += e.getFloat(d).toDouble * sign
-          d += 1
-        }
-        if (acc > 0) bucket |= 1L << p
-        p += 1
-      }
-      bucket
-    }
+    override def nullSafeEval(v: Any): Any =
+      rademacherBucketEval(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.rademacherBucketEval($c);")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(c)
   }
@@ -241,43 +271,11 @@ object VectorExprs {
     java.math.BigDecimal.valueOf(s)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Base for the packed-vector cosine kernels: one scan per input row
-    * over the whole broadcast-packed vector table (an array of
-    * struct(vec_id, nrm, embedding) sitting in ONE build-side row), with
-    * the dot products running in a tight JVM loop over unsafe array
-    * data. This replaces the BroadcastNestedLoopJoin-Cross plan whose
-    * cost was dominated by materializing n² joined rows (each copying
-    * two 64-float arrays), not by the arithmetic.
-    *
-    * NaN semantics: pairs with a non-finite similarity (zero-norm or
-    * NaN-containing vectors) are skipped — a deliberate choice, since
-    * Spark (NaN sorts greatest) and DuckDB disagree on NaN ordering
-    * anyway. The corpus contains no such vectors; if one ever appears,
-    * the oracle needs a matching NaN filter.
-    *
-    * Scale path: the packed side must fit in a broadcast (~1 GB / ~1 M
-    * vectors); beyond that the bucketed `llm_ann_lsh` plan is the
-    * production shape for similarity search at 100 TB.
-    */
   /** Decoded packed table: parallel primitive arrays (flat float matrix
     * + per-vector offsets) so the pair loop runs over plain JVM arrays
     * the JIT can vectorize — no per-pair wrapper allocation. */
   final class PackedTable(packed: ArrayData) {
     val n: Int = packed.numElements()
-
-    /** Cheap content check for the per-task cache: element count plus
-      * the first and last (id, nrm) entries. Identity can't be used —
-      * codegen materializes a fresh UnsafeRow (new backing buffer) per
-      * joined row — and this rejects any packed array that differs in
-      * length or boundary entries, which covers every realistic
-      * non-constant misuse of the kernel functions. */
-    def sameAs(other: ArrayData): Boolean = {
-      if (other.numElements() != n || n == 0) return other.numElements() == n && n == 0
-      val f = other.getStruct(0, 3)
-      val l = other.getStruct(n - 1, 3)
-      f.getLong(0) == ids(0) && f.getDouble(1) == norms(0) &&
-        l.getLong(0) == ids(n - 1) && l.getDouble(1) == norms(n - 1)
-    }
 
     val ids = new Array[Long](n)
     val norms = new Array[Double](n)
@@ -305,46 +303,179 @@ object VectorExprs {
       }
       f
     }
+
+    /** Full-content identity check for the per-thread cache: element
+      * count plus EVERY (id, nrm) entry — ~n comparisons per input row,
+      * a few percent of the O(n·dim) kernel scan itself. Identity can't
+      * be used (codegen materializes a fresh UnsafeRow per joined row);
+      * two packs agreeing on all (id, nrm) pairs but differing in
+      * embedding payloads would still alias, which no realistic misuse
+      * produces (a changed embedding changes its norm). */
+    def sameAs(other: ArrayData): Boolean = {
+      if (other.numElements() != n) return false
+      var i = 0
+      while (i < n) {
+        val st = other.getStruct(i, 3)
+        if (st.getLong(0) != ids(i) || st.getDouble(1) != norms(i)) return false
+        i += 1
+      }
+      true
+    }
   }
 
-  abstract class CosKernel extends Expression with CodegenFallback {
+  /** Per-thread decoded-pack cache: Catalyst assumes expressions are
+    * immutable/thread-safe, so the cache lives OUTSIDE the expression
+    * tree in a ThreadLocal — task threads each decode once per distinct
+    * pack, and driver-side or reused-instance evaluation can never race
+    * on or tear a shared reference (ADVICE r2). */
+  private val tlTable = new ThreadLocal[PackedTable]
+
+  private def tableFor(packed: ArrayData): PackedTable = {
+    var t = tlTable.get()
+    if ((t eq null) || !t.sameAs(packed)) {
+      t = new PackedTable(packed)
+      tlTable.set(t)
+    }
+    t
+  }
+
+  @inline private def ownNorm(emb: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < emb.length) { val v = emb(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  @inline private def dotWith(emb: Array[Float], flat: Array[Float],
+      base: Int, len: Int): Double = {
+    var d = 0.0
+    var t = 0
+    val m = math.min(emb.length, len)
+    while (t < m) { d += emb(t).toDouble * flat(base + t).toDouble; t += 1 }
+    d
+  }
+
+  /** Static eval body of [[CosTopK]] — called from generated code.
+    * Per-row top-k cosine partners over ALL other vectors, ordered by
+    * (rounded sim desc, partner id asc). */
+  def cosTopKEval(vecId: Long, embData: ArrayData, packed: ArrayData,
+      k: Int): ArrayData = {
+    val emb = embData.toFloatArray()
+    val p = tableFor(packed)
+    val na = ownNorm(emb)
+    val ids = new Array[Long](k)
+    val sims = new Array[Double](k)
+    var cnt = 0
+    @inline def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    var j = 0
+    while (j < p.n) {
+      val pid = p.ids(j)
+      if (pid != vecId) {
+        val raw = dotWith(emb, p.flat, p.off(j), p.off(j + 1) - p.off(j)) /
+          (na * p.norms(j))
+        // Raw-value prune: once the top-k is full, a pair whose raw
+        // sim is 1e-6 below the k-th rounded sim cannot round into it.
+        if (java.lang.Double.isFinite(raw) &&
+            (cnt < k || raw >= sims(k - 1) - 1e-6)) {
+          val s = round6(raw)
+          if (cnt < k || better(s, pid, sims(cnt - 1), ids(cnt - 1))) {
+            var pos = if (cnt < k) { cnt += 1; cnt - 1 } else k - 1
+            while (pos > 0 && better(s, pid, sims(pos - 1), ids(pos - 1))) {
+              sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+            }
+            sims(pos) = s; ids(pos) = pid
+          }
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(Array.tabulate[Any](cnt)(i =>
+      new GenericInternalRow(Array[Any](ids(i), sims(i)))))
+  }
+
+  /** Static eval body of [[CosNeighbors]] — called from generated code.
+    * All forward partners (partner id > vec id) with rounded cosine
+    * similarity ≥ threshold. */
+  def cosNbrsEval(vecId: Long, embData: ArrayData, packed: ArrayData,
+      thr: Double): ArrayData = {
+    val emb = embData.toFloatArray()
+    val p = tableFor(packed)
+    val na = ownNorm(emb)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var j = 0
+    while (j < p.n) {
+      val pid = p.ids(j)
+      if (pid > vecId) {
+        val raw = dotWith(emb, p.flat, p.off(j), p.off(j + 1) - p.off(j)) /
+          (na * p.norms(j))
+        // Same lossless prune: raw < thr − 1e-6 cannot round to ≥ thr.
+        if (java.lang.Double.isFinite(raw) && raw >= thr - 1e-6) {
+          val s = round6(raw)
+          if (s >= thr) out += new GenericInternalRow(Array[Any](pid, s))
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Base for the packed-vector cosine kernels: one scan per input row
+    * over the whole broadcast-packed vector table (an array of
+    * struct(vec_id, nrm, embedding) sitting in ONE build-side row), with
+    * the dot products running in a tight JVM loop over unsafe array
+    * data. This replaces the BroadcastNestedLoopJoin-Cross plan whose
+    * cost was dominated by materializing n² joined rows (each copying
+    * two 64-float arrays), not by the arithmetic.
+    *
+    * NaN semantics: pairs with a non-finite similarity (zero-norm or
+    * NaN-containing vectors) are skipped — a deliberate choice, since
+    * Spark (NaN sorts greatest) and DuckDB disagree on NaN ordering
+    * anyway. The corpus contains no such vectors; if one ever appears,
+    * the oracle needs a matching NaN filter.
+    *
+    * The packed child (children(2)) must be the same broadcast constant
+    * for every input row — a single-row global collect_list joined on a
+    * constant key, as the registration site documents. The per-thread
+    * cache is content-checked against every (id, nrm) entry, so a
+    * different pack always decodes fresh.
+    *
+    * Scale path: the packed side must fit in a broadcast (~1 GB / ~1 M
+    * vectors); beyond that the bucketed `llm_ann_lsh` plan is the
+    * production shape for similarity search at 100 TB.
+    */
+  abstract class CosKernel extends Expression {
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(pairStruct, containsNull = false)
     override def foldable: Boolean = false
 
-    // Decoded once per task: the packed child is the same broadcast
-    // constant for every input row by construction of these queries
-    // (a single-row global collect_list joined on a constant key).
-    // Reuse is content-checked per row via PackedTable.sameAs (length
-    // + boundary entries), so a different packed array decodes fresh.
-    @transient private var table: PackedTable = _
+    /** Name of the static helper the generated code calls. */
+    protected def staticName: String
 
-    /** (vecId, ownEmbedding, packedTable) → rows of (partnerId, sim). */
-    protected def scan(vecId: Long, emb: Array[Float], p: PackedTable): GenericArrayData
+    /** The scalar 4th argument (k or threshold) as a Java literal. */
+    protected def extraJavaLiteral: String
+
+    protected def evalWith(vecId: Long, emb: ArrayData, packed: ArrayData): Any
 
     override def eval(input: InternalRow): Any = {
       val vecId = children(0).eval(input).asInstanceOf[Long]
-      val emb = children(1).eval(input).asInstanceOf[ArrayData].toFloatArray()
+      val emb = children(1).eval(input).asInstanceOf[ArrayData]
       val packed = children(2).eval(input).asInstanceOf[ArrayData]
-      if ((table eq null) || !table.sameAs(packed))
-        table = new PackedTable(packed)
-      scan(vecId, emb, table)
+      evalWith(vecId, emb, packed)
     }
 
-    @inline protected final def ownNorm(emb: Array[Float]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < emb.length) { val v = emb(i).toDouble; s += v * v; i += 1 }
-      math.sqrt(s)
-    }
-
-    @inline protected final def dotWith(emb: Array[Float], flat: Array[Float],
-        base: Int, len: Int): Double = {
-      var d = 0.0
-      var t = 0
-      val m = math.min(emb.length, len)
-      while (t < m) { d += emb(t).toDouble * flat(base + t).toDouble; t += 1 }
-      d
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idCode = children(0).genCode(ctx)
+      val embCode = children(1).genCode(ctx)
+      val packCode = children(2).genCode(ctx)
+      val javaType = CodeGenerator.javaType(dataType)
+      ev.copy(code = code"""
+        ${idCode.code}
+        ${embCode.code}
+        ${packCode.code}
+        $javaType ${ev.value} = graft.functions.VectorExprs.$staticName(
+          ${idCode.value}, ${embCode.value}, ${packCode.value}, $extraJavaLiteral);""",
+        isNull = FalseLiteral)
     }
   }
 
@@ -360,40 +491,10 @@ object VectorExprs {
       case n: Number => n.intValue()
       case d: Decimal => d.toInt
     }
-
-    override protected def scan(vecId: Long, emb: Array[Float],
-        p: PackedTable): GenericArrayData = {
-      val na = ownNorm(emb)
-      val ids = new Array[Long](k)
-      val sims = new Array[Double](k)
-      var cnt = 0
-      @inline def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-        s1 > s2 || (s1 == s2 && i1 < i2)
-      var j = 0
-      while (j < p.n) {
-        val pid = p.ids(j)
-        if (pid != vecId) {
-          val raw = dotWith(emb, p.flat, p.off(j), p.off(j + 1) - p.off(j)) /
-            (na * p.norms(j))
-          // Raw-value prune: once the top-k is full, a pair whose raw
-          // sim is 1e-6 below the k-th rounded sim cannot round into it.
-          if (java.lang.Double.isFinite(raw) &&
-              (cnt < k || raw >= sims(k - 1) - 1e-6)) {
-            val s = round6(raw)
-            if (cnt < k || better(s, pid, sims(cnt - 1), ids(cnt - 1))) {
-              var pos = if (cnt < k) { cnt += 1; cnt - 1 } else k - 1
-              while (pos > 0 && better(s, pid, sims(pos - 1), ids(pos - 1))) {
-                sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
-              }
-              sims(pos) = s; ids(pos) = pid
-            }
-          }
-        }
-        j += 1
-      }
-      new GenericArrayData(Array.tabulate[Any](cnt)(i =>
-        new GenericInternalRow(Array[Any](ids(i), sims(i)))))
-    }
+    override protected def staticName: String = "cosTopKEval"
+    override protected def extraJavaLiteral: String = k.toString
+    override protected def evalWith(vecId: Long, emb: ArrayData,
+        packed: ArrayData): Any = cosTopKEval(vecId, emb, packed, k)
     override protected def withNewChildrenInternal(
         c: IndexedSeq[Expression]): Expression = copy(c)
   }
@@ -406,32 +507,22 @@ object VectorExprs {
       case n: Number => n.doubleValue()
       case d: Decimal => d.toDouble
     }
-
-    override protected def scan(vecId: Long, emb: Array[Float],
-        p: PackedTable): GenericArrayData = {
-      val na = ownNorm(emb)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-      var j = 0
-      while (j < p.n) {
-        val pid = p.ids(j)
-        if (pid > vecId) {
-          val raw = dotWith(emb, p.flat, p.off(j), p.off(j + 1) - p.off(j)) /
-            (na * p.norms(j))
-          // Same lossless prune: raw < thr − 1e-6 cannot round to ≥ thr.
-          if (java.lang.Double.isFinite(raw) && raw >= thr - 1e-6) {
-            val s = round6(raw)
-            if (s >= thr) out += new GenericInternalRow(Array[Any](pid, s))
-          }
-        }
-        j += 1
-      }
-      new GenericArrayData(out.toArray)
-    }
+    override protected def staticName: String = "cosNbrsEval"
+    override protected def extraJavaLiteral: String =
+      java.lang.Double.toString(thr)
+    override protected def evalWith(vecId: Long, emb: ArrayData,
+        packed: ArrayData): Any = cosNbrsEval(vecId, emb, packed, thr)
     override protected def withNewChildrenInternal(
         c: IndexedSeq[Expression]): Expression = copy(c)
   }
 
-  /** Register as SQL temp functions (idempotent, per session). */
+  /** Register as SQL temp functions (idempotent, per session).
+    *
+    * Constraint on the cosine kernels: the 3rd argument (the packed
+    * vector table) MUST be a single broadcast constant per query — the
+    * per-thread decode cache is keyed on full (id, nrm) content, so a
+    * genuinely varying pack still evaluates correctly but decodes per
+    * row (quadratic decode cost, not wrong answers). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",

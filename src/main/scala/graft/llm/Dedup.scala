@@ -129,7 +129,7 @@ object Dedup {
         "SELECT x, y, c, sa.n AS na, sb.n AS nb, c * 1.0 / (sa.n + sb.n - c) AS j " +
         "FROM common JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y " +
         "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9 ORDER BY x, y"),
-    // Exact all-pairs char-3-gram Jaccard; the banded LSH result equals
+    // Exact all-pairs char-8-gram Jaccard; the banded LSH result equals
     // it on this corpus (bimodal: planted pairs ≥0.9, background <0.8).
     "llm_ngram_jaccard" ->
       ("WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8), " +

@@ -105,17 +105,21 @@ object Joins {
 
   /** Non-equi range join over pre-aggregated daily event counts: the
     * quadratic BNLJ runs on ~30 rows per side, not 100k events —
-    * the aggregate-first shape is the 100 TB scale path. */
+    * the aggregate-first shape is the 100 TB scale path.
+    *
+    * The build side is explicitly broadcast (BroadcastNestedLoopJoin
+    * over the ~30-row aggregate) instead of the round-2 `.cache()` of
+    * the shared lineage: no cached RDD lingers after the query (the
+    * teardown test pins this), at the price of aggregating events
+    * twice — two cheap keyed scans beat a persistent cache slot that
+    * nothing releases. */
   def joinThetaRange(spark: SparkSession, sf: String): DataFrame = {
-    // The ~30-row aggregate feeds BOTH sides of the self-join; cached,
-    // events is scanned once instead of twice.
     val daily = Tables.events(spark, sf)
       .groupBy(Tables.ntz(date_trunc("day", col("ts2"))).as("d"))
       .agg(count(lit(1)).as("cnt"))
-      .cache()
     val a = daily.select(col("d").as("a_d"), col("cnt").as("a_cnt"))
     val b = daily.select(col("d").as("b_d"), col("cnt").as("b_cnt"))
-    a.join(b, col("b_d") >= col("a_d")
+    a.join(broadcast(b), col("b_d") >= col("a_d")
         && col("b_d") <= col("a_d") + expr("INTERVAL 3 DAYS"))
       .groupBy(col("a_d"))
       .agg(count(lit(1)).as("ndays"), sum(col("b_cnt")).as("cnt4"))

@@ -70,11 +70,17 @@ object Scans {
     * the training-pipeline downsampling primitive: unlike TABLESAMPLE
     * or rand()-based sampling, the selected set is a pure function of
     * the data, identical across engines, runs and cluster layouts, and
-    * the filter pushes down like any other predicate. */
+    * the filter pushes down like any other predicate.
+    *
+    * Every intermediate stays below 2^63: the key is reduced mod 2^31
+    * before the Knuth multiply (2^31 * 2654435761 < 2^63), so the
+    * arithmetic is overflow-free at ANY orderkey scale — without the
+    * reduction Spark would silently wrap where DuckDB raises, i.e. the
+    * engines would diverge exactly at 100 TB key ranges. */
   def sampleHash(spark: SparkSession, sf: String): DataFrame =
     Tables.lineitem(spark, sf)
       .filter(expr(
-        "((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 % 100 < 10"))
+        "((((l_orderkey % 2147483648) * 8 + l_linenumber) % 2147483648) * 2654435761) % 4294967296 % 100 < 10"))
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -92,7 +98,7 @@ object Scans {
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "sample_hash" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
-        "WHERE ((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 % 100 < 10 " +
+        "WHERE ((((l_orderkey % 2147483648) * 8 + l_linenumber) % 2147483648) * 2654435761) % 4294967296 % 100 < 10 " +
         "ORDER BY l_orderkey, l_linenumber"),
     "scan_schema_coerce" ->
       "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey_l, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal_dec, c_mktsegment FROM customer ORDER BY c_custkey",

@@ -38,7 +38,15 @@ object StreamDemo {
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).orderBy("hour_start", "event_type")
+    // Resolve the Dataset against the memory sink (analysis pins the
+    // sink's plan), then drop the catalog entry: repeated invocations
+    // no longer accumulate driver-resident temp views — the sink data
+    // lives only as long as the returned DataFrame (ADVICE r2). The
+    // complete-mode result itself is bounded (one row per (hour,
+    // event_type) group); the unbounded-stream shape is appendStream.
+    val df = spark.table(name).orderBy("hour_start", "event_type")
+    spark.catalog.dropTempView(name)
+    df
   }
 
   /** Watermark-driven APPEND-mode streaming aggregation: hourly counts
@@ -51,7 +59,15 @@ object StreamDemo {
     * which the oracle mirrors with a max-ts cutoff. */
   def appendStream(spark: SparkSession, sf: String): DataFrame = {
     val schema = graft.Tables.eventsRaw(spark, sf).schema
-    val name = s"graft_ev_append_${counter.incrementAndGet()}"
+    // Parquet FILE sink, not a memory sink: finalized windows stream
+    // straight to files and the result is read back as a plain parquet
+    // scan — nothing is ever resident on the driver, which is the
+    // production shape for unbounded streams (the memory sink was the
+    // one driver-resident surface left in round 2).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_append_")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
     val q = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
       // Watermarks require zoned TimestampType; identical values under
@@ -62,10 +78,11 @@ object StreamDemo {
       .agg(count(lit(1)).as("cnt"))
       .select(ntz(col("window.start")).as("hour_start"),
         col("event_type"), col("cnt"))
-      .writeStream.format("memory").queryName(name)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).orderBy("hour_start", "event_type")
+    spark.read.parquet(out).orderBy("hour_start", "event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -81,7 +98,11 @@ object StreamDemo {
       ("SELECT hour_start, event_type, cnt FROM (" +
         "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, COUNT(*) AS cnt " +
         "FROM events GROUP BY 1, 2) t " +
-        "WHERE hour_start + INTERVAL 1 HOUR <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE FROM events) " +
+        // Spark tracks watermarks in MILLISECONDS (EventTimeStats floors
+        // event times to ms), so the oracle's cutoff truncates max_ts to
+        // ms too — a max event time within 1 ms above an hour boundary
+        // would otherwise flip the last window between engines.
+        "WHERE hour_start + INTERVAL 1 HOUR <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 10 MINUTE FROM events) " +
         "ORDER BY hour_start, event_type")
   )
 }
