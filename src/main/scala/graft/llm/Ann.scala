@@ -71,38 +71,80 @@ object Ann {
       .orderBy("x", "y")
   }
 
-  /** Centroid-id offset so coarse-centroid ids can never equal a
-    * vector id inside the CosTopK kernel (which skips self-pairs). */
-  private val CentroidBase = 1000000000L
+  /** Lloyd iterations for the trained IVF quantizer (k=8 cells,
+    * [[KmeansIters]] assignment+update rounds, then a final
+    * assignment). Every step is bit-reproducible in BOTH engines:
+    *
+    *  - assignment: nearest centroid by `round(cos, 6)` with ties
+    *    broken by lowest centroid id — a broadcast join of the ≤8-row
+    *    centroid table plus a per-vector `row_number`, no collect;
+    *  - update: the centroid mean is computed over components
+    *    QUANTIZED to 1e-6 integers (`floor(v*1e6 + 0.5)` as BIGINT),
+    *    so the per-cell sum is an exact integer — independent of
+    *    partial-aggregation order, where a raw double sum would drift
+    *    in the last ulp between engines/runs. The mean back in double
+    *    (`sum / (1e6 * cnt)`) is a deterministic two-operand division.
+    *
+    * 100 TB shape: assignments are broadcast joins (the centroid table
+    * is tiny), updates are keyed shuffles on (cell, dim) then cell —
+    * all shuffle-parallel, no driver-side loop. At real scale the init
+    * would be k-means‖ sampling instead of "first k vectors", and the
+    * iteration count stays fixed — the plan shape is unchanged. */
+  private val KmeansK = 8
+  private val KmeansIters = 2
+
+  /** Rounded cosine between the double-cast embedding `ed` and a
+    * centroid `ce` — sequential index-order folds in both engines. */
+  private val simHof: String =
+    "round(aggregate(zip_with(ed, ce, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / " +
+      "(sqrt(aggregate(transform(ed, x -> x * x), cast(0 as double), (acc, v) -> acc + v)) * " +
+      "sqrt(aggregate(transform(ce, x -> x * x), cast(0 as double), (acc, v) -> acc + v))), 6)"
+
+  /** Assign every vector to its nearest centroid (ties → lowest cid). */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("sim", expr(simHof))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("ed"),
+        col("cid").as("cell"))
+
+  /** Recompute centroids as exact quantized means of their members. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("ed")).as(Seq("d", "v")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(expr("cast(floor(v * 1000000 + 0.5) as bigint)")).as("s"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, s, cnt))), " +
+        "t -> cast(t.s as double) / (1000000.0 * cast(t.cnt as double)))").as("ce"))
+      .select(col("cell").as("cid"), col("ce"))
 
   /** IVF-style approximate near-dup: the second standard ANN shape
-    * next to LSH. Coarse quantizer = the first 8 vectors (vec_id < 8,
-    * deterministic at every sf); every vector is assigned to its
-    * nearest centroid by rounded cosine (ties → lowest centroid id,
-    * exactly the CosTopK order), then the pair search runs only within
-    * cells via an equi-join on the cell id.
-    *
-    * 100 TB shape: centroids broadcast (kernel top-1 assignment, no
-    * shuffle), vectors shuffle once on cell id, per-cell pair search is
-    * cell-parallel. Real IVF trains centroids with k-means; the fixed
-    * deterministic quantizer keeps the oracle reproducible while the
-    * plan is identical. */
+    * next to LSH. The coarse quantizer is TRAINED — deterministic
+    * k-means (k=8, 2 Lloyd iterations, init = first 8 vectors), see
+    * [[assign]]/[[update]] — then the quadratic pair search runs only
+    * within cells via an equi-join on the cell id. Final pair
+    * similarities use the original float embeddings through the same
+    * proven float→double dot the exact baseline uses, so every emitted
+    * pair is also in `llm_cos_neardup`'s output (the GoldenSuite
+    * recall test pins that containment plus the achieved recall). */
   def annIvf(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, sf)
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(struct((col("vec_id") + CentroidBase).as("vec_id"),
-        sqrt(dot("embedding", "embedding")).as("nrm"), col("embedding")).as("v"))
-      .agg(collect_list(col("v")).as("cvs"))
-      .withColumn("j", lit(0))
-    val assigned = e
       .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      .select(col("vec_id"), col("embedding"), col("ed"))
+    val init = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("ed").as("ce"))
+    val trained = (1 to KmeansIters).foldLeft(init) {
+      (cents, _) => update(assign(e, cents))
+    }
+    val assigned = assign(e, trained)
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
-      .withColumn("j", lit(0))
-      .join(broadcast(centroids), "j")
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (expr("graft_cos_topk(vec_id, embedding, cvs, 1)")
-          .getItem(0).getField("y") - CentroidBase).as("cell"))
     val a = assigned.select(col("vec_id").as("x"), col("cell"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("y"), col("cell").as("cell_b"),
@@ -112,6 +154,40 @@ object Ann {
         round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= 0.45)
       .orderBy("x", "y")
+  }
+
+  /** The DuckDB mirror of the k-means pipeline, generated for the same
+    * k / iteration count: identical init, identical rounded-cosine
+    * assignment with cid tie-break (list_cosine_similarity over
+    * DOUBLE[] ≡ the index-order HOF fold — proven parity), identical
+    * integer-quantized centroid means. */
+  private def ivfOracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, embedding, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), "
+    sb ++= s"c0 AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $KmeansK), "
+    def assignCte(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, embedding, ed, cell FROM (" +
+        "SELECT e.vec_id, e.embedding, e.ed, c.cid AS cell, " +
+        "row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid ASC) AS rn " +
+        s"FROM e CROSS JOIN $cents c) t WHERE rn = 1), "
+    for (i <- 1 to KmeansIters) {
+      sb ++= assignCte(s"a$i", s"c${i - 1}")
+      sb ++= s"u$i AS (SELECT cell, d, " +
+        "SUM(CAST(floor(ed[d + 1] * 1000000 + 0.5) AS BIGINT)) AS s, COUNT(*) AS cnt " +
+        s"FROM a$i, LATERAL (SELECT unnest(range(64)) AS d) t GROUP BY cell, d), "
+      sb ++= s"c$i AS (SELECT cell AS cid, " +
+        "list(CAST(s AS DOUBLE) / (1000000.0 * CAST(cnt AS DOUBLE)) ORDER BY d) AS ce " +
+        s"FROM u$i GROUP BY cell), "
+    }
+    sb ++= assignCte("af", s"c$KmeansIters")
+    sb.setLength(sb.length - 2) // trailing ", "
+    sb ++= " SELECT x, y, cell, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.cell AS cell, " +
+      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+      "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id) t " +
+      "WHERE sim >= 0.45 ORDER BY x, y"
+    sb.toString
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -141,15 +217,6 @@ object Ann {
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
         "FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y"),
-    "llm_ann_ivf" ->
-      ("WITH c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
-        "r AS (SELECT vec_id, embedding, c_id, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(ce AS DOUBLE[])), 6) DESC, c_id ASC) AS rn " +
-        "FROM embeddings CROSS JOIN c), " +
-        "asg AS (SELECT vec_id, embedding, c_id AS cell FROM r WHERE rn = 1) " +
-        "SELECT x, y, cell, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.cell AS cell, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
-        "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t " +
-        "WHERE sim >= 0.45 ORDER BY x, y")
+    "llm_ann_ivf" -> ivfOracleSql
   )
 }

@@ -57,18 +57,13 @@ object StreamDemo {
     * the backlog, then one more batch after the watermark advances so
     * closed windows flush; the last open window(s) stay withheld,
     * which the oracle mirrors with a max-ts cutoff. */
-  def appendStream(spark: SparkSession, sf: String): DataFrame = {
+  /** The unexecuted streaming aggregation behind [[appendStream]] —
+    * exposed so PlanSuite can assert the EventTimeWatermark node is in
+    * the analyzed plan (state is actually dropped, not complete-mode
+    * retained). */
+  private[graft] def appendAgg(spark: SparkSession, sf: String): DataFrame = {
     val schema = graft.Tables.eventsRaw(spark, sf).schema
-    // Parquet FILE sink, not a memory sink: finalized windows stream
-    // straight to files and the result is read back as a plain parquet
-    // scan — nothing is ever resident on the driver, which is the
-    // production shape for unbounded streams (the memory sink was the
-    // one driver-resident surface left in round 2).
-    val dir = java.nio.file.Files.createTempDirectory("graft_ev_append_")
-    dir.toFile.deleteOnExit()
-    val out = dir.resolve("out").toString
-    val ckpt = dir.resolve("ckpt").toString
-    val q = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
       // Watermarks require zoned TimestampType; identical values under
       // the pinned UTC session, and the output re-casts to NTZ (D9).
@@ -78,6 +73,19 @@ object StreamDemo {
       .agg(count(lit(1)).as("cnt"))
       .select(ntz(col("window.start")).as("hour_start"),
         col("event_type"), col("cnt"))
+  }
+
+  def appendStream(spark: SparkSession, sf: String): DataFrame = {
+    // Parquet FILE sink, not a memory sink: finalized windows stream
+    // straight to files and the result is read back as a plain parquet
+    // scan — nothing is ever resident on the driver, which is the
+    // production shape for unbounded streams (the memory sink was the
+    // one driver-resident surface left in round 2).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_append_")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val q = appendAgg(spark, sf)
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -85,6 +85,21 @@ class GoldenSuite extends SparkTestBase {
     assert(ivf.subsetOf(exact), "IVF returned a pair the exact scan lacks")
   }
 
+  test("trained-IVF recall: >= 60% of exact near-dup pairs, all contained") {
+    // The k-means-trained quantizer must place most genuinely-near
+    // pairs in one cell. Untrained first-8 centroids recalled 7/14 at
+    // sf0.01; two Lloyd iterations lift that to 9/14. Containment is
+    // structural (same similarity arithmetic + threshold as the exact
+    // scan), recall is the trained-quantizer quality bar.
+    val exact = llm.Ann.cosNearDup(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = llm.Ann.annIvf(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact), "IVF returned a pair the exact scan lacks")
+    assert(exact.nonEmpty && ivf.size * 10 >= exact.size * 6,
+      s"trained-IVF recall ${ivf.size}/${exact.size} below 0.6")
+  }
+
   test("char-n-gram Jaccard finds the planted near-dup pairs") {
     val word = llm.Dedup.nearDedup(spark, sf01).select("x", "y").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

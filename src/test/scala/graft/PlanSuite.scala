@@ -87,17 +87,43 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("tripwire: no declared query plans a CartesianProduct") {
+  test("append-stream plan carries the watermark (state is dropped, not retained)") {
+    val p = streaming.StreamDemo.appendAgg(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(p.contains("EventTimeWatermark"),
+      "append-mode streaming agg must bound state with a watermark")
+  }
+
+  test("tripwire: no declared query plans a CartesianProduct or CollectLimit") {
     // join_cross IS the declared cartesian (two 5/25-row dims); every
     // other query must keep an equi/broadcast join shape — a regression
-    // here is a scale-killer long before it is a wrong answer. The two
-    // streaming queries are excluded: calling them EXECUTES the stream
-    // and the resulting plan is just the memory sink's table scan, so
-    // the assertion would be vacuous at real cost.
+    // here is a scale-killer long before it is a wrong answer. Same for
+    // CollectLimit: a limit that collects its whole input to one task
+    // (instead of TakeOrderedAndProject / LocalLimit+GlobalLimit over
+    // sorted partitions) is a driver funnel at scale. The two streaming
+    // queries are excluded: calling them EXECUTES the stream and the
+    // resulting plan is just the sink-side scan, so the assertion would
+    // be vacuous at real cost.
     val skip = Set("join_cross", "ev_tumbling_stream", "ev_append_stream")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!p.contains("CollectLimit"), s"$name plans a CollectLimit")
     }
+  }
+
+  test("native expressions survive strict codegen (no silent fallback)") {
+    // With codegen.fallback disabled a janino error in any generated
+    // doGenCode body is fatal instead of silently degrading the whole
+    // stage to interpreted mode — this pins that every native
+    // expression's generated code actually compiles.
+    val s = spark
+    val prev = s.conf.get("spark.sql.codegen.fallback", "true")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(llm.Dedup.ngramJaccard(s, sf).count() >= 0)
+      assert(llm.Ann.annLsh(s, sf).count() >= 0)
+      assert(llm.Similarity.knnCosine(s, sf).count() >= 0)
+    } finally s.conf.set("spark.sql.codegen.fallback", prev)
   }
 }
