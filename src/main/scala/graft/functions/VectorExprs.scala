@@ -62,6 +62,45 @@ object VectorExprs {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Sequential-order dot product of two DOUBLE arrays — the double
+    * twin of FloatDot, used where vectors are derived doubles (k-means
+    * centroids) rather than stored float32 embeddings. Same index-order
+    * summation as the aggregate(zip_with(...)) HOF fold and DuckDB's
+    * list folds, so swapping it in changes nothing bit-wise — only the
+    * ~100× interpreted-lambda overhead. */
+  case class DoubleDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   private val B = 16
   private val R = 4
   private val K = B * R
@@ -527,6 +566,8 @@ object VectorExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ddot",
+      exprs => DoubleDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => MinHashBands(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cos_topk",

@@ -94,11 +94,12 @@ object Ann {
   private val KmeansIters = 2
 
   /** Rounded cosine between the double-cast embedding `ed` and a
-    * centroid `ce` — sequential index-order folds in both engines. */
+    * centroid `ce` — sequential index-order folds in both engines, via
+    * the native DoubleDot expression (PropertySuite pins bit-equality
+    * with the interpreted aggregate/zip_with fold it replaced). */
   private val simHof: String =
-    "round(aggregate(zip_with(ed, ce, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / " +
-      "(sqrt(aggregate(transform(ed, x -> x * x), cast(0 as double), (acc, v) -> acc + v)) * " +
-      "sqrt(aggregate(transform(ce, x -> x * x), cast(0 as double), (acc, v) -> acc + v))), 6)"
+    "round(graft_ddot(ed, ce) / " +
+      "(sqrt(graft_ddot(ed, ed)) * sqrt(graft_ddot(ce, ce))), 6)"
 
   /** Assign every vector to its nearest centroid (ties → lowest cid). */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =

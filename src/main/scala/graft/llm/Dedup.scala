@@ -108,27 +108,81 @@ object Dedup {
     lshJaccard(charGrams(spark, sf), 0.9)
   }
 
+  /** Label-propagation rounds for dedupComponents. Labels travel one
+    * edge per round, so any round count >= the largest cluster's
+    * eccentricity from its minimum member converges; planted near-dup
+    * clusters here have diameter <= 2, and the oracle (true recursive
+    * reachability closure) catches any shortfall. At 100 TB scale the
+    * same iterate-until-stable loop runs with alternating
+    * large-star/small-star steps (O(log n) rounds) — the per-round
+    * plan (equi-join + min-aggregate) is unchanged. */
+  private val CcIters = 5
+
+  /** Connected components over the near-duplicate pair graph — the
+    * canonical-keeper step of a real dedup pipeline: near-dup PAIRS
+    * are not directly actionable (keeping "one of each pair" over
+    * chains a-b, b-c drops too much or too little); the component
+    * label (minimum doc_id reachable via near-dup edges) is what a
+    * keep/drop decision keys on. Min-label propagation over the
+    * symmetric edge list: every round is one equi-join plus one
+    * min-aggregate — pure keyed shuffles, no driver-side graph. */
+  def dedupComponents(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val pairs = nearDedup(spark, sf).select(col("x"), col("y"))
+    val edges = pairs.union(pairs.select(col("y"), col("x")))
+      .toDF("src", "dst")
+    var lbl = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to CcIters) {
+      val nbrMin = edges.join(lbl, col("src") === col("v"))
+        .select(col("dst").as("nv"), col("lbl").as("l2"))
+        .groupBy(col("nv")).agg(min(col("l2")).as("nl"))
+      lbl = lbl.join(nbrMin, col("v") === col("nv"), "left_outer")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+    }
+    lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dedup" -> exactDedup,
     "llm_near_dedup" -> nearDedup,
-    "llm_ngram_jaccard" -> ngramJaccard
+    "llm_ngram_jaccard" -> ngramJaccard,
+    "llm_dedup_components" -> dedupComponents
   )
+
+  /** Exact all-pairs word-3-gram Jaccard pair query (shared between
+    * the llm_near_dedup oracle and the components closure above). */
+  private val nearDupOracleSql: String =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s " +
+      "FROM toks, LATERAL (SELECT unnest(range(len(ts) - 2)) AS i) t), " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+      "common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a " +
+      "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT x, y, c, sa.n AS na, sb.n AS nb, c * 1.0 / (sa.n + sb.n - c) AS j " +
+      "FROM common JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y " +
+      "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9 ORDER BY x, y"
 
   val oracle: Map[String, String] = Map(
     "llm_exact_dedup" ->
       "SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keeper_id",
     // Exact all-pairs Jaccard — the LSH result provably equals it on
     // this corpus (see nearDedup scaladoc).
-    "llm_near_dedup" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s " +
-        "FROM toks, LATERAL (SELECT unnest(range(len(ts) - 2)) AS i) t), " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
-        "common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a " +
-        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT x, y, c, sa.n AS na, sb.n AS nb, c * 1.0 / (sa.n + sb.n - c) AS j " +
-        "FROM common JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y " +
-        "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9 ORDER BY x, y"),
+    "llm_near_dedup" -> nearDupOracleSql,
+    // Recursive-reachability closure over the same exact pair graph:
+    // MIN over each vertex's reachable set IS the converged
+    // min-propagation label, so the fixed-round Spark loop must agree
+    // or the hash check fails (i.e. the oracle also audits that
+    // CcIters covers the corpus' cluster diameter).
+    "llm_dedup_components" ->
+      (s"WITH RECURSIVE p AS (SELECT x, y FROM ($nearDupOracleSql) q), " +
+        "e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y AS a, x AS b FROM p), " +
+        "vtx AS (SELECT DISTINCT a AS v FROM e), " +
+        "r AS (SELECT v AS src, v AS dst FROM vtx " +
+        "UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a) " +
+        "SELECT src AS doc_id, MIN(dst) AS component FROM r GROUP BY src ORDER BY doc_id"),
     // Exact all-pairs char-8-gram Jaccard; the banded LSH result equals
     // it on this corpus (bimodal: planted pairs ≥0.9, background <0.8).
     "llm_ngram_jaccard" ->

@@ -50,10 +50,49 @@ object TextStats {
       .orderBy("label")
   }
 
+  /** Overflow-free portable key hash (same shape as sample_hash: the
+    * key reduced mod 2^31 before the Knuth multiply). */
+  private val keyHash =
+    "((doc_id % 2147483648) * 2654435761) % 4294967296"
+
+  /** Stratified 20% sample: EXACTLY floor(20%) of each language
+    * stratum, selected by portable key-hash order — unlike a plain
+    * hash filter, small strata are never over/under-sampled, and
+    * unlike rand() the selection is a pure function of the data. One
+    * window shuffle on the stratum key; at 100 TB the per-stratum
+    * ordering is the only per-key serial step, and strata (languages)
+    * are few and balanced enough that per-key parallel top-k (rank by
+    * hash) is the same plan Spark already picks. */
+  def stratifiedSample(spark: SparkSession, sf: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    Tables.documents(spark, sf)
+      .withColumn("h", expr(keyHash))
+      .withColumn("rn", row_number().over(w.orderBy(col("h"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("rn") * 5 <= col("cnt"))
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Text normalization — the cleaning step ahead of tokenization /
+    * dedup: lowercase, non-alphanumerics to spaces, whitespace
+    * collapsed, trimmed. POSIX-simple character classes only, so both
+    * regex engines agree byte-for-byte. Per-row work, linear scale. */
+  def normalize(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_text_stats" -> textStats,
     "llm_lang_filter" -> langFilter,
-    "llm_multimodal_join" -> multimodalJoin
+    "llm_multimodal_join" -> multimodalJoin,
+    "llm_stratified_sample" -> stratifiedSample,
+    "llm_normalize" -> normalize
   )
 
   val oracle: Map[String, String] = Map(
@@ -72,6 +111,15 @@ object TextStats {
     "llm_multimodal_join" ->
       ("SELECT label, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_cnt " +
-        "FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY label ORDER BY label")
+        "FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY label ORDER BY label"),
+    "llm_stratified_sample" ->
+      (s"SELECT lang, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, " +
+        s"row_number() OVER (PARTITION BY lang ORDER BY $keyHash, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS cnt FROM documents) t " +
+        "WHERE rn * 5 <= cnt ORDER BY lang, doc_id"),
+    "llm_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text, " +
+        "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len " +
+        "FROM documents ORDER BY doc_id")
   )
 }

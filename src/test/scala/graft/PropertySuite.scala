@@ -147,6 +147,20 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad vectors where native bucket != HOF bucket")
   }
 
+  test("native DoubleDot equals the interpreted aggregate/zip_with fold bit-for-bit") {
+    graft.functions.VectorExprs.register(spark)
+    val bad = Tables.embeddings(spark, sf)
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      .crossJoin(Tables.embeddings(spark, sf).limit(3)
+        .select(expr("transform(embedding, x -> cast(x as double))").as("ce")))
+      .select(
+        expr("graft_ddot(ed, ce)").as("native"),
+        expr("aggregate(zip_with(ed, ce, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(bad == 0, s"$bad pairs where native ddot != HOF fold")
+  }
+
   test("jaccard is symmetric-free (x < y) and bounded") {
     val pairs = llm.Dedup.nearDedup(spark, sf).collect()
     pairs.foreach { r =>
