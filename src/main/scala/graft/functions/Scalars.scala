@@ -121,6 +121,22 @@ object Scalars {
       .orderBy("event_type")
   }
 
+  /** Bitwise family: shifts, and/or/xor, popcount — all on
+    * non-negative integers so two's-complement vs arithmetic-shift
+    * differences can't bite. Spark `^` is xor; DuckDB `^` is POWER
+    * (PostgreSQL heritage), its xor is the `xor()` function — the one
+    * real dialect trap in this family. */
+  def fnBits(spark: SparkSession, sf: String): DataFrame =
+    Tables.part(spark, sf)
+      .select(col("p_partkey"),
+        expr("cast(shiftleft(p_size, 3) as bigint)").as("sl"),
+        expr("cast(shiftright(p_partkey, 2) as bigint)").as("sr"),
+        expr("cast(p_partkey & 255 as bigint)").as("band"),
+        expr("cast(p_partkey | 15 as bigint)").as("bor"),
+        expr("cast(p_partkey ^ p_size as bigint)").as("bxor"),
+        expr("cast(bit_count(p_partkey) as bigint)").as("bc"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fnString,
     "fn_editdist" -> fnEditDist,
@@ -128,10 +144,19 @@ object Scalars {
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
-    "fn_json" -> fnJson
+    "fn_json" -> fnJson,
+    "fn_bits" -> fnBits
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_bits" ->
+      ("SELECT p_partkey, CAST(p_size << 3 AS BIGINT) AS sl, " +
+        "CAST(p_partkey >> 2 AS BIGINT) AS sr, " +
+        "CAST(p_partkey & 255 AS BIGINT) AS band, " +
+        "CAST(p_partkey | 15 AS BIGINT) AS bor, " +
+        "CAST(xor(p_partkey, p_size) AS BIGINT) AS bxor, " +
+        "CAST(bit_count(p_partkey) AS BIGINT) AS bc " +
+        "FROM part ORDER BY p_partkey"),
     "fn_string" ->
       ("SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up, substring(p_name, 1, 5) AS sub5, " +
         "concat(p_brand, '_', p_type) AS cat, trim(concat(' ', p_name, ' ')) AS trm, length(p_name) AS len, " +

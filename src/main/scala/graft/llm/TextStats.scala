@@ -87,12 +87,28 @@ object TextStats {
       .withColumn("norm_len", length(col("norm_text")).cast("long"))
       .orderBy("doc_id")
 
+  /** Fixed-size token chunking with overlap (window 40 tokens, stride
+    * 30) — the context-window preparation step for training/RAG
+    * pipelines: each document explodes into its chunk rows, chunk text
+    * re-joined from the token slice. Pure per-row explode, linear
+    * scale; output volume is bounded at ~4/3 of the token count. */
+  def docChunks(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("s", explode(expr("sequence(0, size(toks) - 1, 30)")))
+      .select(col("doc_id"),
+        expr("cast(s div 30 as bigint)").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("s") + 1, lit(40))).as("chunk_text"),
+        size(slice(col("toks"), col("s") + 1, lit(40))).cast("long").as("chunk_toks"))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_text_stats" -> textStats,
     "llm_lang_filter" -> langFilter,
     "llm_multimodal_join" -> multimodalJoin,
     "llm_stratified_sample" -> stratifiedSample,
-    "llm_normalize" -> normalize
+    "llm_normalize" -> normalize,
+    "llm_doc_chunks" -> docChunks
   )
 
   val oracle: Map[String, String] = Map(
@@ -120,6 +136,16 @@ object TextStats {
     "llm_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text, " +
         "CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    // range(0, n, 30) excludes n; sequence(0, n-1, 30) includes values
+    // <= n-1 — identical start sets for n >= 1 (and string_split never
+    // returns an empty list).
+    "llm_doc_chunks" ->
+      ("SELECT doc_id, s // 30 AS chunk_idx, " +
+        "array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk_text, " +
+        "CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS chunk_toks " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d, " +
+        "LATERAL (SELECT unnest(range(0, len(ts), 30)) AS s) t " +
+        "ORDER BY doc_id, chunk_idx")
   )
 }

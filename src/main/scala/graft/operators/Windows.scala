@@ -73,11 +73,26 @@ object Windows {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** percent_rank / cume_dist over a UNIQUE order key: both are exact
+    * small-integer ratios ((rank-1)/(n-1), peers/n) whose two-operand
+    * double divisions are IEEE-identical across engines — safe doubles,
+    * unlike accumulated float sums. */
+  def winDistribution(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(asc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_topk_per_group" -> winTopkPerGroup,
     "win_rank_dense" -> winRankDense,
     "win_lag_lead" -> winLagLead,
-    "win_running_frame" -> winRunningFrame
+    "win_running_frame" -> winRunningFrame,
+    "win_distribution" -> winDistribution
   )
 
   val oracle: Map[String, String] = Map(
@@ -105,6 +120,11 @@ object Windows {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC " +
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rng_sum " +
-        "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey")
+        "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
+    "win_distribution" ->
+      ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
+        "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) " +
+        "ORDER BY c_mktsegment, c_acctbal, c_custkey")
   )
 }

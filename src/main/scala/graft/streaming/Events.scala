@@ -78,12 +78,40 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Gap-filled dense hourly series: every (hour, event_type) cell in
+    * the corpus' time range, zero where no events landed — the
+    * time-series completion step dashboards and downstream ML joins
+    * need (a missing row and a zero row are different answers).
+    * The hour spine is generated from the 1-row min/max aggregate
+    * (`sequence` + explode — no driver collect), the type dimension is
+    * broadcast, and the left join back to the hourly aggregate is a
+    * keyed shuffle. Spine size = hours × types: tiny relative to the
+    * events themselves at any scale. */
+  def evGapFill(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(spark, sf)
+    val hourly = ev
+      .groupBy(ntz(date_trunc("hour", col("ts2"))).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val hours = ev
+      .agg(ntz(date_trunc("hour", min(col("ts2")))).as("mn"),
+        ntz(date_trunc("hour", max(col("ts2")))).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+      .select(ntz(col("h")).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(hourly, Seq("h", "event_type"), "left_outer")
+      .select(col("h"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("h", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
     "ev_dedup" -> evDedup,
-    "ev_late_watermark" -> evLateWatermark
+    "ev_late_watermark" -> evLateWatermark,
+    "ev_gap_fill" -> evGapFill
   )
 
   val oracle: Map[String, String] = Map(
@@ -112,6 +140,16 @@ object Events {
       ("SELECT event_type, COUNT(*) AS cnt, MIN(t) AS first_ts, MAX(t) AS last_ts FROM " +
         "(SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events) e " +
         "WHERE t >= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAY " +
-        "GROUP BY event_type ORDER BY event_type")
+        "GROUP BY event_type ORDER BY event_type"),
+    "ev_gap_fill" ->
+      ("WITH b AS (SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS mn, " +
+        "date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS mx FROM events), " +
+        "h AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h FROM b), " +
+        "ty AS (SELECT DISTINCT event_type FROM events), " +
+        "agg AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h, event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT h.h, ty.event_type, CAST(COALESCE(agg.cnt, 0) AS BIGINT) AS cnt " +
+        "FROM h CROSS JOIN ty LEFT JOIN agg ON agg.h = h.h AND agg.event_type = ty.event_type " +
+        "ORDER BY h.h, ty.event_type")
   )
 }
