@@ -102,7 +102,35 @@ object TextStats {
         size(slice(col("toks"), col("s") + 1, lit(40))).cast("long").as("chunk_toks"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Top-5 TF-IDF terms per document — the classic salient-term
+    * extractor. tf/df/N are exact integers from two keyed
+    * aggregations; only the final score touches a transcendental
+    * (`ln(N/df)`), narrowed to FLOAT on both engines so libm ulp
+    * differences cannot reorder ranks (D8). The corpus total N is a
+    * 1-row broadcast, not a collect. Rank ties break on term text.
+    * Scale: explode + two hash aggregations + a broadcast dim join —
+    * all shuffle-parallel on (doc, term) / term keys. */
+  def tfidf(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * log(col("n").cast("double") / col("df"))).cast("float"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tfidf" -> tfidf,
     "llm_text_stats" -> textStats,
     "llm_lang_filter" -> langFilter,
     "llm_multimodal_join" -> multimodalJoin,
@@ -112,6 +140,17 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT COUNT(*) AS n FROM documents), " +
+        "s AS (SELECT doc_id, tf.term AS term, tf.tf AS tf, df.df AS df, " +
+        "CAST(tf.tf * ln(CAST(n AS DOUBLE) / df.df) AS REAL) AS score " +
+        "FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn), " +
+        "r AS (SELECT doc_id, term, tf, df, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM s) " +
+        "SELECT doc_id, rn, term, tf, df, score FROM r WHERE rn <= 5 ORDER BY doc_id, rn"),
     "llm_text_stats" ->
       ("WITH base AS (SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang, source), " +

@@ -183,7 +183,23 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Conditional/boolean aggregates: count_if, bool_or, bool_and and a
+    * filtered exact-decimal sum — the SQL FILTER-clause family. All
+    * integer/boolean/decimal-exact, no float parity surface. */
+  def aggCondAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("c_acctbal") < 0).as("neg_cnt"),
+        bool_or(col("c_acctbal") > 9000).as("has_big"),
+        bool_and(length(col("c_name")) > 0).as("all_named"),
+        sum(when(col("c_acctbal") > 5000, dec(col("c_acctbal"))))
+          .cast("double").as("rich_sum"))
+      .orderBy("c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_condagg" -> aggCondAgg,
     "agg_q1_pricing" -> aggQ1Pricing,
     "agg_having" -> aggHaving,
     "agg_distinct" -> aggDistinct,
@@ -198,6 +214,13 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_condagg" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n, " +
+        "CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS neg_cnt, " +
+        "bool_or(c_acctbal > 9000) AS has_big, " +
+        "bool_and(length(c_name) > 0) AS all_named, " +
+        "CAST(SUM(CASE WHEN c_acctbal > 5000 THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS rich_sum " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "agg_q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
