@@ -140,7 +140,8 @@ object Dedup {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_")
     dir.toFile.deleteOnExit()
     val pairsPath = dir.resolve("pairs").toString
-    nearDedup(spark, sf).select(col("x"), col("y")).write.parquet(pairsPath)
+    nearDedup(spark, sf).select(col("x"), col("y"))
+      .coalesce(1).write.parquet(pairsPath)
     val pairs = spark.read.parquet(pairsPath)
     val edges = pairs.union(pairs.select(col("y"), col("x")))
       .toDF("src", "dst")
