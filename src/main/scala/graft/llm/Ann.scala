@@ -101,14 +101,16 @@ object Ann {
     "round(graft_ddot(ed, ce) / " +
       "(sqrt(graft_ddot(ed, ed)) * sqrt(graft_ddot(ce, ce))), 6)"
 
-  /** Assign every vector to its nearest centroid (ties → lowest cid). */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+  /** Assign every vector to its `top` nearest centroids (ties →
+    * lowest cid); `top` = 1 is plain Lloyd assignment, `top` > 1 is
+    * the multi-probe query-time assignment. */
+  private def assign(vecs: DataFrame, cents: DataFrame, top: Int = 1): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("sim", expr(simHof))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= top)
       .select(col("vec_id"), col("embedding"), col("ed"),
         col("cid").as("cell"))
 
@@ -133,7 +135,9 @@ object Ann {
     * proven float→double dot the exact baseline uses, so every emitted
     * pair is also in `llm_cos_neardup`'s output (the GoldenSuite
     * recall test pins that containment plus the achieved recall). */
-  def annIvf(spark: SparkSession, sf: String): DataFrame = {
+  /** Shared k-means-trained assignment at `top` probes per vector. */
+  private def trainedAssignment(spark: SparkSession, sf: String,
+      top: Int): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, sf)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -144,8 +148,12 @@ object Ann {
     val trained = (1 to KmeansIters).foldLeft(init) {
       (cents, _) => update(assign(e, cents))
     }
-    val assigned = assign(e, trained)
+    assign(e, trained, top)
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+  }
+
+  def annIvf(spark: SparkSession, sf: String): DataFrame = {
+    val assigned = trainedAssignment(spark, sf, top = 1)
     val a = assigned.select(col("vec_id").as("x"), col("cell"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("y"), col("cell").as("cell_b"),
@@ -157,24 +165,44 @@ object Ann {
       .orderBy("x", "y")
   }
 
+  /** Multi-probe IVF (2 probes): every vector joins the pair search in
+    * its TWO nearest trained cells — the standard recall lever for IVF
+    * at scale (near-boundary vectors stop missing neighbors across the
+    * cell wall) at ~2× candidate cost, still cell-parallel with no
+    * quadratic term. A pair sharing both cells would appear twice with
+    * an identical rounded sim, so a plain distinct dedups it. */
+  def annIvfProbe(spark: SparkSession, sf: String): DataFrame = {
+    val assigned = trainedAssignment(spark, sf, top = 2)
+    val a = assigned.select(col("vec_id").as("x"), col("cell"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("y"), col("cell").as("cell_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("cell") === col("cell_b") && col("x") < col("y"))
+      .select(col("x"), col("y"),
+        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .distinct()
+      .orderBy("x", "y")
+  }
+
   /** The DuckDB mirror of the k-means pipeline, generated for the same
     * k / iteration count: identical init, identical rounded-cosine
     * assignment with cid tie-break (list_cosine_similarity over
     * DOUBLE[] ≡ the index-order HOF fold — proven parity), identical
     * integer-quantized centroid means. */
-  private def ivfOracleSql: String = {
+  private def ivfOracleSql(probes: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH e AS (SELECT vec_id, embedding, " +
       "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), "
     sb ++= s"c0 AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < $KmeansK), "
-    def assignCte(name: String, cents: String): String =
+    def assignCte(name: String, cents: String, top: Int): String =
       s"$name AS (SELECT vec_id, embedding, ed, cell FROM (" +
         "SELECT e.vec_id, e.embedding, e.ed, c.cid AS cell, " +
         "row_number() OVER (PARTITION BY e.vec_id " +
         "ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid ASC) AS rn " +
-        s"FROM e CROSS JOIN $cents c) t WHERE rn = 1), "
+        s"FROM e CROSS JOIN $cents c) t WHERE rn <= $top), "
     for (i <- 1 to KmeansIters) {
-      sb ++= assignCte(s"a$i", s"c${i - 1}")
+      sb ++= assignCte(s"a$i", s"c${i - 1}", 1)
       sb ++= s"u$i AS (SELECT cell, d, " +
         "SUM(CAST(floor(ed[d + 1] * 1000000 + 0.5) AS BIGINT)) AS s, COUNT(*) AS cnt " +
         s"FROM a$i, LATERAL (SELECT unnest(range(64)) AS d) t GROUP BY cell, d), "
@@ -182,19 +210,26 @@ object Ann {
         "list(CAST(s AS DOUBLE) / (1000000.0 * CAST(cnt AS DOUBLE)) ORDER BY d) AS ce " +
         s"FROM u$i GROUP BY cell), "
     }
-    sb ++= assignCte("af", s"c$KmeansIters")
+    sb ++= assignCte("af", s"c$KmeansIters", probes)
     sb.setLength(sb.length - 2) // trailing ", "
-    sb ++= " SELECT x, y, cell, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.cell AS cell, " +
-      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
-      "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id) t " +
-      "WHERE sim >= 0.45 ORDER BY x, y"
+    if (probes == 1)
+      sb ++= " SELECT x, y, cell, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.cell AS cell, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id) t " +
+        "WHERE sim >= 0.45 ORDER BY x, y"
+    else
+      sb ++= " SELECT x, y, sim FROM (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id) t " +
+        "WHERE sim >= 0.45 ORDER BY x, y"
     sb.toString
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_cos_neardup" -> cosNearDup,
     "llm_ann_lsh" -> annLsh,
-    "llm_ann_ivf" -> annIvf
+    "llm_ann_ivf" -> annIvf,
+    "llm_ann_ivf_probe" -> annIvfProbe
   )
 
   private val duckPlaneDot: Int => String = i =>
@@ -218,6 +253,7 @@ object Ann {
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
         "FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y"),
-    "llm_ann_ivf" -> ivfOracleSql
+    "llm_ann_ivf" -> ivfOracleSql(1),
+    "llm_ann_ivf_probe" -> ivfOracleSql(2)
   )
 }

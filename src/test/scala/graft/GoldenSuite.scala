@@ -98,6 +98,14 @@ class GoldenSuite extends SparkTestBase {
     assert(ivf.subsetOf(exact), "IVF returned a pair the exact scan lacks")
     assert(exact.nonEmpty && ivf.size * 10 >= exact.size * 6,
       s"trained-IVF recall ${ivf.size}/${exact.size} below 0.6")
+    // Multi-probe (2 cells) must dominate single-probe and reach 0.8
+    // recall: boundary vectors stop missing cross-cell neighbors.
+    val probe = llm.Ann.annIvfProbe(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe.subsetOf(exact), "probe-IVF returned a non-exact pair")
+    assert(ivf.subsetOf(probe), "probe-2 lost a probe-1 pair")
+    assert(probe.size * 10 >= exact.size * 8,
+      s"probe-IVF recall ${probe.size}/${exact.size} below 0.8")
   }
 
   test("char-n-gram Jaccard finds the planted near-dup pairs") {
