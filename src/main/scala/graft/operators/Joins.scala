@@ -174,6 +174,34 @@ object Joins {
       .orderBy("p_id")
   }
 
+  /** Salted SKEWED join — the join-side twin of agg_salted_skew: every
+    * events row carries one of only 5 event_type keys, so an unsalted
+    * shuffle join lands 20% of the fact table on each of 5 reducers no
+    * matter how many partitions exist. Salting replicates each dim row
+    * across `S` salt values and gives each fact row a deterministic
+    * hash salt, turning 5 hot keys into 5×S uniform cells. The dim is
+    * hinted shuffle-hash (broadcast would hide the skew problem being
+    * demonstrated — at real scale the dim that needs this is too big
+    * to broadcast). Salting is invisible in the result, which the
+    * plain-join oracle confirms. */
+  def joinSaltedSkew(spark: SparkSession, sf: String): DataFrame = {
+    val salts = 8
+    val ev = Tables.events(spark, sf)
+      .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(salts)))
+    // Derived 5-row dim with a computed attribute; a real deployment
+    // would read it from a table — the join/salting shape is the same.
+    val dim = Tables.events(spark, sf)
+      .select(col("event_type").as("t")).distinct()
+      .withColumn("t_len", length(col("t")))
+      .withColumn("_s", explode(sequence(lit(0), lit(salts - 1))))
+    ev.join(dim.hint("shuffle_hash"),
+        col("event_type") === col("t") && col("_salt") === col("_s"))
+      .groupBy(col("event_type"), col("t_len"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(Tables.dec(col("value"))).cast("double").as("sum_val"))
+      .orderBy("event_type")
+  }
+
   /** Cartesian product of the two smallest dims. */
   def joinCross(spark: SparkSession, sf: String): DataFrame =
     Tables.region(spark, sf).select("r_name")
@@ -191,6 +219,7 @@ object Joins {
     "join_theta_range" -> joinThetaRange,
     "join_range_bucket" -> joinRangeBucket,
     "join_asof" -> joinAsof,
+    "join_salted_skew" -> joinSaltedSkew,
     "join_cross" -> joinCross
   )
 
@@ -242,6 +271,12 @@ object Joins {
         "ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) t " +
         "WHERE rn = 1 ORDER BY p_id"),
     "join_cross" ->
-      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    // Salting is invisible in the result: the oracle is the plain
+    // join/aggregate over the same derived dim attribute.
+    "join_salted_skew" ->
+      ("SELECT event_type, CAST(length(event_type) AS INTEGER) AS t_len, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
   )
 }

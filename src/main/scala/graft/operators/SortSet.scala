@@ -24,8 +24,8 @@ object SortSet {
         col("c_acctbal"))
       .orderBy(asc_nulls_first("seg"), desc("c_acctbal"), asc("c_custkey"))
 
-  /** Q3-style global top-10 by revenue with mandatory tiebreak (D3). */
-  def topkLimit(spark: SparkSession, sf: String): DataFrame = {
+  /** Shared Q3-style revenue aggregate (ordering applied by callers). */
+  private def q3Revenue(spark: SparkSession, sf: String): DataFrame = {
     val c = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, sf)
     val l = Tables.lineitem(spark, sf)
@@ -35,9 +35,22 @@ object SortSet {
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
         .cast("double").as("revenue"))
+  }
+
+  /** Q3-style global top-10 by revenue with mandatory tiebreak (D3). */
+  def topkLimit(spark: SparkSession, sf: String): DataFrame =
+    q3Revenue(spark, sf)
       .orderBy(desc("revenue"), asc("o_orderkey"))
       .limit(10)
-  }
+
+  /** Pagination: page 2 of the same ordering (rows 6–15 by revenue,
+    * unique tiebreak so pages are stable). OFFSET+LIMIT keeps every
+    * partition bounded at offset+limit rows before the final trim, so
+    * the driver-side surface stays as bounded as topk_limit's. */
+  def topkOffset(spark: SparkSession, sf: String): DataFrame =
+    q3Revenue(spark, sf)
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .offset(5).limit(10)
 
   private def custSide(spark: SparkSession, sf: String): DataFrame =
     Tables.customer(spark, sf)
@@ -84,6 +97,7 @@ object SortSet {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_multi" -> sortMulti,
     "topk_limit" -> topkLimit,
+    "topk_offset" -> topkOffset,
     "set_union_all" -> setUnionAll,
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
@@ -102,6 +116,13 @@ object SortSet {
         "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"),
+    "topk_offset" ->
+      ("SELECT o_orderkey, o_orderdate, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey ASC LIMIT 10 OFFSET 5"),
     "set_union_all" ->
       ("SELECT * FROM (SELECT c_custkey AS k, 'cust' AS src FROM customer WHERE c_mktsegment = 'AUTOMOBILE' " +
         "UNION ALL SELECT o_custkey AS k, 'ord' AS src FROM orders WHERE o_orderstatus = 'F' AND o_custkey < 100) t " +
