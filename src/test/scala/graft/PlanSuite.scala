@@ -87,6 +87,14 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("salted skew join is a shuffled-hash join, not broadcast") {
+    // Broadcasting the 5-row dim would make the salt demonstration
+    // vacuous — the query pins the shuffle path it exists to fix.
+    val p = plan(operators.Joins.joinSaltedSkew(spark, sf))
+    assert(p.contains("ShuffledHashJoin"),
+      "salted join must keep the shuffled-hash path")
+  }
+
   test("append-stream plan carries the watermark (state is dropped, not retained)") {
     val p = streaming.StreamDemo.appendAgg(spark, sf)
       .queryExecution.analyzed.toString

@@ -161,6 +161,33 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad pairs where native ddot != HOF fold")
   }
 
+  test("doc chunks cover every token and respect the window bound") {
+    val chunks = llm.TextStats.docChunks(spark, sf).collect()
+    val docTokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docTokens.keySet, "every doc must chunk")
+    byDoc.foreach { case (doc, cs) =>
+      val n = docTokens(doc)
+      cs.foreach(c => assert(c.getLong(3) <= 40, "chunk exceeds window"))
+      // stride-30 starts cover [0, n): last start <= n-1, window 40 > stride.
+      assert(cs.length == (n + 29) / 30, s"doc $doc chunk count off")
+      assert(cs.map(_.getLong(3)).sum >= n,
+        s"doc $doc chunks cover fewer than n tokens (overlap makes sum >= n)")
+    }
+  }
+
+  test("dedup components: labels are cluster minima and members of their cluster") {
+    val comp = llm.Dedup.dedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byLabel = comp.groupBy(_._2)
+    comp.foreach { case (v, l) => assert(l <= v, "label must be a minimum") }
+    byLabel.foreach { case (l, members) =>
+      assert(members.exists(_._1 == l), s"label $l not a member of its cluster")
+    }
+  }
+
   test("jaccard is symmetric-free (x < y) and bounded") {
     val pairs = llm.Dedup.nearDedup(spark, sf).collect()
     pairs.foreach { r =>
