@@ -146,6 +146,40 @@ object VectorExprs {
     new GenericArrayData(bands)
   }
 
+  /** Static eval body of [[MinHashSlots]] — the raw K=64 MinHash slot
+    * values (min over seed-mixed hashes), for sketch-based Jaccard
+    * ESTIMATION (fraction of matching slots); [[MinHashBands]] is the
+    * banded form used for candidate generation. */
+  def minHashSlotsEval(v: ArrayData): ArrayData = {
+    val hs = v
+    val n = hs.numElements()
+    val mins = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < K) {
+        val m = mix(h ^ seeds(k))
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Raw K=64 MinHash slots of a hashed shingle set. */
+  case class MinHashSlots(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      minHashSlotsEval(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.minHashSlotsEval($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
   /** From an array of per-shingle 64-bit hashes, compute the K=64
     * MinHash slots (min over seed-mixed hashes) and collapse them into
     * B=16 band hashes of R=4 adjacent slots — one pass over the
@@ -570,6 +604,8 @@ object VectorExprs {
       exprs => DoubleDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => MinHashBands(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_slots",
+      exprs => MinHashSlots(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cos_topk",
       exprs => CosTopK(exprs), "built-in")
     reg.createOrReplaceTempFunction("graft_cos_nbrs",

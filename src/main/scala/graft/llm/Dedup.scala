@@ -158,11 +158,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MinHash Jaccard ESTIMATION with an accuracy contract — the
+    * sketch-side answer dedup uses at scale when exact set
+    * intersection is too expensive: est(J) = fraction of matching
+    * MinHash slots (K=64, σ ≈ 0.06 at J=0.9). The splitmix-style slot
+    * arithmetic wraps mod 2^64, which DuckDB integer ops refuse
+    * (overflow errors), so the oracle scores it the way
+    * agg_approx_distinct is scored: exact J plus a boolean contract
+    * |est − J| ≤ 0.25 that the oracle asserts as literal TRUE — a
+    * drifting estimator hash-fails the round. */
+  def minhashEst(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val hashed = Tables.documents(spark, sf)
+      .withColumn("hs", expr("graft_wordshingle_hashes(text, 3)"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"),
+        expr("graft_minhash_slots(hs)").as("sl"))
+    val bands = hashed
+      .select(col("doc_id"),
+        posexplode(expr("graft_minhash_bands(hs)"))
+          .as(Seq("band_idx", "band_hash")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct()
+    val l = hashed.select(col("doc_id").as("x"), col("hs").as("hsa"), col("sl").as("sla"))
+    val r = hashed.select(col("doc_id").as("y"), col("hs").as("hsb"), col("sl").as("slb"))
+    cands.join(l, "x").join(r, "y")
+      .select(col("x"), col("y"),
+        (size(array_intersect(col("hsa"), col("hsb"))) /
+          (size(col("hsa")) + size(col("hsb"))
+            - size(array_intersect(col("hsa"), col("hsb"))))).as("j"),
+        (expr("size(filter(zip_with(sla, slb, (p, q) -> p = q), v -> v))")
+          / lit(64.0)).as("est"))
+      .filter(col("j") >= 0.9)
+      .select(col("x"), col("y"), col("j"),
+        (abs(col("est") - col("j")) <= 0.25).as("est_ok"))
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dedup" -> exactDedup,
     "llm_near_dedup" -> nearDedup,
     "llm_ngram_jaccard" -> ngramJaccard,
-    "llm_dedup_components" -> dedupComponents
+    "llm_dedup_components" -> dedupComponents,
+    "llm_minhash_est" -> minhashEst
   )
 
   /** Exact all-pairs word-3-gram Jaccard pair query (shared between
@@ -189,6 +231,10 @@ object Dedup {
     // min-propagation label, so the fixed-round Spark loop must agree
     // or the hash check fails (i.e. the oracle also audits that
     // CcIters covers the corpus' cluster diameter).
+    // Accuracy-contract oracle (see minhashEst scaladoc): exact J from
+    // the same string-shingle sets, est_ok asserted TRUE.
+    "llm_minhash_est" ->
+      (s"SELECT x, y, j, TRUE AS est_ok FROM ($nearDupOracleSql) q ORDER BY x, y"),
     "llm_dedup_components" ->
       (s"WITH RECURSIVE p AS (SELECT x, y FROM ($nearDupOracleSql) q), " +
         "e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y AS a, x AS b FROM p), " +

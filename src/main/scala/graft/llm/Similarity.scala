@@ -77,9 +77,30 @@ object Similarity {
       .orderBy("label", "rn")
   }
 
+  /** Batch k-NN — the serving shape: top-3 neighbors for EACH of a set
+    * of query vectors (vec_id < 10) in one pass. The query rows ride
+    * the same packed-broadcast kernel as the full scan (each query row
+    * scans the broadcast table once, top-k per row, no n² join), so
+    * batch size scales the work linearly and the whole thing is one
+    * narrow stage. */
+  def knnBatch(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10)
+      .withColumn("j", lit(0))
+      .join(broadcast(packedVectors(spark, sf)), "j")
+      .select(col("vec_id").as("qid"),
+        posexplode(expr("graft_cos_topk(vec_id, embedding, vs, 3)"))
+          .as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+        col("p.y").as("nbr"), col("p.sim").as("sim"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_knn_cosine" -> knnCosine,
-    "llm_knn_query" -> knnQuery
+    "llm_knn_query" -> knnQuery,
+    "llm_knn_batch" -> knnBatch
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,6 +109,16 @@ object Similarity {
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "ORDER BY sim DESC, x ASC, y ASC LIMIT 10"),
+    // Kernel ordering = (rounded sim DESC, partner id ASC), matching
+    // the oracle's row_number ordering exactly.
+    "llm_knn_batch" ->
+      ("SELECT qid, rn, nbr, sim FROM (" +
+        "SELECT q.vec_id AS qid, t.vec_id AS nbr, " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) AS sim, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) DESC, t.vec_id ASC) AS rn " +
+        "FROM (SELECT * FROM embeddings WHERE vec_id < 10) q JOIN embeddings t ON t.vec_id <> q.vec_id) s " +
+        "WHERE rn <= 3 ORDER BY qid, rn"),
     "llm_knn_query" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "s AS (SELECT label, vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
