@@ -147,6 +147,28 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad vectors where native bucket != HOF bucket")
   }
 
+  test("minhash bands are exactly the FNV fold of the raw slots") {
+    // llm_near_dedup candidates (bands) and llm_minhash_est (slots)
+    // must stay two views of ONE sketch — if the expressions drift the
+    // estimate no longer describes the candidate generation.
+    graft.functions.VectorExprs.register(spark)
+    val rows = Tables.documents(spark, sf).limit(20)
+      .select(
+        expr("graft_minhash_slots(graft_wordshingle_hashes(text, 3))").as("sl"),
+        expr("graft_minhash_bands(graft_wordshingle_hashes(text, 3))").as("bd"))
+      .collect()
+    rows.foreach { r =>
+      val sl = r.getSeq[Long](0)
+      val bd = r.getSeq[Long](1)
+      val calc = (0 until 16).map { b =>
+        var acc = 0xCBF29CE484222325L
+        (0 until 4).foreach { j => acc = (acc ^ sl(b * 4 + j)) * 0x100000001B3L }
+        acc
+      }
+      assert(bd.toSeq == calc, "bands != FNV fold of slots")
+    }
+  }
+
   test("native DoubleDot equals the interpreted aggregate/zip_with fold bit-for-bit") {
     graft.functions.VectorExprs.register(spark)
     val bad = Tables.embeddings(spark, sf)
