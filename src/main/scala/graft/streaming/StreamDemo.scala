@@ -93,9 +93,40 @@ object StreamDemo {
     spark.read.parquet(out).orderBy("hour_start", "event_type")
   }
 
+  /** Stateful streaming SESSIONIZATION in append mode — the hardest
+    * genuine streaming shape here: session_window state merges
+    * overlapping sessions per (user, gap) as batches arrive, and a
+    * session is emitted (and its state dropped) only once the
+    * watermark passes its end. Same parquet-sink/read-back pattern as
+    * appendStream: nothing driver-resident. The oracle is the batch
+    * sessionization restricted to sessions closed at the final
+    * watermark (max event time floored to ms − 10 min). */
+  def sessionStream(spark: SparkSession, sf: String): DataFrame = {
+    val schema = graft.Tables.eventsRaw(spark, sf).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_sess_")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts2", "10 minutes")
+      .groupBy(session_window(col("ts2"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        ntz(col("session_window.start")).as("s_start"),
+        ntz(col("session_window.end")).as("s_end"), col("cnt"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("user_id", "s_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_stream" -> tumblingStream,
-    "ev_append_stream" -> appendStream
+    "ev_append_stream" -> appendStream,
+    "ev_session_stream" -> sessionStream
   )
 
   val oracle: Map[String, String] = Map(
@@ -111,6 +142,19 @@ object StreamDemo {
         // ms too — a max event time within 1 ms above an hour boundary
         // would otherwise flip the last window between engines.
         "WHERE hour_start + INTERVAL 1 HOUR <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 10 MINUTE FROM events) " +
-        "ORDER BY hour_start, event_type")
+        "ORDER BY hour_start, event_type"),
+    // Batch sessionization (the proven ev_session CTE) restricted to
+    // sessions the final watermark has closed: s_end (last event +
+    // gap) <= ms-floored max ts − 10 min.
+    "ev_session_stream" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "l AS (SELECT user_id, t, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+        "OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "g AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l), " +
+        "s AS (SELECT user_id, MIN(t) AS s_start, MAX(t) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS cnt " +
+        "FROM g GROUP BY user_id, sid) " +
+        "SELECT user_id, s_start, s_end, cnt FROM s " +
+        "WHERE s_end <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 10 MINUTE FROM events) " +
+        "ORDER BY user_id, s_start")
   )
 }
