@@ -89,4 +89,21 @@ object Tables {
     * date_trunc/timestamp_micros return zoned TimestampType even on NTZ
     * input; under the pinned UTC session the cast is an identity. */
   def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  /** Temp dir removed RECURSIVELY at JVM exit. `File.deleteOnExit`
+    * silently skips non-empty directories, so the parquet sink /
+    * checkpoint / superstep trees written under these would otherwise
+    * leak on disk across every run. */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir
+  }
 }

@@ -115,9 +115,16 @@ object VectorExprs {
     x
   }
 
-  /** Static eval body of [[MinHashBands]] — called from generated code. */
+  /** Static eval body of [[MinHashBands]] — called from generated
+    * code. One slot pass + the band fold. */
   def minHashBandsEval(v: ArrayData): ArrayData = {
-    val hs = v
+    val mins = slotMinima(v)
+    new GenericArrayData(foldBands(mins(_)))
+  }
+
+  /** The K=64 MinHash slot minima of a hashed shingle set — the ONE
+    * O(K·n) sketch pass everything else derives from. */
+  private def slotMinima(hs: ArrayData): Array[Long] = {
     val n = hs.numElements()
     val mins = Array.fill(K)(Long.MaxValue)
     var i = 0
@@ -131,41 +138,49 @@ object VectorExprs {
       }
       i += 1
     }
+    mins
+  }
+
+  /** FNV fold of R=4 adjacent slots into B=16 band hashes. */
+  private def foldBands(get: Int => Long): Array[Long] = {
     val bands = new Array[Long](B)
     var b = 0
     while (b < B) {
       var acc = 0xCBF29CE484222325L
       var r = 0
       while (r < R) {
-        acc = (acc ^ mins(b * R + r)) * 0x100000001B3L
+        acc = (acc ^ get(b * R + r)) * 0x100000001B3L
         r += 1
       }
       bands(b) = acc
       b += 1
     }
-    new GenericArrayData(bands)
+    bands
   }
 
   /** Static eval body of [[MinHashSlots]] — the raw K=64 MinHash slot
     * values (min over seed-mixed hashes), for sketch-based Jaccard
     * ESTIMATION (fraction of matching slots); [[MinHashBands]] is the
     * banded form used for candidate generation. */
-  def minHashSlotsEval(v: ArrayData): ArrayData = {
-    val hs = v
-    val n = hs.numElements()
-    val mins = Array.fill(K)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = hs.getLong(i)
-      var k = 0
-      while (k < K) {
-        val m = mix(h ^ seeds(k))
-        if (m < mins(k)) mins(k) = m
-        k += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+  def minHashSlotsEval(v: ArrayData): ArrayData =
+    new GenericArrayData(slotMinima(v))
+
+  /** Static eval body of [[BandsFromSlots]] — band hashes derived from
+    * an already-computed slot array, so a query needing both slots and
+    * bands (llm_minhash_est) pays the O(K·n) sketch pass ONCE. */
+  def bandsFromSlotsEval(v: ArrayData): ArrayData =
+    new GenericArrayData(foldBands(v.getLong))
+
+  /** Band hashes from precomputed MinHash slots (cheap K-element fold). */
+  case class BandsFromSlots(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      bandsFromSlotsEval(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.bandsFromSlotsEval($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
   }
 
   /** Raw K=64 MinHash slots of a hashed shingle set. */
@@ -408,6 +423,12 @@ object VectorExprs {
     if ((t eq null) || !t.sameAs(packed)) {
       t = new PackedTable(packed)
       tlTable.set(t)
+      // Bound the cache's lifetime to the task (the old per-instance
+      // cache's lifetime): without this, every long-lived task thread
+      // would pin its last decoded pack — ~decoded-broadcast-sized —
+      // for the life of the executor.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => tlTable.remove())
     }
     t
   }
@@ -606,6 +627,8 @@ object VectorExprs {
       exprs => MinHashBands(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_slots",
       exprs => MinHashSlots(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bands_from_slots",
+      exprs => BandsFromSlots(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cos_topk",
       exprs => CosTopK(exprs), "built-in")
     reg.createOrReplaceTempFunction("graft_cos_nbrs",

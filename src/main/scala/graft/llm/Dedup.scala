@@ -46,20 +46,28 @@ object Dedup {
     * with < 2^21 distinct shingles the 64-bit collision probability
     * (~5e-8) is far below any other nondeterminism budget, so counts
     * match the string-set oracle exactly. */
-  private def lshJaccard(hashed: DataFrame, thr: Double): DataFrame = {
-    // The native MinHashBands expression computes all K=64 seed-mixed
-    // minima and the B=16 band hashes in a single pass — vs K separate
-    // interpreted HOF scans.
-    val bands = hashed
+  /** Band-bucket candidate pairs (x < y) from a frame carrying a
+    * `bands` array column — the ONE candidate generator every LSH
+    * consumer shares (lshJaccard, minhashEst), so a banding change
+    * can never drift between them. */
+  private def bandCandidates(withBands: DataFrame): DataFrame = {
+    val bands = withBands
       .select(col("doc_id"),
-        posexplode(expr("graft_minhash_bands(hs)"))
-          .as(Seq("band_idx", "band_hash")))
-    val cands = bands.as("a").join(bands.as("b"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
       .distinct()
+  }
+
+  private def lshJaccard(hashed: DataFrame, thr: Double): DataFrame = {
+    // The native MinHashBands expression computes all K=64 seed-mixed
+    // minima and the B=16 band hashes in a single pass — vs K separate
+    // interpreted HOF scans.
+    val cands = bandCandidates(
+      hashed.withColumn("bands", expr("graft_minhash_bands(hs)")))
     val shx = hashed.select(col("doc_id").as("x"), col("hs").as("hsa"))
     val shy = hashed.select(col("doc_id").as("y"), col("hs").as("hsb"))
     val j = col("c") / (col("na") + col("nb") - col("c"))
@@ -133,12 +141,12 @@ object Dedup {
     graft.functions.VectorExprs.register(spark)
     // Materialize the pair list ONCE before iterating — the standard
     // Pregel/GraphX superstep-checkpoint pattern. Without the lineage
-    // cut each of the 5 rounds re-derives the whole LSH candidate
-    // pipeline and the plan grows exponentially (measured: a 24k-line
-    // physical plan and 2.2 s; with the cut, file-scan leaves and
-    // sub-second). A temp-dir parquet write, nothing driver-resident.
-    val dir = java.nio.file.Files.createTempDirectory("graft_cc_")
-    dir.toFile.deleteOnExit()
+    // cut every propagation round re-derives the whole LSH candidate
+    // pipeline and the plan grows exponentially (measured at 5 rounds:
+    // a 24k-line physical plan and 2.2 s; with the cut, file-scan
+    // leaves and sub-second). A scratch-dir parquet write, nothing
+    // driver-resident, removed recursively at JVM exit.
+    val dir = Tables.scratchDir("graft_cc_")
     val pairsPath = dir.resolve("pairs").toString
     nearDedup(spark, sf).select(col("x"), col("y"))
       .coalesce(1).write.parquet(pairsPath)
@@ -169,21 +177,15 @@ object Dedup {
     * drifting estimator hash-fails the round. */
   def minhashEst(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
+    // ONE O(K·n) sketch pass: slots computed once, bands derived from
+    // them by the cheap 64-element fold (BandsFromSlots).
     val hashed = Tables.documents(spark, sf)
       .withColumn("hs", expr("graft_wordshingle_hashes(text, 3)"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"),
         expr("graft_minhash_slots(hs)").as("sl"))
-    val bands = hashed
-      .select(col("doc_id"),
-        posexplode(expr("graft_minhash_bands(hs)"))
-          .as(Seq("band_idx", "band_hash")))
-    val cands = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
-      .distinct()
+    val cands = bandCandidates(
+      hashed.withColumn("bands", expr("graft_bands_from_slots(sl)")))
     val l = hashed.select(col("doc_id").as("x"), col("hs").as("hsa"), col("sl").as("sla"))
     val r = hashed.select(col("doc_id").as("y"), col("hs").as("hsb"), col("sl").as("slb"))
     cands.join(l, "x").join(r, "y")

@@ -81,8 +81,7 @@ object StreamDemo {
     // scan — nothing is ever resident on the driver, which is the
     // production shape for unbounded streams (the memory sink was the
     // one driver-resident surface left in round 2).
-    val dir = java.nio.file.Files.createTempDirectory("graft_ev_append_")
-    dir.toFile.deleteOnExit()
+    val dir = graft.Tables.scratchDir("graft_ev_append_")
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
     val q = appendAgg(spark, sf)
@@ -103,8 +102,7 @@ object StreamDemo {
     * watermark (max event time floored to ms − 10 min). */
   def sessionStream(spark: SparkSession, sf: String): DataFrame = {
     val schema = graft.Tables.eventsRaw(spark, sf).schema
-    val dir = java.nio.file.Files.createTempDirectory("graft_ev_sess_")
-    dir.toFile.deleteOnExit()
+    val dir = graft.Tables.scratchDir("graft_ev_sess_")
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
     val q = spark.readStream.schema(schema)

@@ -108,11 +108,12 @@ class PlanSuite extends SparkTestBase {
     // here is a scale-killer long before it is a wrong answer. Same for
     // CollectLimit: a limit that collects its whole input to one task
     // (instead of TakeOrderedAndProject / LocalLimit+GlobalLimit over
-    // sorted partitions) is a driver funnel at scale. The two streaming
+    // sorted partitions) is a driver funnel at scale. The three streaming
     // queries are excluded: calling them EXECUTES the stream and the
     // resulting plan is just the sink-side scan, so the assertion would
     // be vacuous at real cost.
-    val skip = Set("join_cross", "ev_tumbling_stream", "ev_append_stream")
+    val skip = Set("join_cross",
+      "ev_tumbling_stream", "ev_append_stream", "ev_session_stream")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -129,9 +130,16 @@ class PlanSuite extends SparkTestBase {
     val prev = s.conf.get("spark.sql.codegen.fallback", "true")
     s.conf.set("spark.sql.codegen.fallback", "false")
     try {
+      // Between them these exercise EVERY native expression:
+      // CharGramHashes+MinHashBands (ngram), RademacherBucket+FloatDot
+      // (lsh), CosTopK (knn), WordShingleHashes+MinHashSlots+
+      // BandsFromSlots (est), DoubleDot (ivf), CosNeighbors (neardup).
       assert(llm.Dedup.ngramJaccard(s, sf).count() >= 0)
       assert(llm.Ann.annLsh(s, sf).count() >= 0)
       assert(llm.Similarity.knnCosine(s, sf).count() >= 0)
+      assert(llm.Dedup.minhashEst(s, sf).count() >= 0)
+      assert(llm.Ann.annIvf(s, sf).count() >= 0)
+      assert(llm.Ann.cosNearDup(s, sf).count() >= 0)
     } finally s.conf.set("spark.sql.codegen.fallback", prev)
   }
 }

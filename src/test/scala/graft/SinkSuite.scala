@@ -9,7 +9,7 @@ import java.nio.file.Files
 class SinkSuite extends SparkTestBase {
 
   test("partitioned parquet round-trips and prunes partitions on read") {
-    val dir = Files.createTempDirectory("graft_part_").toString
+    val dir = Tables.scratchDir("graft_part_").toString
     val li = Tables.lineitem(spark, sf)
     sources.Sinks.writePartitioned(li, dir, Seq("l_returnflag"))
     val back = sources.Sinks.readPartitioned(spark, dir)
