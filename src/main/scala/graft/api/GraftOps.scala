@@ -1,0 +1,166 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The public, corpus-agnostic API of the engine: every operator takes
+  * an arbitrary DataFrame plus the column names it should read, so a
+  * user can run the training-data pipeline over their own tables. The
+  * scored `SparkEntry` queries are thin bindings of these functions to
+  * the benchmark corpus — the DuckDB hash gate therefore verifies THIS
+  * code, not parallel copies.
+  *
+  * All operators preserve the repo's scale discipline: keyed shuffles
+  * and broadcasts only, no driver-side collections, no cartesian
+  * products, deterministic outputs (see SURVEY §7.4 / NOTES.md).
+  * Callers must invoke [[graft.functions.VectorExprs.register]] once
+  * per session before the sketch/vector operators (the bound queries
+  * do this themselves).
+  */
+object GraftOps {
+
+  // ------------------------------------------------------------------
+  // Text dedup
+  // ------------------------------------------------------------------
+
+  /** Exact text dedup: one row per distinct text with the minimum id
+    * as keeper and the duplicate count. One hash-shuffle on the text
+    * key with map-side partials. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_cnt"))
+      .select(md5(col(textCol)).as("h"), col("keeper_id"), col("dup_cnt"))
+      .orderBy("keeper_id")
+
+  /** Hashed word-n-gram shingle sets (`doc_id`, `hs`) — the input
+    * shape of the MinHash-LSH pipeline. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.withColumn("hs", expr(s"graft_wordshingle_hashes($textCol, $n)"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol).as("doc_id"), col("hs"))
+
+  /** Hashed character-n-gram sets (`doc_id`, `hs`). */
+  def charGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_chargram_hashes($textCol, $n)").as("hs"))
+
+  /** MinHash-LSH near-duplicate pairs over hashed shingle sets
+    * (`doc_id`, `hs`): banded candidate generation, exact-Jaccard
+    * verification on candidates only — never all-pairs. Output
+    * (x, y, c, na, nb, j) with x < y and j >= thr. */
+  def nearDupPairs(hashed: DataFrame, thr: Double): DataFrame =
+    graft.llm.Dedup.lshJaccard(hashed, thr)
+
+  /** Connected components over an undirected pair list (`x`, `y`):
+    * (vertex, component-minimum) labels — the canonical-keeper step.
+    * `rounds` must cover the cluster diameter (see llm_dedup_components
+    * notes); the edge list is superstep-checkpointed to a scratch dir. */
+  def dedupComponents(spark: SparkSession, pairs: DataFrame,
+      rounds: Int): DataFrame =
+    graft.llm.Dedup.componentsOf(spark, pairs, rounds)
+
+  // ------------------------------------------------------------------
+  // Text analysis
+  // ------------------------------------------------------------------
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+
+  /** Fixed-size token chunks with overlap (window tokens per chunk,
+    * stride tokens between starts). */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    df.withColumn("toks", split(col(textCol), " "))
+      .withColumn("s", explode(expr(s"sequence(0, size(toks) - 1, $stride)")))
+      .select(col(idCol).as("doc_id"),
+        expr(s"cast(s div $stride as bigint)").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("s") + 1, lit(window)))
+          .as("chunk_text"),
+        size(slice(col("toks"), col("s") + 1, lit(window)))
+          .cast("long").as("chunk_toks"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Top-k TF-IDF terms per document (integer tf/df/N, FLOAT-narrowed
+    * score, term-text tie-break). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * log(col("n").cast("double") / col("df"))).cast("float"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Exact floor(1/denom) sample of each stratum by portable key-hash
+    * order (pure function of the data; `idCol` must be a non-negative
+    * integral key). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      denom: Int): DataFrame = {
+    val h = s"((($idCol) % 2147483648) * 2654435761) % 4294967296"
+    val w = Window.partitionBy(stratumCol)
+    df.withColumn("h", expr(h))
+      .withColumn("rn", row_number().over(w.orderBy(col("h"), col(idCol))))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("rn") * denom <= col("cnt"))
+      .drop("h", "rn", "cnt")
+  }
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+
+  /** The packed broadcast side for the cosine kernels: the whole
+    * (id, norm, vector) table in ONE row. Broadcastable to ~1M
+    * vectors; beyond that use [[lshBuckets]]. */
+  def packVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(struct(col(idCol).cast("long").as("vec_id"),
+        sqrt(expr(s"graft_dot($vecCol, $vecCol)")).as("nrm"),
+        col(vecCol).as("embedding")).as("v"))
+      .agg(collect_list(col("v")).as("vs"))
+      .withColumn("j", lit(0))
+
+  /** Exact per-row top-k cosine partners: (x, y, sim) rows, each input
+    * row scanning the packed broadcast once — no n² materialization. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    df.withColumn("j", lit(0))
+      .join(broadcast(packVectors(df, idCol, vecCol)), "j")
+      .select(col(idCol).cast("long").as("x"),
+        explode(expr(s"graft_cos_topk($idCol, $vecCol, vs, $k)")).as("p"))
+      .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
+
+  /** Exact cosine near-duplicate pairs (x < y, sim >= thr). */
+  def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
+      thr: Double): DataFrame =
+    df.withColumn("j", lit(0))
+      .join(broadcast(packVectors(df, idCol, vecCol)), "j")
+      .select(col(idCol).cast("long").as("x"),
+        explode(expr(
+          s"graft_cos_nbrs($idCol, $vecCol, vs, cast($thr as double))")).as("p"))
+      .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
+
+  /** Random-hyperplane LSH bucket ids — the beyond-broadcast scale
+    * path: equi-join on the bucket, pair-search within buckets. */
+  def lshBuckets(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("bucket", expr(s"graft_rademacher_bucket($vecCol)"))
+}

@@ -25,14 +25,11 @@ object Ann {
     * materializing n² joined rows. */
   def cosNearDup(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    Tables.embeddings(spark, sf)
-      // One parquet file → one split; spread the kernel across cores.
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("j", lit(0))
-      .join(broadcast(Similarity.packedVectors(spark, sf)), "j")
-      .select(col("vec_id").as("x"),
-        explode(expr("graft_cos_nbrs(vec_id, embedding, vs, cast(0.45 as double))")).as("p"))
-      .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
+    // One parquet file → one split; spread the kernel across cores.
+    graft.api.GraftOps.cosineNearDup(
+        Tables.embeddings(spark, sf)
+          .repartition(spark.sparkContext.defaultParallelism),
+        "vec_id", "embedding", 0.45)
       .orderBy("x", "y")
   }
 

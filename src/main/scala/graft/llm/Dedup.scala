@@ -17,13 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact text dedup: keep min doc_id per distinct text. */
+  /** Exact text dedup: keep min doc_id per distinct text (corpus
+    * binding of [[graft.api.GraftOps.exactDedup]]). */
   def exactDedup(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_cnt"))
-      .select(md5(col("text")).as("h"), col("keeper_id"), col("dup_cnt"))
-      .orderBy("keeper_id")
+    graft.api.GraftOps.exactDedup(Tables.documents(spark, sf), "doc_id", "text")
 
   /** Distinct hashed character-8-gram set per document, via the native
     * one-pass CharGramHashes expression (no per-gram string objects).
@@ -32,9 +29,7 @@ object Dedup {
     * collisions are rare, while 3-grams put the background median at
     * 0.46 and would blow the candidate set toward n². */
   private def charGrams(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
-      .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), expr("graft_chargram_hashes(text, 8)").as("hs"))
+    graft.api.GraftOps.charGrams(Tables.documents(spark, sf), "doc_id", "text", 8)
 
   /** Shared MinHash-LSH pipeline over hashed shingle sets (doc_id,
     * hs: array<long>): per-row band signatures, band-bucket candidate
@@ -62,7 +57,7 @@ object Dedup {
       .distinct()
   }
 
-  private def lshJaccard(hashed: DataFrame, thr: Double): DataFrame = {
+  private[graft] def lshJaccard(hashed: DataFrame, thr: Double): DataFrame = {
     // The native MinHashBands expression computes all K=64 seed-mixed
     // minima and the B=16 band hashes in a single pass — vs K separate
     // interpreted HOF scans.
@@ -100,11 +95,9 @@ object Dedup {
     // Native one-pass word-3-gram shingle hashing (no shingle strings
     // materialized); counts equal the distinct string-shingle sets
     // (pinned by PropertySuite's shingle-count parity test).
-    val hashed = Tables.documents(spark, sf)
-      .withColumn("hs", expr("graft_wordshingle_hashes(text, 3)"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("hs"))
-    lshJaccard(hashed, 0.9)
+    lshJaccard(
+      graft.api.GraftOps.wordShingles(
+        Tables.documents(spark, sf), "doc_id", "text", 3), 0.9)
   }
 
   /** Character-n-gram Jaccard near-dup (n=8) — the same LSH fan-out
@@ -137,25 +130,28 @@ object Dedup {
     * keep/drop decision keys on. Min-label propagation over the
     * symmetric edge list: every round is one equi-join plus one
     * min-aggregate — pure keyed shuffles, no driver-side graph. */
-  def dedupComponents(spark: SparkSession, sf: String): DataFrame = {
-    graft.functions.VectorExprs.register(spark)
-    // Materialize the pair list ONCE before iterating — the standard
-    // Pregel/GraphX superstep-checkpoint pattern. Without the lineage
-    // cut every propagation round re-derives the whole LSH candidate
-    // pipeline and the plan grows exponentially (measured at 5 rounds:
-    // a 24k-line physical plan and 2.2 s; with the cut, file-scan
-    // leaves and sub-second). A scratch-dir parquet write, nothing
-    // driver-resident, removed recursively at JVM exit.
+  /** Components over an arbitrary undirected pair list (first two
+    * columns = the edge endpoints) — the generic engine behind
+    * [[dedupComponents]] and [[graft.api.GraftOps.dedupComponents]].
+    *
+    * Materializes the pair list ONCE before iterating — the standard
+    * Pregel/GraphX superstep-checkpoint pattern. Without the lineage
+    * cut every propagation round re-derives the whole upstream
+    * pipeline and the plan grows exponentially (measured at 5 rounds
+    * over the LSH pairs: a 24k-line physical plan and 2.2 s; with the
+    * cut, file-scan leaves and sub-second). A scratch-dir parquet
+    * write, nothing driver-resident, removed recursively at JVM exit. */
+  private[graft] def componentsOf(spark: SparkSession, pairsDf: DataFrame,
+      rounds: Int): DataFrame = {
     val dir = Tables.scratchDir("graft_cc_")
     val pairsPath = dir.resolve("pairs").toString
-    nearDedup(spark, sf).select(col("x"), col("y"))
-      .coalesce(1).write.parquet(pairsPath)
-    val pairs = spark.read.parquet(pairsPath)
+    pairsDf.coalesce(1).write.parquet(pairsPath)
+    val pairs = spark.read.parquet(pairsPath).toDF("x", "y")
     val edges = pairs.union(pairs.select(col("y"), col("x")))
       .toDF("src", "dst")
     var lbl = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    for (_ <- 1 to CcIters) {
+    for (_ <- 1 to rounds) {
       // Neighbor labels in, then keep the minimum seen per vertex —
       // one equi-join plus one keyed aggregation per round.
       val msgs = edges.join(lbl, col("src") === col("v"))
@@ -164,6 +160,12 @@ object Dedup {
     }
     lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
       .orderBy("doc_id")
+  }
+
+  def dedupComponents(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    componentsOf(spark,
+      nearDedup(spark, sf).select(col("x"), col("y")), CcIters)
   }
 
   /** MinHash Jaccard ESTIMATION with an accuracy contract — the

@@ -30,10 +30,8 @@ object Similarity {
     * key so the plan is a BroadcastHashJoin, never a nested loop. */
   private[graft] def packedVectors(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    withNorm(Tables.embeddings(spark, sf))
-      .select(struct(col("vec_id"), col("nrm"), col("embedding")).as("v"))
-      .agg(collect_list(col("v")).as("vs"))
-      .withColumn("j", lit(0))
+    graft.api.GraftOps.packVectors(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
   }
 
   /** Global top-10 cosine pairs — exact (identical to the brute-force
@@ -44,14 +42,11 @@ object Similarity {
     * materialization, no BroadcastNestedLoopJoin. */
   def knnCosine(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    Tables.embeddings(spark, sf)
-      // One parquet file → one split; spread the kernel across cores.
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("j", lit(0))
-      .join(broadcast(packedVectors(spark, sf)), "j")
-      .select(col("vec_id").as("x"),
-        explode(expr("graft_cos_topk(vec_id, embedding, vs, 10)")).as("p"))
-      .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
+    // One parquet file → one split; spread the kernel across cores.
+    graft.api.GraftOps.cosineTopK(
+        Tables.embeddings(spark, sf)
+          .repartition(spark.sparkContext.defaultParallelism),
+        "vec_id", "embedding", 10)
       .filter(col("x") < col("y"))
       .orderBy(desc("sim"), asc("x"), asc("y"))
       .limit(10)

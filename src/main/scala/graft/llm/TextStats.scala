@@ -63,29 +63,18 @@ object TextStats {
     * ordering is the only per-key serial step, and strata (languages)
     * are few and balanced enough that per-key parallel top-k (rank by
     * hash) is the same plan Spark already picks. */
-  def stratifiedSample(spark: SparkSession, sf: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    Tables.documents(spark, sf)
-      .withColumn("h", expr(keyHash))
-      .withColumn("rn", row_number().over(w.orderBy(col("h"), col("doc_id"))))
-      .withColumn("cnt", count(lit(1)).over(w))
-      .filter(col("rn") * 5 <= col("cnt"))
+  def stratifiedSample(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps
+      .stratifiedSample(Tables.documents(spark, sf), "lang", "doc_id", 5)
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy("lang", "doc_id")
-  }
 
   /** Text normalization — the cleaning step ahead of tokenization /
     * dedup: lowercase, non-alphanumerics to spaces, whitespace
     * collapsed, trimmed. POSIX-simple character classes only, so both
     * regex engines agree byte-for-byte. Per-row work, linear scale. */
   def normalize(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
-      .select(col("doc_id"),
-        trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-          " +", " ")).as("norm_text"))
-      .withColumn("norm_len", length(col("norm_text")).cast("long"))
-      .orderBy("doc_id")
+    graft.api.GraftOps.normalize(Tables.documents(spark, sf), "doc_id", "text")
 
   /** Fixed-size token chunking with overlap (window 40 tokens, stride
     * 30) — the context-window preparation step for training/RAG
@@ -93,14 +82,8 @@ object TextStats {
     * re-joined from the token slice. Pure per-row explode, linear
     * scale; output volume is bounded at ~4/3 of the token count. */
   def docChunks(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("s", explode(expr("sequence(0, size(toks) - 1, 30)")))
-      .select(col("doc_id"),
-        expr("cast(s div 30 as bigint)").as("chunk_idx"),
-        concat_ws(" ", slice(col("toks"), col("s") + 1, lit(40))).as("chunk_text"),
-        size(slice(col("toks"), col("s") + 1, lit(40))).cast("long").as("chunk_toks"))
-      .orderBy("doc_id", "chunk_idx")
+    graft.api.GraftOps.tokenChunks(Tables.documents(spark, sf),
+      "doc_id", "text", window = 40, stride = 30)
 
   /** Top-5 TF-IDF terms per document — the classic salient-term
     * extractor. tf/df/N are exact integers from two keyed
@@ -110,24 +93,9 @@ object TextStats {
     * 1-row broadcast, not a collect. Rank ties break on term text.
     * Scale: explode + two hash aggregations + a broadcast dim join —
     * all shuffle-parallel on (doc, term) / term keys. */
-  def tfidf(spark: SparkSession, sf: String): DataFrame = {
-    val d = Tables.documents(spark, sf)
-    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = d.agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-    tf.join(df, "term").crossJoin(broadcast(n))
-      .withColumn("score",
-        (col("tf") * log(col("n").cast("double") / col("df"))).cast("float"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
-      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
-        col("score"))
-      .orderBy("doc_id", "rn")
-  }
+  def tfidf(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.tfidfTopTerms(Tables.documents(spark, sf),
+      "doc_id", "text", k = 5)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_tfidf" -> tfidf,
