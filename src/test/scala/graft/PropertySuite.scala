@@ -210,6 +210,40 @@ class PropertySuite extends SparkTestBase {
     }
   }
 
+  test("GraftOps API works over non-corpus column names") {
+    // The corpus bindings all use doc_id/text/vec_id/embedding, so a
+    // bug in the API's column threading would be invisible to the
+    // oracle gate — this drives it with foreign names on synthetic
+    // rows.
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (100L, "a b c d e f g", "en"), (101L, "a b c d e f g", "en"),
+      (102L, "x y z w v u t", "de"), (103L, "p q r s", "de"),
+      (104L, "m n o", "en"), (105L, "k l", "en"),
+      (106L, "h i j", "de"), (107L, "c b a", "en"),
+      (108L, "t u v", "de"), (109L, "d e f", "en")
+    ).toDF("docno", "body", "tongue")
+    val dedup = api.GraftOps.exactDedup(docs, "docno", "body").collect()
+    assert(dedup.length == 9, "two identical bodies must collapse")
+    assert(dedup.exists(r => r.getLong(1) == 100L && r.getLong(2) == 2L))
+    val chunks = api.GraftOps.tokenChunks(docs, "docno", "body", 3, 2)
+    assert(chunks.filter(col("doc_id") === 100L).count() == 4,
+      "7 tokens at stride 2, window 3 -> starts 0,2,4,6")
+    val samp = api.GraftOps.stratifiedSample(docs, "tongue", "docno", 2)
+    val bySeg = samp.groupBy("tongue").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySeg == Map("en" -> 3L, "de" -> 2L),
+      s"floor(1/2) per stratum of 6 en / 4 de, got $bySeg")
+    val vecs = Seq(
+      (7L, Array(1.0f, 0.0f)), (8L, Array(1.0f, 0.01f)),
+      (9L, Array(0.0f, 1.0f))
+    ).toDF("vid", "emb")
+    val pairs = api.GraftOps.cosineNearDup(vecs, "vid", "emb", 0.9).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 7L
+      && pairs(0).getLong(1) == 8L, "only (7,8) are near-parallel")
+  }
+
   test("jaccard is symmetric-free (x < y) and bounded") {
     val pairs = llm.Dedup.nearDedup(spark, sf).collect()
     pairs.foreach { r =>
