@@ -80,6 +80,13 @@ object Bench {
     // Failures are excluded from the total (visible as -1 per-query).
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Truncation-proof summary LAST: the full line above is one giant
+    // JSON object and both r2/r3 driver artifacts arrived with its head
+    // (the total) cut off by tail capture. A short final line keeps the
+    // scored number inside any tail window.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * Callers must invoke [[graft.functions.VectorExprs.register]] once
   * per session before the sketch/vector operators (the bound queries
   * do this themselves).
+  *
+  * Internal helper columns are prefixed `_graft_` and dropped before
+  * returning, so inputs carrying ordinary names like `rn`, `cnt`, `h`
+  * or `j` never collide with the implementation (the `_graft_` prefix
+  * itself is reserved). PropertySuite drives every operator with
+  * deliberately colliding input columns.
   */
 object GraftOps {
 
@@ -80,13 +86,14 @@ object GraftOps {
     * stride tokens between starts). */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame =
-    df.withColumn("toks", split(col(textCol), " "))
-      .withColumn("s", explode(expr(s"sequence(0, size(toks) - 1, $stride)")))
+    df.withColumn("_graft_toks", split(col(textCol), " "))
+      .withColumn("_graft_s",
+        explode(expr(s"sequence(0, size(_graft_toks) - 1, $stride)")))
       .select(col(idCol).as("doc_id"),
-        expr(s"cast(s div $stride as bigint)").as("chunk_idx"),
-        concat_ws(" ", slice(col("toks"), col("s") + 1, lit(window)))
+        expr(s"cast(_graft_s div $stride as bigint)").as("chunk_idx"),
+        concat_ws(" ", slice(col("_graft_toks"), col("_graft_s") + 1, lit(window)))
           .as("chunk_text"),
-        size(slice(col("toks"), col("s") + 1, lit(window)))
+        size(slice(col("_graft_toks"), col("_graft_s") + 1, lit(window)))
           .cast("long").as("chunk_toks"))
       .orderBy("doc_id", "chunk_idx")
 
@@ -99,11 +106,11 @@ object GraftOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = df.agg(count(lit(1)).as("n"))
+    val n = df.agg(count(lit(1)).as("_graft_n"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
     tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("score",
-        (col("tf") * log(col("n").cast("double") / col("df"))).cast("float"))
+        (col("tf") * log(col("_graft_n").cast("double") / col("df"))).cast("float"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
@@ -118,11 +125,12 @@ object GraftOps {
       denom: Int): DataFrame = {
     val h = s"((($idCol) % 2147483648) * 2654435761) % 4294967296"
     val w = Window.partitionBy(stratumCol)
-    df.withColumn("h", expr(h))
-      .withColumn("rn", row_number().over(w.orderBy(col("h"), col(idCol))))
-      .withColumn("cnt", count(lit(1)).over(w))
-      .filter(col("rn") * denom <= col("cnt"))
-      .drop("h", "rn", "cnt")
+    df.withColumn("_graft_h", expr(h))
+      .withColumn("_graft_rn",
+        row_number().over(w.orderBy(col("_graft_h"), col(idCol))))
+      .withColumn("_graft_cnt", count(lit(1)).over(w))
+      .filter(col("_graft_rn") * denom <= col("_graft_cnt"))
+      .drop("_graft_h", "_graft_rn", "_graft_cnt")
   }
 
   // ------------------------------------------------------------------
@@ -136,31 +144,65 @@ object GraftOps {
     df.select(struct(col(idCol).cast("long").as("vec_id"),
         sqrt(expr(s"graft_dot($vecCol, $vecCol)")).as("nrm"),
         col(vecCol).as("embedding")).as("v"))
-      .agg(collect_list(col("v")).as("vs"))
-      .withColumn("j", lit(0))
+      .agg(collect_list(col("v")).as("_graft_vs"))
+      .withColumn("_graft_j", lit(0))
 
   /** Exact per-row top-k cosine partners: (x, y, sim) rows, each input
     * row scanning the packed broadcast once — no n² materialization. */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame =
-    df.withColumn("j", lit(0))
-      .join(broadcast(packVectors(df, idCol, vecCol)), "j")
+    df.withColumn("_graft_j", lit(0))
+      .join(broadcast(packVectors(df, idCol, vecCol)), "_graft_j")
       .select(col(idCol).cast("long").as("x"),
-        explode(expr(s"graft_cos_topk($idCol, $vecCol, vs, $k)")).as("p"))
+        explode(expr(s"graft_cos_topk($idCol, $vecCol, _graft_vs, $k)")).as("p"))
       .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
 
   /** Exact cosine near-duplicate pairs (x < y, sim >= thr). */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
       thr: Double): DataFrame =
-    df.withColumn("j", lit(0))
-      .join(broadcast(packVectors(df, idCol, vecCol)), "j")
+    df.withColumn("_graft_j", lit(0))
+      .join(broadcast(packVectors(df, idCol, vecCol)), "_graft_j")
       .select(col(idCol).cast("long").as("x"),
         explode(expr(
-          s"graft_cos_nbrs($idCol, $vecCol, vs, cast($thr as double))")).as("p"))
+          s"graft_cos_nbrs($idCol, $vecCol, _graft_vs, cast($thr as double))")).as("p"))
       .select(col("x"), col("p.y").as("y"), col("p.sim").as("sim"))
 
   /** Random-hyperplane LSH bucket ids — the beyond-broadcast scale
     * path: equi-join on the bucket, pair-search within buckets. */
   def lshBuckets(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("bucket", expr(s"graft_rademacher_bucket($vecCol)"))
+
+  // ------------------------------------------------------------------
+  // IVF index (fit once / assign many)
+  // ------------------------------------------------------------------
+
+  /** The k-means contract frame: (vec_id, embedding, ed). */
+  private def vecContract(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding"))
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+
+  /** Deterministic k-means fit of an IVF coarse quantizer: k centroids
+    * from `iters` Lloyd rounds over a hash-sampled init (`idCol` must
+    * be a non-negative integral key). Returns the (cid, ce) centroid
+    * table — persist it and feed [[ivfAssign]], which is the
+    * train-once / assign-many serving shape. Every step is a broadcast
+    * join or keyed shuffle; fully deterministic (see llm_ann_ivf). */
+  def ivfFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    graft.llm.Ann.kmeansFit(vecContract(df, idCol, vecCol), k, iters)
+  }
+
+  /** Assign each vector to its `probes` nearest fitted centroids
+    * (ties → lowest cid): one output row per (vector, probed cell),
+    * columns (idCol, cell). Pair search / lookup then equi-joins on
+    * `cell` — quadratic only within cells, never across the corpus. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, probes: Int): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    graft.llm.Ann.assign(vecContract(df, idCol, vecCol), centroids, probes)
+      .select(col("vec_id").as(idCol), col("cell"))
+  }
 }

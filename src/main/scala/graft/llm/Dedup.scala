@@ -145,7 +145,10 @@ object Dedup {
       rounds: Int): DataFrame = {
     val dir = Tables.scratchDir("graft_cc_")
     val pairsPath = dir.resolve("pairs").toString
-    pairsDf.coalesce(1).write.parquet(pairsPath)
+    // Natural partitioning: at 100 TB the near-dup pair list is
+    // billions of rows — a coalesce(1) here would be a single-task
+    // funnel (the read-back never needed one file).
+    pairsDf.write.parquet(pairsPath)
     val pairs = spark.read.parquet(pairsPath).toDF("x", "y")
     val edges = pairs.union(pairs.select(col("y"), col("x")))
       .toDF("src", "dst")

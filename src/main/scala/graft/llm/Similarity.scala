@@ -82,10 +82,10 @@ object Similarity {
     graft.functions.VectorExprs.register(spark)
     Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 10)
-      .withColumn("j", lit(0))
-      .join(broadcast(packedVectors(spark, sf)), "j")
+      .withColumn("_graft_j", lit(0))
+      .join(broadcast(packedVectors(spark, sf)), "_graft_j")
       .select(col("vec_id").as("qid"),
-        posexplode(expr("graft_cos_topk(vec_id, embedding, vs, 3)"))
+        posexplode(expr("graft_cos_topk(vec_id, embedding, _graft_vs, 3)"))
           .as(Seq("pos", "p")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
         col("p.y").as("nbr"), col("p.sim").as("sim"))

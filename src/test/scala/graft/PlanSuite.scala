@@ -121,6 +121,19 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("IVF pair join reads the checkpointed assignment, not the k-means lineage") {
+    // trainedAssignment materializes the fitted assignment to scratch
+    // parquet (fit-once/reuse); the pair query's plan must therefore be
+    // a self-join over plain file-scan leaves. A Window or HashAggregate
+    // node in the plan means the train lineage leaked back in — the r3
+    // defect where both self-join sides re-executed the whole k-means
+    // pipeline.
+    val p = plan(llm.Ann.annIvf(spark, sf))
+    assert(p.contains("Scan parquet"), "pair join must read the scratch parquet")
+    assert(!p.contains("Window"), "assignment window re-entered the pair plan")
+    assert(!p.contains("HashAggregate"), "k-means aggregation re-entered the pair plan")
+  }
+
   test("native expressions survive strict codegen (no silent fallback)") {
     // With codegen.fallback disabled a janino error in any generated
     // doGenCode body is fatal instead of silently degrading the whole

@@ -83,4 +83,20 @@ class QuerySuite extends SparkTestBase {
       .map(_.name).filter(_.startsWith("graft_ev_"))
     assert(leaked.isEmpty, s"leaked streaming temp views: ${leaked.toSeq}")
   }
+
+  test("scratch-dir discipline: no graft_* temp dirs leaked from past sessions") {
+    // Every scratch dir (IVF fit checkpoints, superstep edge lists,
+    // streaming sinks) registers a recursive delete-at-exit hook; dirs
+    // created by THIS JVM are still legitimately present, but anything
+    // older than the JVM's start time survived a previous session's
+    // shutdown hook — a disk leak that compounds across runs.
+    val jvmStart =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_")
+        && f.lastModified() < jvmStart)
+    assert(stale.isEmpty,
+      s"stale scratch dirs from earlier sessions: ${stale.map(_.getName).toSeq}")
+  }
 }
