@@ -21,23 +21,43 @@ object StreamDemo {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** State-store partition count for the streaming queries, sized to
+    * the state volume (~10^4 windows/sessions in this corpus) rather
+    * than the session's CPU count: every state partition pays
+    * per-microbatch store init + checkpoint delta I/O, which dominates
+    * when over-partitioned (measured at sf0.1 local[32]: 32 partitions
+    * → 2.7/2.9/1.5 s for session/append/tumbling; 8 → 1.7/1.5/1.0 s).
+    * The number of state partitions is fixed at the first run of a
+    * given checkpoint, so a cluster deployment with real state volume
+    * sets spark.sql.shuffle.partitions to match before starting — the
+    * same sizing exercise, different value. */
+  private val StateParts = "8"
+
+  private def withStateParts[T](spark: SparkSession)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StateParts)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def tumblingStream(spark: SparkSession, sf: String): DataFrame = {
     // Schema from the session-cached batch scan — no extra footer read.
     val schema = graft.Tables.eventsRaw(spark, sf).schema
     val name = s"graft_ev_stream_${counter.incrementAndGet()}"
     // FileStreamSource wants a directory; restrict the sf dir to the
     // events file via pathGlobFilter.
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts2",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(ntz(col("window.start")).as("hour_start"),
-        col("event_type"), col("cnt"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+        .withColumn("ts2",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(ntz(col("window.start")).as("hour_start"),
+          col("event_type"), col("cnt"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // Resolve the Dataset against the memory sink (analysis pins the
     // sink's plan), then drop the catalog entry: repeated invocations
     // no longer accumulate driver-resident temp views — the sink data
@@ -84,11 +104,13 @@ object StreamDemo {
     val dir = graft.Tables.scratchDir("graft_ev_append_")
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
-    val q = appendAgg(spark, sf)
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = appendAgg(spark, sf)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out).orderBy("hour_start", "event_type")
   }
 
@@ -105,19 +127,21 @@ object StreamDemo {
     val dir = graft.Tables.scratchDir("graft_ev_sess_")
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts2", "10 minutes")
-      .groupBy(session_window(col("ts2"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("user_id"),
-        ntz(col("session_window.start")).as("s_start"),
-        ntz(col("session_window.end")).as("s_end"), col("cnt"))
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts2", "10 minutes")
+        .groupBy(session_window(col("ts2"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          ntz(col("session_window.start")).as("s_start"),
+          ntz(col("session_window.end")).as("s_end"), col("cnt"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out).orderBy("user_id", "s_start")
   }
 
