@@ -1,0 +1,117 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence probe (NOTES.md): replicate the sf0.1 corpus with
+  * DISJOINT per-replica key/token/time spaces — so output cardinality
+  * scales honestly, not quadratically through cross-replica matches —
+  * and re-time the heavy pipelines at ×N data on fixed cores. A
+  * pipeline whose time grows ≤ ×N is throughput-bound with no
+  * super-linear term: the property that scales out at 1000 executors.
+  *
+  *  - documents ×50: every token gets a per-replica prefix (shingle,
+  *    term and text-hash spaces stay disjoint).
+  *  - embeddings ×10: dimensions cyclically rotated per replica (norms
+  *    and in-replica geometry preserved, cross-replica sims scatter).
+  *    IVF is probed through the public fit/assign API with k scaled
+  *    ×10 — the real 100 TB discipline is constant cell size, k ∝ n.
+  *  - events ×100: ids, users and timestamps shifted per replica
+  *    (sessions/windows never straddle replicas).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+
+    val dir = Tables.scratchDir("graft_scale_")
+    val scaled = dir.toString
+
+    def reps(n: Int): DataFrame = (0 until n).toDF("rep")
+
+    // documents ×50, token-prefixed per replica.
+    Tables.documents(spark, base).crossJoin(reps(50))
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        concat_ws(" ", expr(
+          "transform(split(text, ' '), t -> concat('r', cast(rep as string), '_', t))"))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$scaled/documents.parquet")
+
+    // embeddings ×10, dims rotated per replica.
+    Tables.embeddings(spark, base).crossJoin(reps(10))
+      .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        col("label"),
+        expr("transform(sequence(0, size(embedding) - 1), " +
+          "d -> element_at(embedding, ((d + rep) % size(embedding)) + 1))")
+          .cast("array<float>").as("embedding"))
+      .write.parquet(s"$scaled/embeddings.parquet")
+
+    // events ×100, keys/timestamps shifted; single file so the
+    // streaming reader's pathGlobFilter matches like the corpus file.
+    Tables.eventsRaw(spark, base).crossJoin(reps(100))
+      .select((col("event_id") + col("rep") * 1000000000L).as("event_id"),
+        (col("ts") + col("rep").cast("long") * 16000000000000000L).as("ts"),
+        (col("user_id") + col("rep") * 10000000L).as("user_id"),
+        col("event_type"), col("value"))
+      .repartition(1).write.parquet(s"$scaled/events_dir")
+    val part = new java.io.File(s"$scaled/events_dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$scaled/events.parquet"))
+
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.2f s ($n rows)")
+      s
+    }
+
+    // Warm once per query shape, then time base vs scaled.
+    for ((name, fn) <- Seq[(String, String => Long)](
+      "llm_tfidf" -> (d => graft.llm.TextStats.tfidf(spark, d).count()),
+      "llm_dedup_components" ->
+        (d => graft.llm.Dedup.dedupComponents(spark, d).count()),
+      "ev_session_stream" ->
+        (d => graft.streaming.StreamDemo.sessionStream(spark, d).count()))) {
+      fn(base): Unit
+      val tb = time(s"$name base")(fn(base))
+      val ts = time(s"$name x50/x100")(fn(scaled))
+      println(f"$name ratio: ${ts / tb}%.1f x")
+    }
+
+    // IVF through the public fit/assign API, k ∝ n (constant cell size).
+    def ivfPairs(d: String, k: Int): Long = {
+      val e = Tables.embeddings(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val cents = graft.api.GraftOps.ivfFit(e, "vec_id", "embedding", k, 2)
+      val asg = graft.api.GraftOps
+        .ivfAssign(e, "vec_id", "embedding", cents, 2)
+        .join(e.withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)"))),
+          "vec_id")
+      val a = asg.select(col("vec_id").as("x"), col("cell"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = asg.select(col("vec_id").as("y"), col("cell").as("cell_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("cell") === col("cell_b") && col("x") < col("y"))
+        .select(col("x"), col("y"),
+          round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6).as("sim"))
+        .filter(col("sim") >= 0.45).distinct().count()
+    }
+    ivfPairs(base, 10): Unit
+    val tb = time("ivf_api base k=10")(ivfPairs(base, 10))
+    val ts = time("ivf_api x10 k=100")(ivfPairs(scaled, 100))
+    println(f"ivf_api ratio: ${ts / tb}%.1f x (x10 data, k x10)")
+    spark.stop()
+  }
+}
