@@ -232,24 +232,56 @@ object Ann {
       .orderBy("x", "y")
   }
 
+  /** IVF-accelerated batch top-k — the at-scale serving twin of
+    * llm_knn_batch: each query vector (vec_id < 10) probes its 2
+    * nearest trained cells and ranks only the vectors ASSIGNED to
+    * those cells (top-3 by rounded cosine, id tie-break), instead of
+    * scanning the whole corpus. Candidate cost per query is ~2n/k and
+    * both the corpus assignment and the query probes come from the
+    * fit-once checkpoint, so a serving batch is one cell equi-join +
+    * one per-query window — no quadratic term, no broadcast-size cap.
+    * Each (query, target) pair arises from exactly one cell (a target
+    * has ONE assigned cell), so no dedup is needed. */
+  def annIvfTopk(spark: SparkSession, sf: String): DataFrame = {
+    val corpus = trainedAssignment(spark, sf, top = 1)
+    val probes = trainedAssignment(spark, sf, top = 2)
+      .filter(col("vec_id") < 10)
+    probes.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+      .join(corpus.select(col("vec_id").as("nbr"), col("embedding").as("te"),
+        col("nrm").as("tn"), col("cell")), "cell")
+      .filter(col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"),
+        round(dot("qe", "te") / (col("qn") * col("tn")), 6).as("sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("sim"), asc("nbr"))).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nbr"), col("sim"))
+      .orderBy("qid", "rn")
+  }
+
   /** The DuckDB mirror of the k-means pipeline, generated for the same
     * k / iteration count: identical init, identical rounded-cosine
     * assignment with cid tie-break (list_cosine_similarity over
     * DOUBLE[] ≡ the index-order HOF fold — proven parity), identical
     * integer-quantized centroid means. */
-  private def ivfOracleSql(probes: Int): String = {
+  private def assignCte(name: String, cents: String, top: Int): String =
+    s"$name AS (SELECT vec_id, embedding, ed, cell FROM (" +
+      "SELECT e.vec_id, e.embedding, e.ed, c.cid AS cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid ASC) AS rn " +
+      s"FROM e CROSS JOIN $cents c) t WHERE rn <= $top), "
+
+  /** The shared k-means lineage as a WITH-prefix: source frame,
+    * hash-sampled init (mirroring the Spark seed top-k exactly) and
+    * the Lloyd rounds, ending after CTE c$KmeansIters + ", ". */
+  private def kmeansPrefix: String = {
     val sb = new StringBuilder
     sb ++= "WITH e AS (SELECT vec_id, embedding, " +
       "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), "
-    // Init mirrors the Spark hash-sampled seed top-k exactly.
     sb ++= s"c0 AS (SELECT vec_id AS cid, ed AS ce FROM e " +
       s"ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT $KmeansK), "
-    def assignCte(name: String, cents: String, top: Int): String =
-      s"$name AS (SELECT vec_id, embedding, ed, cell FROM (" +
-        "SELECT e.vec_id, e.embedding, e.ed, c.cid AS cell, " +
-        "row_number() OVER (PARTITION BY e.vec_id " +
-        "ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid ASC) AS rn " +
-        s"FROM e CROSS JOIN $cents c) t WHERE rn <= $top), "
     for (i <- 1 to KmeansIters) {
       sb ++= assignCte(s"a$i", s"c${i - 1}", 1)
       sb ++= s"u$i AS (SELECT cell, d, " +
@@ -259,6 +291,11 @@ object Ann {
         "list(CAST(s AS DOUBLE) / (1000000.0 * CAST(cnt AS DOUBLE)) ORDER BY d) AS ce " +
         s"FROM u$i GROUP BY cell), "
     }
+    sb.toString
+  }
+
+  private def ivfOracleSql(probes: Int): String = {
+    val sb = new StringBuilder(kmeansPrefix)
     sb ++= assignCte("af", s"c$KmeansIters", probes)
     sb.setLength(sb.length - 2) // trailing ", "
     if (probes == 1)
@@ -274,11 +311,32 @@ object Ann {
     sb.toString
   }
 
+  /** Oracle for the IVF top-k serving query: same k-means lineage,
+    * corpus side at probe 1 (af1), query side at probe 2 (af2,
+    * restricted to vec_id < 10), per-query ranking over the probed
+    * cells' members. */
+  private def ivfTopkOracleSql: String = {
+    val sb = new StringBuilder(kmeansPrefix)
+    sb ++= assignCte("af1", s"c$KmeansIters", 1)
+    sb ++= assignCte("af2", s"c$KmeansIters", 2)
+    sb.setLength(sb.length - 2) // trailing ", "
+    sb ++= " SELECT qid, rn, nbr, sim FROM (" +
+      "SELECT q.vec_id AS qid, t.vec_id AS nbr, " +
+      "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) AS sim, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) DESC, t.vec_id ASC) AS rn " +
+      "FROM (SELECT * FROM af2 WHERE vec_id < 10) q " +
+      "JOIN af1 t ON t.cell = q.cell AND t.vec_id <> q.vec_id) s " +
+      "WHERE rn <= 3 ORDER BY qid, rn"
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_cos_neardup" -> cosNearDup,
     "llm_ann_lsh" -> annLsh,
     "llm_ann_ivf" -> annIvf,
-    "llm_ann_ivf_probe" -> annIvfProbe
+    "llm_ann_ivf_probe" -> annIvfProbe,
+    "llm_ann_ivf_topk" -> annIvfTopk
   )
 
   private val duckPlaneDot: Int => String = i =>
@@ -303,6 +361,7 @@ object Ann {
         "FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y"),
     "llm_ann_ivf" -> ivfOracleSql(1),
-    "llm_ann_ivf_probe" -> ivfOracleSql(2)
+    "llm_ann_ivf_probe" -> ivfOracleSql(2),
+    "llm_ann_ivf_topk" -> ivfTopkOracleSql
   )
 }

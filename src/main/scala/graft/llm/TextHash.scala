@@ -33,7 +33,7 @@ object TextHash {
   /** 62-bit SimHash (two 31-bit halves, multipliers 31/131) over the
     * token bag. Near-duplicate texts agree on almost every bit; the
     * planted near-dups land at Hamming distance 0–2. */
-  def simhash(spark: SparkSession, sf: String): DataFrame = {
+  private def simhashFrame(spark: SparkSession, sf: String): DataFrame = {
     def half(mult: Int, name: String): Column = {
       val bits = (0 until 31).map { i =>
         s"(CASE WHEN 2 * size(filter(th$mult, h -> shiftright(h, $i) % 2 = 1)) >= size(th$mult) THEN ${1L << i} ELSE 0 END)"
@@ -48,7 +48,41 @@ object TextHash {
       .select(col("doc_id"),
         half(31, "sh_lo").cast("long").as("sh_lo"),
         half(131, "sh_hi").cast("long").as("sh_hi"))
-      .orderBy("doc_id")
+  }
+
+  def simhash(spark: SparkSession, sf: String): DataFrame =
+    simhashFrame(spark, sf).orderBy("doc_id")
+
+  /** SimHash near-dup pairs at Hamming distance ≤ 3 over the 62-bit
+    * fingerprint — the third standard text near-dup shape next to
+    * MinHash-LSH and embedding cosine: one 62-bit sketch per document,
+    * pair verification is two XOR+popcounts of integer arithmetic.
+    *
+    * Candidate generation is EXACT by pigeonhole: the fingerprint is
+    * split into 4 bands (16+15 bits per half), and any pair within
+    * Hamming 3 differs in at most 3 bands, so it shares at least one
+    * band verbatim — the band equi-join can never miss a qualifying
+    * pair. Quadratic work only within band buckets, never across the
+    * corpus; both hash and verification are integer-exact in both
+    * engines, so the banded result equals the all-pairs oracle
+    * row-for-row. */
+  def simhashNearDup(spark: SparkSession, sf: String): DataFrame = {
+    val sh = simhashFrame(spark, sf)
+    val bands = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      posexplode(array(
+        expr("sh_lo % 65536"), expr("sh_lo div 65536"),
+        expr("sh_hi % 65536"), expr("sh_hi div 65536")))
+        .as(Seq("b_idx", "b_val")))
+    bands.as("a").join(bands.as("b"),
+        col("a.b_idx") === col("b.b_idx")
+          && col("a.b_val") === col("b.b_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        (expr("bit_count(a.sh_lo ^ b.sh_lo)")
+          + expr("bit_count(a.sh_hi ^ b.sh_hi)")).cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= 3)
+      .orderBy("x", "y")
   }
 
   /** Token counting three ways: whitespace, BPE-ish regex chunks,
@@ -80,6 +114,7 @@ object TextHash {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_fingerprint" -> fingerprint,
     "llm_simhash" -> simhash,
+    "llm_simhash_neardup" -> simhashNearDup,
     "llm_token_count" -> tokenCount,
     "llm_quality_score" -> qualityScore
   )
@@ -103,6 +138,16 @@ object TextHash {
         s"(SELECT doc_id, list_transform(string_split(text, ' '), t -> ${duckRoll("t", 31)}) AS th31, " +
         s"list_transform(string_split(text, ' '), t -> ${duckRoll("t", 131)}) AS th131 FROM documents) t " +
         "ORDER BY doc_id"),
+    // Exact all-pairs Hamming over the same fingerprints; the banded
+    // Spark plan equals it by the pigeonhole argument (see scaladoc).
+    "llm_simhash_neardup" ->
+      (s"WITH sh AS (SELECT doc_id, CAST(${duckHalf(31)} AS BIGINT) AS sh_lo, CAST(${duckHalf(131)} AS BIGINT) AS sh_hi FROM " +
+        s"(SELECT doc_id, list_transform(string_split(text, ' '), t -> ${duckRoll("t", 31)}) AS th31, " +
+        s"list_transform(string_split(text, ' '), t -> ${duckRoll("t", 131)}) AS th131 FROM documents) t) " +
+        "SELECT x, y, ham FROM (SELECT a.doc_id AS x, b.doc_id AS y, " +
+        "CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS ham " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p " +
+        "WHERE ham <= 3 ORDER BY x, y"),
     "llm_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe_ish, " +

@@ -109,6 +109,43 @@ class GoldenSuite extends SparkTestBase {
       s"probe-IVF recall ${probe.size}/${exact.size} below 0.8")
   }
 
+  test("simhash near-dup captures >= 80% of the planted J>=0.9 pairs") {
+    // SimHash is a coarser sketch than MinHash: at Hamming <= 3 it
+    // captures 23/25 of the planted word-shingle pairs at sf0.01 (two
+    // planted pairs land at distance 4+) plus token-bag collisions the
+    // Jaccard pipeline doesn't flag — both expected behaviors of the
+    // fingerprint. The oracle pins exactness; this pins usefulness.
+    val planted = llm.Dedup.nearDedup(spark, sf01).select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = llm.TextHash.simhashNearDup(spark, sf01).collect()
+    rows.foreach(r => assert(r.getLong(2) <= 3, "pair beyond the Hamming bound"))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((planted & pairs).size * 10 >= planted.size * 8,
+      s"simhash captured ${(planted & pairs).size}/${planted.size} planted pairs")
+  }
+
+  test("IVF top-k serving: candidate-subset sims, recall >= 1/3 of exact") {
+    // Per (query, rank) the IVF sim can never exceed the exact sim
+    // (candidates are a subset of the corpus), and on this
+    // near-uniform corpus 2-probe top-3 recall measures 12/30 — true
+    // top-k neighbors of a random vector scatter across cells, which
+    // is exactly why probe count is the serving-time recall knob.
+    val exact = llm.Similarity.knnBatch(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val ivf = llm.Ann.annIvfTopk(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.length == 30, s"expected 10 queries x top-3, got ${ivf.length}")
+    ivf.foreach { case (qid, rn, _, sim) =>
+      assert(sim <= exact((qid, rn))._2 + 1e-9,
+        s"IVF sim beats exact at (qid=$qid, rn=$rn)")
+    }
+    val hit = ivf.count { case (qid, rn, nbr, _) =>
+      exact.exists { case ((q, _), (n, _)) => q == qid && n == nbr } }
+    assert(hit * 3 >= ivf.length,
+      s"IVF top-k recall $hit/${ivf.length} below 1/3")
+  }
+
   test("char-n-gram Jaccard finds the planted near-dup pairs") {
     val word = llm.Dedup.nearDedup(spark, sf01).select("x", "y").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
