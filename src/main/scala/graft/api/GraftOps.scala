@@ -39,6 +39,68 @@ object GraftOps {
       .select(md5(col(textCol)).as("h"), col("keeper_id"), col("dup_cnt"))
       .orderBy("keeper_id")
 
+  /** Rolling 31-bit polynomial hash of a string SQL expression —
+    * engine-portable (plain integer arithmetic; xxhash64 is
+    * Spark-only). */
+  private def rollHash(sqlStr: String, mult: Int): String =
+    s"aggregate(transform(split($sqlStr, ''), c -> cast(ascii(c) as bigint)), " +
+      s"cast(0 as bigint), (a, b) -> (a * $mult + b) % 2147483647)"
+
+  /** Whole-text rolling-hash fingerprint dedup groups:
+    * (fp, keeper_id, cnt), keeper = min id per fingerprint. */
+  def fingerprintDedup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), expr(rollHash(textCol, 31)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("cnt"))
+      .orderBy("keeper_id")
+
+  /** 62-bit SimHash fingerprint (two 31-bit halves, multipliers
+    * 31/131) over the token bag: (doc_id, sh_lo, sh_hi). Near-dup
+    * texts agree on almost every bit. Per-row HOF work — linear. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def half(mult: Int, name: String): Column = {
+      val bits = (0 until 31).map { i =>
+        s"(CASE WHEN 2 * size(filter(_graft_th$mult, h -> shiftright(h, $i) % 2 = 1)) >= size(_graft_th$mult) THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      expr(bits).as(name)
+    }
+    df.withColumn("_graft_th31",
+        expr(s"transform(split($textCol, ' '), t -> ${rollHash("t", 31)})"))
+      .withColumn("_graft_th131",
+        expr(s"transform(split($textCol, ' '), t -> ${rollHash("t", 131)})"))
+      .select(col(idCol).as("doc_id"),
+        half(31, "sh_lo").cast("long").as("sh_lo"),
+        half(131, "sh_hi").cast("long").as("sh_hi"))
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ 3:
+    * (x, y, ham) with x < y. Banded-EXACT by pigeonhole: the 62-bit
+    * fingerprint splits into 4 bands (16+15 per half), a pair within
+    * Hamming 3 differs in at most 3 bands and so shares one verbatim —
+    * the band equi-join can never miss a qualifying pair. Quadratic
+    * work only inside band buckets; verification is two XOR+popcounts
+    * of integer arithmetic. */
+  def simhashNearDup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val bands = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      posexplode(array(
+        expr("sh_lo % 65536"), expr("sh_lo div 65536"),
+        expr("sh_hi % 65536"), expr("sh_hi div 65536")))
+        .as(Seq("b_idx", "b_val")))
+    bands.as("a").join(bands.as("b"),
+        col("a.b_idx") === col("b.b_idx")
+          && col("a.b_val") === col("b.b_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        (expr("bit_count(a.sh_lo ^ b.sh_lo)")
+          + expr("bit_count(a.sh_hi ^ b.sh_hi)")).cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= 3)
+      .orderBy("x", "y")
+  }
+
   /** Hashed word-n-gram shingle sets (`doc_id`, `hs`) — the input
     * shape of the MinHash-LSH pipeline. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String,

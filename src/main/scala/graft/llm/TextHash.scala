@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document fingerprinting, SimHash, token counting and quality
@@ -17,73 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object TextHash {
 
-  /** Rolling 31-bit polynomial hash of a string expression (SQL). */
-  private def rollHash(sqlStr: String, mult: Int): String =
-    s"aggregate(transform(split($sqlStr, ''), c -> cast(ascii(c) as bigint)), " +
-      s"cast(0 as bigint), (a, b) -> (a * $mult + b) % 2147483647)"
-
-  /** Whole-text fingerprint → dedup groups (fingerprint dedup). */
+  /** Whole-text fingerprint → dedup groups (corpus binding of
+    * [[graft.api.GraftOps.fingerprintDedup]]). */
   def fingerprint(spark: SparkSession, sf: String): DataFrame =
-    Tables.documents(spark, sf)
-      .select(col("doc_id"), expr(rollHash("text", 31)).as("fp"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("cnt"))
-      .orderBy("keeper_id")
+    graft.api.GraftOps.fingerprintDedup(
+      Tables.documents(spark, sf), "doc_id", "text")
 
-  /** 62-bit SimHash (two 31-bit halves, multipliers 31/131) over the
-    * token bag. Near-duplicate texts agree on almost every bit; the
-    * planted near-dups land at Hamming distance 0–2. */
-  private def simhashFrame(spark: SparkSession, sf: String): DataFrame = {
-    def half(mult: Int, name: String): Column = {
-      val bits = (0 until 31).map { i =>
-        s"(CASE WHEN 2 * size(filter(th$mult, h -> shiftright(h, $i) % 2 = 1)) >= size(th$mult) THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      expr(bits).as(name)
-    }
-    Tables.documents(spark, sf)
-      .withColumn("th31",
-        expr(s"transform(split(text, ' '), t -> ${rollHash("t", 31)})"))
-      .withColumn("th131",
-        expr(s"transform(split(text, ' '), t -> ${rollHash("t", 131)})"))
-      .select(col("doc_id"),
-        half(31, "sh_lo").cast("long").as("sh_lo"),
-        half(131, "sh_hi").cast("long").as("sh_hi"))
-  }
-
+  /** 62-bit SimHash fingerprints (corpus binding of
+    * [[graft.api.GraftOps.simhash]]); planted near-dups land at
+    * Hamming distance 0–2. */
   def simhash(spark: SparkSession, sf: String): DataFrame =
-    simhashFrame(spark, sf).orderBy("doc_id")
+    graft.api.GraftOps.simhash(Tables.documents(spark, sf), "doc_id", "text")
+      .orderBy("doc_id")
 
-  /** SimHash near-dup pairs at Hamming distance ≤ 3 over the 62-bit
-    * fingerprint — the third standard text near-dup shape next to
-    * MinHash-LSH and embedding cosine: one 62-bit sketch per document,
-    * pair verification is two XOR+popcounts of integer arithmetic.
-    *
-    * Candidate generation is EXACT by pigeonhole: the fingerprint is
-    * split into 4 bands (16+15 bits per half), and any pair within
-    * Hamming 3 differs in at most 3 bands, so it shares at least one
-    * band verbatim — the band equi-join can never miss a qualifying
-    * pair. Quadratic work only within band buckets, never across the
-    * corpus; both hash and verification are integer-exact in both
-    * engines, so the banded result equals the all-pairs oracle
-    * row-for-row. */
-  def simhashNearDup(spark: SparkSession, sf: String): DataFrame = {
-    val sh = simhashFrame(spark, sf)
-    val bands = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
-      posexplode(array(
-        expr("sh_lo % 65536"), expr("sh_lo div 65536"),
-        expr("sh_hi % 65536"), expr("sh_hi div 65536")))
-        .as(Seq("b_idx", "b_val")))
-    bands.as("a").join(bands.as("b"),
-        col("a.b_idx") === col("b.b_idx")
-          && col("a.b_val") === col("b.b_val")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
-        (expr("bit_count(a.sh_lo ^ b.sh_lo)")
-          + expr("bit_count(a.sh_hi ^ b.sh_hi)")).cast("long").as("ham"))
-      .distinct()
-      .filter(col("ham") <= 3)
-      .orderBy("x", "y")
-  }
+  /** SimHash near-dup pairs at Hamming ≤ 3 — the third standard text
+    * near-dup shape next to MinHash-LSH and embedding cosine (corpus
+    * binding of [[graft.api.GraftOps.simhashNearDup]], which holds the
+    * banded-exactness argument). Hash and verification are
+    * integer-exact in both engines, so the banded result equals the
+    * all-pairs oracle row-for-row. */
+  def simhashNearDup(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.simhashNearDup(
+      Tables.documents(spark, sf), "doc_id", "text")
 
   /** Token counting three ways: whitespace, BPE-ish regex chunks,
     * chars/4 estimate. */

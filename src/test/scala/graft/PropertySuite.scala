@@ -274,6 +274,14 @@ class PropertySuite extends SparkTestBase {
     assert(pairs.length == 1 && pairs(0).getLong(0) == 7L
       && pairs(0).getLong(1) == 8L)
     assert(api.GraftOps.cosineTopK(vecs, "vid", "emb", 1).count() == 3)
+    // SimHash family on the same colliding-name frame: the two
+    // identical bodies are Hamming-0 partners; fingerprint dedup
+    // collapses them to one keeper group.
+    val sh = api.GraftOps.simhashNearDup(docs, "docno", "body").collect()
+    assert(sh.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getLong(2) == 0L), s"identical bodies not Hamming-0: ${sh.toSeq}")
+    assert(api.GraftOps.fingerprintDedup(docs, "docno", "body")
+      .count() == 3)
   }
 
   test("GraftOps ivfFit/ivfAssign: fit once, assign many, foreign columns") {
