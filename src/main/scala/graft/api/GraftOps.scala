@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,21 +57,16 @@ object GraftOps {
 
   /** 62-bit SimHash fingerprint (two 31-bit halves, multipliers
     * 31/131) over the token bag: (doc_id, sh_lo, sh_hi). Near-dup
-    * texts agree on almost every bit. Per-row HOF work — linear. */
+    * texts agree on almost every bit. Native one-pass expression
+    * (PropertySuite pins bit-equality with the interpreted HOF
+    * formula the oracle evaluates) — linear per-row work. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def half(mult: Int, name: String): Column = {
-      val bits = (0 until 31).map { i =>
-        s"(CASE WHEN 2 * size(filter(_graft_th$mult, h -> shiftright(h, $i) % 2 = 1)) >= size(_graft_th$mult) THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      expr(bits).as(name)
-    }
-    df.withColumn("_graft_th31",
-        expr(s"transform(split($textCol, ' '), t -> ${rollHash("t", 31)})"))
-      .withColumn("_graft_th131",
-        expr(s"transform(split($textCol, ' '), t -> ${rollHash("t", 131)})"))
-      .select(col(idCol).as("doc_id"),
-        half(31, "sh_lo").cast("long").as("sh_lo"),
-        half(131, "sh_hi").cast("long").as("sh_hi"))
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        expr(s"graft_simhash62($textCol)").as("_graft_sh"))
+      .select(col("doc_id"),
+        expr("element_at(_graft_sh, 1)").as("sh_lo"),
+        expr("element_at(_graft_sh, 2)").as("sh_hi"))
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ 3:

@@ -307,6 +307,64 @@ object VectorExprs {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Static eval body of [[SimHash62]] — called from generated code.
+    * One pass over the UTF-8 bytes: per space-separated token, two
+    * rolling polynomial hashes (a*31+c and a*131+c, mod 2^31-1 —
+    * ascii(c) ≡ byte value on this pure-ASCII corpus), bit-majority
+    * counted online. Identical to the interpreted HOF formula the
+    * DuckDB oracle evaluates (PropertySuite pins bit-equality),
+    * without materializing per-token hash arrays through ~2000
+    * interpreted lambda calls per document. */
+  def simhash62Eval(str: UTF8String): ArrayData = {
+    val bytes = str.getBytes
+    val cnt = new Array[Int](62)
+    var n = 0
+    var h31 = 0L
+    var h131 = 0L
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        // Token boundary (empty tokens hash to 0, like split(' ')).
+        n += 1
+        var b = 0
+        while (b < 31) {
+          if (((h31 >> b) & 1L) == 1L) cnt(b) += 1
+          if (((h131 >> b) & 1L) == 1L) cnt(31 + b) += 1
+          b += 1
+        }
+        h31 = 0L
+        h131 = 0L
+      } else {
+        val c = (bytes(i) & 0xFF).toLong
+        h31 = (h31 * 31L + c) % 2147483647L
+        h131 = (h131 * 131L + c) % 2147483647L
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    i = 0
+    while (i < 31) {
+      if (2 * cnt(i) >= n) lo |= 1L << i
+      if (2 * cnt(31 + i) >= n) hi |= 1L << i
+      i += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
+
+  /** 62-bit SimHash of a text: array(sh_lo, sh_hi) — the native twin
+    * of the token-bag bit-majority HOF fold (see [[simhash62Eval]]). */
+  case class SimHash62(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      simhash62Eval(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.simhash62Eval($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
   /** Static eval body of [[RademacherBucket]] — called from generated
     * code. */
   def rademacherBucketEval(v: ArrayData): Long = {
@@ -639,5 +697,7 @@ object VectorExprs {
       exprs => WordShingleHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_rademacher_bucket",
       exprs => RademacherBucket(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash62",
+      exprs => SimHash62(exprs.head), "built-in")
   }
 }

@@ -153,6 +153,7 @@ class PlanSuite extends SparkTestBase {
       assert(llm.Dedup.minhashEst(s, sf).count() >= 0)
       assert(llm.Ann.annIvf(s, sf).count() >= 0)
       assert(llm.Ann.cosNearDup(s, sf).count() >= 0)
+      assert(llm.TextHash.simhashNearDup(s, sf).count() >= 0) // SimHash62
     } finally s.conf.set("spark.sql.codegen.fallback", prev)
   }
 }

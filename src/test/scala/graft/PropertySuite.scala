@@ -136,6 +136,27 @@ class PropertySuite extends SparkTestBase {
     assert(topk == 2, "self excluded, both partners returned when k > n")
   }
 
+  test("native SimHash62 equals the interpreted HOF bit-majority fold") {
+    // The DuckDB oracle evaluates the HOF formula; the Spark side runs
+    // the native one-pass expression — they must agree bit-for-bit.
+    graft.functions.VectorExprs.register(spark)
+    def roll(s: String, m: Int) =
+      s"aggregate(transform(split($s, ''), c -> cast(ascii(c) as bigint)), " +
+        s"cast(0 as bigint), (a, b) -> (a * $m + b) % 2147483647)"
+    def half(m: Int) = (0 until 31).map { i =>
+      s"(CASE WHEN 2 * size(filter(th$m, h -> shiftright(h, $i) % 2 = 1)) >= size(th$m) THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bad = Tables.documents(spark, sf)
+      .withColumn("th31", expr(s"transform(split(text, ' '), t -> ${roll("t", 31)})"))
+      .withColumn("th131", expr(s"transform(split(text, ' '), t -> ${roll("t", 131)})"))
+      .select(
+        expr("graft_simhash62(text)").as("native"),
+        expr(s"array(cast(${half(31)} as bigint), cast(${half(131)} as bigint))").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(bad == 0, s"$bad docs where native simhash != HOF simhash")
+  }
+
   test("native Rademacher bucket equals the interpreted HOF bucket") {
     graft.functions.VectorExprs.register(spark)
     val bad = Tables.embeddings(spark, sf)
