@@ -126,6 +126,51 @@ object GraftOps {
       rounds: Int): DataFrame =
     graft.llm.Dedup.componentsOf(spark, pairs, rounds)
 
+  /** Within-document n-gram repetition ratio — the Gopher/Falcon-style
+    * quality signal (heavily repetitive documents are low-value
+    * training data): (doc_id, total_ngrams, distinct_ngrams,
+    * rep_milli) with rep_milli = 1000·(total−distinct)/total, integer
+    * arithmetic throughout. Distinct counts come from the native
+    * one-pass shingle hasher; per-row work, linear. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.withColumn("_graft_toks", split(col(textCol), " "))
+      .filter(size(col("_graft_toks")) >= n)
+      .select(col(idCol).as("doc_id"),
+        (size(col("_graft_toks")) - (n - 1)).cast("long").as("total_ngrams"),
+        expr(s"size(graft_wordshingle_hashes($textCol, $n))")
+          .cast("long").as("distinct_ngrams"))
+      .withColumn("rep_milli",
+        expr("((total_ngrams - distinct_ngrams) * 1000) div total_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct word-n-gram shingles also appear in a (small) held-out
+    * benchmark set — the standard train/test-contamination check of a
+    * training-data pipeline. Returns (doc_id, n_sh, overlap,
+    * contam_milli). The benchmark shingle set is BROADCAST (benchmark
+    * suites are tiny; the corpus is the 100 TB side), so the scan
+    * stays embarrassingly parallel with no corpus-side shuffle before
+    * the per-doc count. */
+  def shingleOverlap(df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n)
+    val bh = wordShingles(bench, benchIdCol, benchTextCol, n)
+      .select(explode(col("hs")).as("_graft_bh")).distinct()
+    val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
+    val hits = sh.select(col("doc_id"), explode(col("hs")).as("_graft_h"))
+      .join(broadcast(bh), col("_graft_h") === col("_graft_bh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("contam_milli", expr("(overlap * 1000) div n_sh"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
   // Text analysis
   // ------------------------------------------------------------------

@@ -97,6 +97,28 @@ object TextStats {
     graft.api.GraftOps.tfidfTopTerms(Tables.documents(spark, sf),
       "doc_id", "text", k = 5)
 
+  /** Within-document 2-gram repetition ratio — the Gopher/Falcon-style
+    * repetitive-text quality filter (corpus binding of
+    * [[graft.api.GraftOps.repetitionRatio]]): integer milli-ratio of
+    * duplicated word bigrams per document. */
+  def repNgram(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.repetitionRatio(
+      Tables.documents(spark, sf), "doc_id", "text", 2)
+
+  /** Benchmark decontamination (corpus binding of
+    * [[graft.api.GraftOps.shingleOverlap]]): word-3-gram overlap of
+    * every training candidate (doc_id >= 10) against the held-out
+    * benchmark set (doc_id < 10) — the train/test-contamination check
+    * every serious pipeline runs before training. The benchmark
+    * shingle set is broadcast; the corpus side never shuffles before
+    * its per-doc count. */
+  def decontaminate(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+    graft.api.GraftOps.shingleOverlap(
+      d.filter(col("doc_id") >= 10), "doc_id", "text",
+      d.filter(col("doc_id") < 10), "doc_id", "text", 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_tfidf" -> tfidf,
     "llm_text_stats" -> textStats,
@@ -104,7 +126,9 @@ object TextStats {
     "llm_multimodal_join" -> multimodalJoin,
     "llm_stratified_sample" -> stratifiedSample,
     "llm_normalize" -> normalize,
-    "llm_doc_chunks" -> docChunks
+    "llm_doc_chunks" -> docChunks,
+    "llm_rep_ngram" -> repNgram,
+    "llm_decontaminate" -> decontaminate
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +177,28 @@ object TextStats {
         "CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS chunk_toks " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d, " +
         "LATERAL (SELECT unnest(range(0, len(ts), 30)) AS s) t " +
-        "ORDER BY doc_id, chunk_idx")
+        "ORDER BY doc_id, chunk_idx"),
+    // Distinct string-bigram counts equal the hashed-set sizes absent
+    // 64-bit collisions (the same argument PropertySuite pins for the
+    // shingle hasher).
+    "llm_rep_ngram" ->
+      ("SELECT doc_id, n2 AS total_ngrams, d2 AS distinct_ngrams, " +
+        "((n2 - d2) * 1000) // n2 AS rep_milli FROM " +
+        "(SELECT doc_id, CAST(len(ts) - 1 AS BIGINT) AS n2, " +
+        "CAST(len(list_distinct(list_transform(range(len(ts) - 1), " +
+        "i -> ts[i+1] || ' ' || ts[i+2]))) AS BIGINT) AS d2 " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t " +
+        "WHERE len(ts) >= 2) s ORDER BY doc_id"),
+    "llm_decontaminate" ->
+      ("WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s " +
+        "FROM ts, LATERAL (SELECT unnest(range(len(ts) - 2)) AS i) t), " +
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh WHERE doc_id >= 10 GROUP BY doc_id), " +
+        "hits AS (SELECT a.doc_id, COUNT(*) AS overlap FROM sh a JOIN bench b ON a.s = b.s " +
+        "WHERE a.doc_id >= 10 GROUP BY a.doc_id) " +
+        "SELECT sizes.doc_id, n_sh, COALESCE(overlap, 0) AS overlap, " +
+        "(COALESCE(overlap, 0) * 1000) // n_sh AS contam_milli " +
+        "FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id ORDER BY sizes.doc_id")
   )
 }

@@ -303,6 +303,19 @@ class PropertySuite extends SparkTestBase {
       && r.getLong(2) == 0L), s"identical bodies not Hamming-0: ${sh.toSeq}")
     assert(api.GraftOps.fingerprintDedup(docs, "docno", "body")
       .count() == 3)
+    // Quality/decontamination family: distinct token streams have
+    // zero repetition; a doc IS its own benchmark (full overlap).
+    val rep = api.GraftOps.repetitionRatio(docs, "docno", "body", 2)
+      .filter(col("doc_id") === 1L).head()
+    assert(rep.getLong(1) == 6L && rep.getLong(2) == 6L
+      && rep.getLong(3) == 0L, s"unexpected repetition row: $rep")
+    val ov = api.GraftOps.shingleOverlap(
+        docs, "docno", "body", docs.filter(col("docno") === 1L),
+        "docno", "body", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ov(1L) == 1000L && ov(2L) == 1000L,
+      s"identical/self docs must be fully contaminated: $ov")
+    assert(ov(3L) == 0L, s"disjoint doc must have zero overlap: $ov")
   }
 
   test("GraftOps ivfFit/ivfAssign: fit once, assign many, foreign columns") {
