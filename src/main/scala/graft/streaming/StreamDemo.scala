@@ -145,10 +145,103 @@ object StreamDemo {
     spark.read.parquet(out).orderBy("user_id", "s_start")
   }
 
+  /** One session in flight: [firstUs, lastUs] event-time span and its
+    * event count (micros since epoch — sessionization is µs-exact).
+    * Not `private`: the state/output encoders' generated code
+    * constructs these reflectively and cannot see private members. */
+  case class Sess(firstUs: Long, lastUs: Long, cnt: Long)
+  case class SessState(sessions: List[Sess])
+  case class SessRow(user_id: Long, s_start: java.sql.Timestamp,
+      s_end: java.sql.Timestamp, cnt: Long)
+
+  private val GapUs = 30L * 60 * 1000000L
+
+  private def tsFromUs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      us / 1000000L, (us % 1000000L) * 1000L))
+
+  /** Merge sessions/single events (sorted by first) under the ≤30-min
+    * gap rule — same split predicate as session_window and the batch
+    * oracle (`t - lag(t) > 30 min` starts a new session). */
+  private def mergeSessions(xs: List[Sess]): List[Sess] =
+    xs.sortBy(s => (s.firstUs, s.lastUs)).foldLeft(List.empty[Sess]) {
+      case (cur :: done, s) if s.firstUs - cur.lastUs <= GapUs =>
+        Sess(cur.firstUs, math.max(cur.lastUs, s.lastUs),
+          cur.cnt + s.cnt) :: done
+      case (acc, s) => s :: acc
+    }.reverse
+
+  /** The same streaming sessionization as [[sessionStream]] but with
+    * CUSTOM state management — `KeyValueGroupedDataset
+    * .flatMapGroupsWithState` + event-time timeouts instead of the
+    * built-in `session_window` operator: per-user open sessions live
+    * in an explicit typed state value, each batch's events merge into
+    * them (interval merge under the 30-min gap rule), and a session is
+    * emitted — and dropped from state — only once the watermark passes
+    * its end, via `GroupState.setTimeoutTimestamp`. This is the API
+    * for session semantics Spark's built-ins CANNOT express (custom
+    * gap rules, per-key caps, value-dependent session logic); here it
+    * deliberately reproduces the session_window semantics exactly so
+    * the same DuckDB oracle audits the custom state machine
+    * (watermark comparisons at Spark's ms granularity, timestamps at
+    * full µs precision). State is bounded by the watermark like any
+    * stateful operator; nothing is driver-resident. */
+  def customSessionStream(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = graft.Tables.eventsRaw(spark, sf).schema
+    val dir = graft.Tables.scratchDir("graft_ev_csess_")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val func = (key: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+        state: GroupState[SessState]) => {
+      val prev = if (state.exists) state.get.sessions else Nil
+      val evs = it.map(e => Sess(e._2, e._2, 1L)).toList
+      val merged = mergeSessions(prev ++ evs)
+      // Watermark is ms-floored engine-side; compare in µs.
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closed, open) = merged.partition(s => s.lastUs + GapUs <= wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessState(open))
+        // Fire when the watermark first reaches the earliest open
+        // session end (ceil to ms — the timeout clock is ms-grained).
+        val nextEndUs = open.map(_.lastUs + GapUs).min
+        state.setTimeoutTimestamp((nextEndUs + 999L) / 1000L)
+      }
+      closed.sortBy(_.firstUs).iterator.map(s =>
+        SessRow(key, tsFromUs(s.firstUs), tsFromUs(s.lastUs + GapUs), s.cnt))
+    }
+    withStateParts(spark) {
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts2", "10 minutes")
+        // The watermark-attached column must survive into the stateful
+        // operator's input; µs arithmetic rides alongside as a long.
+        .select(col("user_id").cast("long"), expr("ts div 1000").as("us"),
+          col("ts2"))
+        .as[(Long, Long, java.sql.Timestamp)]
+      val q = src.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(func)
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"), ntz(col("s_start")).as("s_start"),
+        ntz(col("s_end")).as("s_end"), col("cnt"))
+      .orderBy("user_id", "s_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_stream" -> tumblingStream,
     "ev_append_stream" -> appendStream,
-    "ev_session_stream" -> sessionStream
+    "ev_session_stream" -> sessionStream,
+    "ev_custom_session_stream" -> customSessionStream
   )
 
   val oracle: Map[String, String] = Map(
@@ -167,8 +260,14 @@ object StreamDemo {
         "ORDER BY hour_start, event_type"),
     // Batch sessionization (the proven ev_session CTE) restricted to
     // sessions the final watermark has closed: s_end (last event +
-    // gap) <= ms-floored max ts − 10 min.
-    "ev_session_stream" ->
+    // gap) <= ms-floored max ts − 10 min. The custom-state variant
+    // reproduces session_window semantics exactly, so the SAME oracle
+    // audits the hand-written state machine.
+    "ev_custom_session_stream" -> sessionStreamOracle,
+    "ev_session_stream" -> sessionStreamOracle
+  )
+
+  private lazy val sessionStreamOracle: String =
       ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
         "l AS (SELECT user_id, t, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
         "OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), " +
@@ -178,5 +277,4 @@ object StreamDemo {
         "SELECT user_id, s_start, s_end, cnt FROM s " +
         "WHERE s_end <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 10 MINUTE FROM events) " +
         "ORDER BY user_id, s_start")
-  )
 }

@@ -113,7 +113,8 @@ class PlanSuite extends SparkTestBase {
     // resulting plan is just the sink-side scan, so the assertion would
     // be vacuous at real cost.
     val skip = Set("join_cross",
-      "ev_tumbling_stream", "ev_append_stream", "ev_session_stream")
+      "ev_tumbling_stream", "ev_append_stream", "ev_session_stream",
+      "ev_custom_session_stream")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
