@@ -668,6 +668,25 @@ object VectorExprs {
         c: IndexedSeq[Expression]): Expression = copy(c)
   }
 
+  /** Name → builder for every native expression — the single source
+    * both [[register]] (per-session temp functions) and
+    * [[graft.GraftExtensions]] (spark.sql.extensions injection)
+    * register from. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => FloatDot(exprs(0), exprs(1))),
+    "graft_ddot" -> (exprs => DoubleDot(exprs(0), exprs(1))),
+    "graft_minhash_bands" -> (exprs => MinHashBands(exprs.head)),
+    "graft_minhash_slots" -> (exprs => MinHashSlots(exprs.head)),
+    "graft_bands_from_slots" -> (exprs => BandsFromSlots(exprs.head)),
+    "graft_cos_topk" -> (exprs => CosTopK(exprs)),
+    "graft_cos_nbrs" -> (exprs => CosNeighbors(exprs)),
+    "graft_chargram_hashes" -> (exprs => CharGramHashes(exprs(0), exprs(1))),
+    "graft_wordshingle_hashes" ->
+      (exprs => WordShingleHashes(exprs(0), exprs(1))),
+    "graft_rademacher_bucket" -> (exprs => RademacherBucket(exprs.head)),
+    "graft_simhash62" -> (exprs => SimHash62(exprs.head))
+  )
+
   /** Register as SQL temp functions (idempotent, per session).
     *
     * Constraint on the cosine kernels: the 3rd argument (the packed
@@ -677,27 +696,8 @@ object VectorExprs {
     * row (quadratic decode cost, not wrong answers). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => FloatDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_ddot",
-      exprs => DoubleDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_bands",
-      exprs => MinHashBands(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_slots",
-      exprs => MinHashSlots(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_bands_from_slots",
-      exprs => BandsFromSlots(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_cos_topk",
-      exprs => CosTopK(exprs), "built-in")
-    reg.createOrReplaceTempFunction("graft_cos_nbrs",
-      exprs => CosNeighbors(exprs), "built-in")
-    reg.createOrReplaceTempFunction("graft_chargram_hashes",
-      exprs => CharGramHashes(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_wordshingle_hashes",
-      exprs => WordShingleHashes(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_rademacher_bucket",
-      exprs => RademacherBucket(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash62",
-      exprs => SimHash62(exprs.head), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

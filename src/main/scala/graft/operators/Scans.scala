@@ -84,11 +84,27 @@ object Scans {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** JSON-lines round trip — JSONL is the interchange format
+    * training-data pipelines exchange between stages. The documents
+    * table is written as JSONL to a scratch dir and read back with an
+    * explicit schema (schema-on-read; a 100 TB inference pass would be
+    * a full extra read). The oracle reads the ORIGINAL parquet, so any
+    * lossy encode/decode — escaping, unicode, integer widths — is a
+    * hash failure, not a silent corruption. */
+  def scanJsonlRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+    val path = Tables.scratchDir("graft_jsonl_").resolve("docs").toString
+    graft.sources.Sinks.writeJsonl(d, path)
+    graft.sources.Sinks.readJsonl(spark, d.schema, path)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_project" -> scanProject,
     "sample_hash" -> sampleHash,
     "scan_schema_coerce" -> scanSchemaCoerce,
     "scan_events_ns" -> scanEventsNs,
+    "scan_jsonl_roundtrip" -> scanJsonlRoundtrip,
     "filter_pred" -> filterPred,
     "filter_expr" -> filterExpr
   )
@@ -104,6 +120,8 @@ object Scans {
       "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey_l, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal_dec, c_mktsegment FROM customer ORDER BY c_custkey",
     "scan_events_ns" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts2, user_id, event_type, value FROM events ORDER BY event_id",
+    "scan_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "filter_pred" ->
       ("SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem " +
         "WHERE ((l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59') " +

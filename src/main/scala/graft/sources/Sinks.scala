@@ -39,4 +39,19 @@ object Sinks {
   /** Read back a partitioned dataset (schema-merged parquet scan). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSON-lines sink — the interchange format training-data pipelines
+    * actually exchange (one JSON object per line, splittable,
+    * append-friendly). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines source with an EXPLICIT schema: at 100 TB a schema
+    * inference pass is a full extra read of the corpus, so readers
+    * must always pass the schema (schema-on-read, like the parquet
+    * loaders). */
+  def readJsonl(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      path: String): DataFrame =
+    spark.read.schema(schema).json(path)
 }

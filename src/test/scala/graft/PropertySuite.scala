@@ -342,6 +342,30 @@ class PropertySuite extends SparkTestBase {
     assert(api.GraftOps.ivfAssign(vecs, "vid", "emb", cents, 2).count() == 40)
   }
 
+  test("GraftExtensions injects the native functions at session build") {
+    // A session built with the extension (the spark.sql.extensions
+    // deployment path) must resolve graft_* SQL functions with no
+    // per-session register() call. Reuses the shared SparkContext;
+    // active/default are restored so other suites are unaffected.
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne prev, "expected a fresh session over the shared context")
+      val d = s2.sql(
+        "SELECT graft_dot(array(cast(2.0 as float)), array(cast(3.0 as float)))")
+        .head().getDouble(0)
+      assert(d == 6.0)
+      assert(s2.sql("SELECT graft_simhash62('a b')").count() == 1)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("jaccard is symmetric-free (x < y) and bounded") {
     val pairs = llm.Dedup.nearDedup(spark, sf).collect()
     pairs.foreach { r =>
