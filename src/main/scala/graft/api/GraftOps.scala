@@ -75,7 +75,19 @@ object GraftOps {
     * Hamming 3 differs in at most 3 bands and so shares one verbatim —
     * the band equi-join can never miss a qualifying pair. Quadratic
     * work only inside band buckets; verification is two XOR+popcounts
-    * of integer arithmetic. */
+    * of integer arithmetic.
+    *
+    * Scale caveat (measured, not hypothetical): band-bucket sizes
+    * depend on the corpus's fingerprint bit-entropy. On THIS corpus
+    * (31-token vocab) every document agrees on most majority bits, so
+    * one 15-bit band holds ~30% of all documents and candidates carry
+    * a real quadratic term — tools/ScaleProbe still measures ×50 data
+    * → 20× time at fixed cores (verification is two integer ops), but
+    * on a low-entropy corpus at 100 TB prefer the MinHash-LSH path
+    * ([[nearDupPairs]]), whose shingle-hash bands stay uniform
+    * regardless of token-distribution skew. On a realistic large-vocab
+    * corpus the fingerprints are near-uniform and this caveat
+    * vanishes. */
   def simhashNearDup(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val sh = simhash(df, idCol, textCol)

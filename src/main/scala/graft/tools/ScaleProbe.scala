@@ -82,6 +82,10 @@ object ScaleProbe {
       "llm_tfidf" -> (d => graft.llm.TextStats.tfidf(spark, d).count()),
       "llm_dedup_components" ->
         (d => graft.llm.Dedup.dedupComponents(spark, d).count()),
+      "llm_simhash_neardup" ->
+        (d => graft.llm.TextHash.simhashNearDup(spark, d).count()),
+      "llm_decontaminate" ->
+        (d => graft.llm.TextStats.decontaminate(spark, d).count()),
       "ev_session_stream" ->
         (d => graft.streaming.StreamDemo.sessionStream(spark, d).count()))) {
       fn(base): Unit
