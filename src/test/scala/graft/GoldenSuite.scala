@@ -40,6 +40,16 @@ class GoldenSuite extends SparkTestBase {
     assert(llm.Dedup.exactDedup(spark, sf1).count() == 4992L)
   }
 
+  test("round-4 sf0.1 goldens: dedup keep / simhash pairs / custom sessions") {
+    // DuckDB-oracle-verified at sf0.1 this round (tools/check.py):
+    // 4,761 of 5,000 docs survive near-dup canonicalization; 3,134
+    // pairs sit within Hamming 3 on this low-entropy corpus; the
+    // custom-state sessionizer emits exactly the session_window count.
+    assert(llm.Dedup.dedupKeep(spark, sf1).count() == 4761L)
+    assert(llm.TextHash.simhashNearDup(spark, sf1).count() == 3134L)
+    assert(streaming.StreamDemo.customSessionStream(spark, sf1).count() == 95391L)
+  }
+
   test("top cosine pair is (425, 1198, 0.600856) at sf0.1") {
     val r = llm.Similarity.knnCosine(spark, sf1).head()
     assert(r.getLong(0) == 425L && r.getLong(1) == 1198L)
