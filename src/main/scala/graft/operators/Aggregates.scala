@@ -183,6 +183,26 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Exact interpolated percentiles (p50/p90/p99) plus the
+    * approx_percentile sketch scored through an accuracy contract
+    * (same pattern as agg_approx_distinct: sketch internals differ
+    * per engine, the CONTRACT is deterministic). Exact percentiles
+    * are FLOAT-narrowed: Spark computes a + f·(b−a), DuckDB's
+    * quantile_cont may associate differently — double-ulp noise that
+    * float rounding absorbs (D8). */
+  def aggPercentile(spark: SparkSession, sf: String): DataFrame =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("ap90"))
+      .select(col("l_returnflag"),
+        col("ps")(0).cast("float").as("p50"),
+        col("ps")(1).cast("float").as("p90"),
+        col("ps")(2).cast("float").as("p99"),
+        (abs(col("ap90") - col("ps")(1)) <= col("ps")(1) * 0.05).as("ap90_ok"))
+      .orderBy("l_returnflag")
+
   /** Conditional/boolean aggregates: count_if, bool_or, bool_and and a
     * filtered exact-decimal sum — the SQL FILTER-clause family. All
     * integer/boolean/decimal-exact, no float parity surface. */
@@ -199,6 +219,7 @@ object Aggregates {
       .orderBy("c_mktsegment")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentile" -> aggPercentile,
     "agg_condagg" -> aggCondAgg,
     "agg_q1_pricing" -> aggQ1Pricing,
     "agg_having" -> aggHaving,
@@ -236,6 +257,13 @@ object Aggregates {
       "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey",
     "agg_approx_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_rsd " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_percentile" ->
+      ("SELECT l_returnflag, " +
+        "CAST(quantile_cont(l_extendedprice, 0.5) AS REAL) AS p50, " +
+        "CAST(quantile_cont(l_extendedprice, 0.9) AS REAL) AS p90, " +
+        "CAST(quantile_cont(l_extendedprice, 0.99) AS REAL) AS p99, " +
+        "TRUE AS ap90_ok " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_pivot" ->
       ("SELECT o_orderpriority, COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F, " +
