@@ -316,14 +316,18 @@ object VectorExprs {
     * without materializing per-token hash arrays through ~2000
     * interpreted lambda calls per document. */
   def simhash62Eval(str: UTF8String): ArrayData = {
-    val bytes = str.getBytes
+    // Iterate CODE POINTS, not bytes: the documented HOF formula (and
+    // the DuckDB oracle) hashes ascii(c) per character, which equals
+    // the byte only on ASCII text — code-point iteration keeps the
+    // public GraftOps.simhash semantics identical on any input.
+    val s = str.toString
     val cnt = new Array[Int](62)
     var n = 0
     var h31 = 0L
     var h131 = 0L
     var i = 0
-    while (i <= bytes.length) {
-      if (i == bytes.length || bytes(i) == ' ') {
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
         // Token boundary (empty tokens hash to 0, like split(' ')).
         n += 1
         var b = 0
@@ -334,12 +338,13 @@ object VectorExprs {
         }
         h31 = 0L
         h131 = 0L
+        i += 1
       } else {
-        val c = (bytes(i) & 0xFF).toLong
-        h31 = (h31 * 31L + c) % 2147483647L
-        h131 = (h131 * 131L + c) % 2147483647L
+        val cp = s.codePointAt(i).toLong
+        h31 = (h31 * 31L + cp) % 2147483647L
+        h131 = (h131 * 131L + cp) % 2147483647L
+        i += Character.charCount(s.codePointAt(i))
       }
-      i += 1
     }
     var lo = 0L
     var hi = 0L

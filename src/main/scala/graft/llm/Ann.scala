@@ -120,8 +120,10 @@ object Ann {
       .select(col("vec_id"), col("embedding"), col("ed"),
         col("cid").as("cell"))
 
-  /** Recompute centroids as exact quantized means of their members. */
-  private def update(assigned: DataFrame): DataFrame =
+  /** Recompute centroids as exact quantized means of their members.
+    * private[graft] so tools/IvfInitProbe sweeps the SAME arithmetic
+    * it justifies parameters for. */
+  private[graft] def update(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cell"), posexplode(col("ed")).as(Seq("d", "v")))
       .groupBy(col("cell"), col("d"))
@@ -179,8 +181,23 @@ object Ann {
     * llm_ann_ivf_probe alone) — is a plain file-scan leaf. This is also
     * the real-world shape: a fitted index assignment is persisted once
     * and queried many times. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val fitCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+
+  /** The fitted centroid table (tiny), trained ONCE per (session, sf)
+    * — probe-1 and probe-2 assignments share it instead of each
+    * re-running the Lloyd rounds. */
+  private def trainedCentroids(spark: SparkSession, sf: String): DataFrame = {
+    val path = centroidCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sf), {
+        val p = Tables.scratchDir("graft_ivf_").resolve("centroids").toString
+        kmeansFit(vecFrame(spark, sf), KmeansK, KmeansIters).write.parquet(p)
+        p
+      })
+    spark.read.parquet(path)
+  }
 
   /** Shared k-means-trained assignment at `top` probes per vector. */
   private def trainedAssignment(spark: SparkSession, sf: String,
@@ -188,9 +205,8 @@ object Ann {
     graft.functions.VectorExprs.register(spark)
     val path = fitCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, sf, top), {
-        val e = vecFrame(spark, sf)
-        val trained = kmeansFit(e, KmeansK, KmeansIters)
-        val assigned = assign(e, trained, top)
+        val assigned = assign(vecFrame(spark, sf),
+            trainedCentroids(spark, sf), top)
           .withColumn("nrm", sqrt(dot("embedding", "embedding")))
         val p = Tables.scratchDir("graft_ivf_").resolve("assigned").toString
         assigned.write.parquet(p)

@@ -142,14 +142,18 @@ object Dedup {
     * cut, file-scan leaves and sub-second). A scratch-dir parquet
     * write, nothing driver-resident, removed recursively at JVM exit. */
   private[graft] def componentsOf(spark: SparkSession, pairsDf: DataFrame,
-      rounds: Int): DataFrame = {
-    val dir = Tables.scratchDir("graft_cc_")
-    val pairsPath = dir.resolve("pairs").toString
-    // Natural partitioning: at 100 TB the near-dup pair list is
-    // billions of rows — a coalesce(1) here would be a single-task
-    // funnel (the read-back never needed one file).
-    pairsDf.write.parquet(pairsPath)
-    val pairs = spark.read.parquet(pairsPath).toDF("x", "y")
+      rounds: Int, materialize: Boolean = true): DataFrame = {
+    // `materialize = false` when the caller's pair list is ALREADY a
+    // file-scan leaf (the cached stage output below) — re-writing it
+    // would be a redundant full copy per call.
+    val pairs = (if (materialize) {
+      val pairsPath = Tables.scratchDir("graft_cc_").resolve("pairs").toString
+      // Natural partitioning: at 100 TB the near-dup pair list is
+      // billions of rows — a coalesce(1) here would be a single-task
+      // funnel (the read-back never needed one file).
+      pairsDf.write.parquet(pairsPath)
+      spark.read.parquet(pairsPath)
+    } else pairsDf).toDF("x", "y")
     val edges = pairs.union(pairs.select(col("y"), col("x")))
       .toDF("src", "dst")
     var lbl = edges.select(col("src").as("v")).distinct()
@@ -185,7 +189,8 @@ object Dedup {
 
   def dedupComponents(spark: SparkSession, sf: String): DataFrame =
     componentsOf(spark,
-      spark.read.parquet(nearDupPairsPath(spark, sf)), CcIters)
+      spark.read.parquet(nearDupPairsPath(spark, sf)), CcIters,
+      materialize = false)
 
   /** The END of the dedup pipeline: the kept corpus. A document is
     * dropped iff its component label names a different keeper (the
@@ -194,7 +199,8 @@ object Dedup {
     * (tiny) dropped set — the corpus side never shuffles. */
   def dedupKeep(spark: SparkSession, sf: String): DataFrame = {
     val comps = componentsOf(spark,
-      spark.read.parquet(nearDupPairsPath(spark, sf)), CcIters)
+      spark.read.parquet(nearDupPairsPath(spark, sf)), CcIters,
+      materialize = false)
     val dropped = comps.filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
     Tables.documents(spark, sf).select(col("doc_id"))

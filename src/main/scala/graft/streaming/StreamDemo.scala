@@ -204,10 +204,15 @@ object StreamDemo {
       if (open.isEmpty) state.remove()
       else {
         state.update(SessState(open))
-        // Fire when the watermark first reaches the earliest open
-        // session end (ceil to ms — the timeout clock is ms-grained).
+        // Event-time timeouts fire only when ts < watermark (strict —
+        // verified against FlatMapGroupsWithStateExec), while the emit
+        // rule is s_end ≤ watermark·1000. ceil(end)−1 makes the two
+        // agree at the boundary: a session ending exactly ON a
+        // watermark millisecond still fires. Legality holds too: open
+        // sessions have end > wmUs, so ceil(end)−1 ≥ wm (setter
+        // requires ts ≥ wm).
         val nextEndUs = open.map(_.lastUs + GapUs).min
-        state.setTimeoutTimestamp((nextEndUs + 999L) / 1000L)
+        state.setTimeoutTimestamp((nextEndUs + 999L) / 1000L - 1L)
       }
       closed.sortBy(_.firstUs).iterator.map(s =>
         SessRow(key, tsFromUs(s.firstUs), tsFromUs(s.lastUs + GapUs), s.cnt))

@@ -152,7 +152,16 @@ class PlanSuite extends SparkTestBase {
       assert(llm.Ann.annLsh(s, sf).count() >= 0)
       assert(llm.Similarity.knnCosine(s, sf).count() >= 0)
       assert(llm.Dedup.minhashEst(s, sf).count() >= 0)
-      assert(llm.Ann.annIvf(s, sf).count() >= 0)
+      // kmeansFit DIRECTLY, not through annIvf: the fit cache makes
+      // annIvf a plain parquet self-join once any earlier test has
+      // materialized the assignment, which would silently drop
+      // DoubleDot and the quantized-update pipeline from strict-
+      // codegen coverage.
+      import org.apache.spark.sql.functions.{col, expr}
+      val e = Tables.embeddings(s, sf)
+        .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+        .select(col("vec_id"), col("embedding"), col("ed"))
+      assert(llm.Ann.kmeansFit(e, 4, 1).count() >= 0)
       assert(llm.Ann.cosNearDup(s, sf).count() >= 0)
       assert(llm.TextHash.simhashNearDup(s, sf).count() >= 0) // SimHash62
     } finally s.conf.set("spark.sql.codegen.fallback", prev)
