@@ -366,6 +366,38 @@ class PropertySuite extends SparkTestBase {
     }
   }
 
+  test("custom-state sessionizer emits a session ending exactly on the watermark") {
+    // Event-time timeouts fire only when the registered timestamp is
+    // STRICTLY below the watermark, while the emit rule is
+    // s_end <= watermark — a session ending exactly on the final
+    // watermark millisecond probes the boundary (the naive
+    // ceil(end) registration silently dropped it). User 1's session
+    // ends at t0+35min; user 2's single event at t0+45min drives the
+    // final watermark to exactly that instant (45−10 min).
+    import spark.implicits._
+    val t0 = 1700000000000000000L // ns, ms-aligned
+    val min = 60L * 1000000000L
+    val rows = Seq(
+      (1L, t0, 1L, "c", 1.0, "{}"),
+      (2L, t0 + 5 * min, 1L, "c", 1.0, "{}"),
+      (3L, t0 + 45 * min, 2L, "c", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Tables.scratchDir("graft_wmtest_")
+    val stage = dir.resolve("stage").toString
+    rows.repartition(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dir.resolve("events.parquet"))
+    val out = streaming.StreamDemo.customSessionStream(spark, dir.toString)
+      .collect()
+    assert(out.length == 1, s"expected exactly user 1's session, got ${out.toSeq}")
+    assert(out(0).getLong(0) == 1L && out(0).getLong(3) == 2L)
+    val endMs = out(0).getAs[java.time.LocalDateTime](2)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    assert(endMs == (t0 + 35 * min) / 1000000L,
+      "session end must be exactly the watermark instant")
+  }
+
   test("jaccard is symmetric-free (x < y) and bounded") {
     val pairs = llm.Dedup.nearDedup(spark, sf).collect()
     pairs.foreach { r =>
