@@ -99,12 +99,26 @@ object Scans {
       .orderBy("doc_id")
   }
 
+  /** CSV round trip on the mixed-type customer table (int64, string,
+    * int32, double): header on, explicit schema back (the 100 TB rule —
+    * never an inference pass). 2-dp doubles round-trip exactly through
+    * Spark's shortest-repr writer; the oracle reads the original
+    * parquet, so any lossy encode/quote/escape is a hash failure. */
+  def scanCsvRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.customer(spark, sf)
+    val path = Tables.scratchDir("graft_csv_").resolve("customer").toString
+    d.write.option("header", "true").csv(path)
+    spark.read.schema(d.schema).option("header", "true").csv(path)
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_project" -> scanProject,
     "sample_hash" -> sampleHash,
     "scan_schema_coerce" -> scanSchemaCoerce,
     "scan_events_ns" -> scanEventsNs,
     "scan_jsonl_roundtrip" -> scanJsonlRoundtrip,
+    "scan_csv_roundtrip" -> scanCsvRoundtrip,
     "filter_pred" -> filterPred,
     "filter_expr" -> filterExpr
   )
@@ -122,6 +136,8 @@ object Scans {
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts2, user_id, event_type, value FROM events ORDER BY event_id",
     "scan_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "scan_csv_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "filter_pred" ->
       ("SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem " +
         "WHERE ((l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59') " +

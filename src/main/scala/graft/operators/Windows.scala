@@ -87,12 +87,24 @@ object Windows {
       .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
   }
 
+  /** ntile quartiles per segment over a UNIQUE order key (both engines
+    * give earlier buckets the extra rows; Spark's int → long, D10). */
+  def winNtile(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(asc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_topk_per_group" -> winTopkPerGroup,
     "win_rank_dense" -> winRankDense,
     "win_lag_lead" -> winLagLead,
     "win_running_frame" -> winRunningFrame,
-    "win_distribution" -> winDistribution
+    "win_distribution" -> winDistribution,
+    "win_ntile" -> winNtile
   )
 
   val oracle: Map[String, String] = Map(
@@ -125,6 +137,10 @@ object Windows {
       ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
         "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
         "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) " +
-        "ORDER BY c_mktsegment, c_acctbal, c_custkey")
+        "ORDER BY c_mktsegment, c_acctbal, c_custkey"),
+    "win_ntile" ->
+      ("SELECT c_mktsegment, c_custkey, " +
+        "ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile " +
+        "FROM customer ORDER BY c_mktsegment, c_custkey")
   )
 }
