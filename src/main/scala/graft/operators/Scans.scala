@@ -112,6 +112,23 @@ object Scans {
       .orderBy("c_custkey")
   }
 
+  /** Hive-partitioned layout round trip with partition pruning: the
+    * documents table written one directory per `lang`, read back and
+    * filtered to one language — the filter prunes at the FILE INDEX
+    * (PartitionFilters, SinkSuite pins the plan), so excluded
+    * partitions are never opened. The cluster-scale layout for any
+    * selective dimension; oracle reads the original parquet. */
+  def scanPartitionedPrune(spark: SparkSession, sf: String): DataFrame = {
+    val path = Tables.scratchDir("graft_part_").resolve("docs").toString
+    graft.sources.Sinks.writePartitioned(
+      Tables.documents(spark, sf), path, Seq("lang"))
+    graft.sources.Sinks.readPartitioned(spark, path)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_project" -> scanProject,
     "sample_hash" -> sampleHash,
@@ -119,6 +136,7 @@ object Scans {
     "scan_events_ns" -> scanEventsNs,
     "scan_jsonl_roundtrip" -> scanJsonlRoundtrip,
     "scan_csv_roundtrip" -> scanCsvRoundtrip,
+    "scan_partitioned_prune" -> scanPartitionedPrune,
     "filter_pred" -> filterPred,
     "filter_expr" -> filterExpr
   )
@@ -138,6 +156,8 @@ object Scans {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_csv_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "scan_partitioned_prune" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
     "filter_pred" ->
       ("SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem " +
         "WHERE ((l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59') " +
