@@ -129,6 +129,20 @@ object Scans {
       .orderBy("doc_id")
   }
 
+  /** ORC round trip on the mixed-type part table (int64, string×3,
+    * int32, double): Spark's second columnar format, written and read
+    * back with the explicit original schema. Completes the format
+    * matrix (parquet, partitioned parquet, JSONL, CSV, ORC); the oracle
+    * reads the ORIGINAL parquet, so any type-mapping loss in the ORC
+    * writer/reader pair is a hash failure. */
+  def scanOrcRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.part(spark, sf)
+    val path = Tables.scratchDir("graft_orc_").resolve("part").toString
+    d.write.orc(path)
+    spark.read.schema(d.schema).orc(path)
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_project" -> scanProject,
     "sample_hash" -> sampleHash,
@@ -136,6 +150,7 @@ object Scans {
     "scan_events_ns" -> scanEventsNs,
     "scan_jsonl_roundtrip" -> scanJsonlRoundtrip,
     "scan_csv_roundtrip" -> scanCsvRoundtrip,
+    "scan_orc_roundtrip" -> scanOrcRoundtrip,
     "scan_partitioned_prune" -> scanPartitionedPrune,
     "filter_pred" -> filterPred,
     "filter_expr" -> filterExpr
@@ -156,6 +171,8 @@ object Scans {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_csv_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "scan_orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part ORDER BY p_partkey",
     "scan_partitioned_prune" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
     "filter_pred" ->

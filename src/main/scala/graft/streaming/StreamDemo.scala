@@ -242,11 +242,60 @@ object StreamDemo {
       .orderBy("user_id", "s_start")
   }
 
+  /** STREAM-STREAM inner join with an event-time range condition: each
+    * `view` event joins the same user's `purchase` events landing in
+    * the 30 minutes after it. Both sides are watermarked, so Spark can
+    * bound the join state — a view's state entry is dropped once the
+    * watermark proves no future purchase can land inside its window
+    * (the range condition gives the state-value watermark), and
+    * symmetrically for purchases. This is THE unbounded-stream join
+    * shape: without the time bound the state grows forever; with it,
+    * state is O(events per watermark horizon) regardless of stream
+    * length. Inner-join matches emit as found (append mode), so over a
+    * finite backlog the result equals the batch theta-join — which is
+    * exactly the oracle. Same parquet-sink/read-back pattern as the
+    * other streaming queries: nothing driver-resident. */
+  /** The unexecuted stream-stream join behind [[joinStream]] — exposed
+    * so PlanSuite can assert BOTH sides carry an EventTimeWatermark
+    * (without them the join state is unbounded). */
+  private[graft] def joinedStreams(spark: SparkSession, sf: String): DataFrame = {
+    val schema = graft.Tables.eventsRaw(spark, sf).schema
+    def side(tpe: String, pre: String): DataFrame =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+        .withColumn(s"${pre}_ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark(s"${pre}_ts", "10 minutes")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pre}_user"),
+          col("event_id").as(s"${pre}_id"), col(s"${pre}_ts"))
+    side("view", "v").join(side("purchase", "p"),
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"),
+        ntz(col("v_ts")).as("v_ts"), ntz(col("p_ts")).as("p_ts"))
+  }
+
+  def joinStream(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Tables.scratchDir("graft_ev_join_")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    withStateParts(spark) {
+      val q = joinedStreams(spark, sf)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).orderBy("user_id", "v_id", "p_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_stream" -> tumblingStream,
     "ev_append_stream" -> appendStream,
     "ev_session_stream" -> sessionStream,
-    "ev_custom_session_stream" -> customSessionStream
+    "ev_custom_session_stream" -> customSessionStream,
+    "ev_join_stream" -> joinStream
   )
 
   val oracle: Map[String, String] = Map(
@@ -269,7 +318,18 @@ object StreamDemo {
     // reproduces session_window semantics exactly, so the SAME oracle
     // audits the hand-written state machine.
     "ev_custom_session_stream" -> sessionStreamOracle,
-    "ev_session_stream" -> sessionStreamOracle
+    "ev_session_stream" -> sessionStreamOracle,
+    // Inner stream-stream join over a finite backlog emits every match
+    // (the watermark bounds state, it never suppresses an inner-join
+    // row), so the oracle is the plain batch theta-join at µs
+    // precision — identical arithmetic on both engines.
+    "ev_join_stream" ->
+      ("SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id, " +
+        "v.t AS v_ts, p.t AS p_ts " +
+        "FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'view') v " +
+        "JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'purchase') p " +
+        "ON v.user_id = p.user_id AND p.t > v.t AND p.t <= v.t + INTERVAL 30 MINUTE " +
+        "ORDER BY v.user_id, v_id, p_id")
   )
 
   private lazy val sessionStreamOracle: String =

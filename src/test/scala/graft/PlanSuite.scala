@@ -114,12 +114,23 @@ class PlanSuite extends SparkTestBase {
     // be vacuous at real cost.
     val skip = Set("join_cross",
       "ev_tumbling_stream", "ev_append_stream", "ev_session_stream",
-      "ev_custom_session_stream")
+      "ev_custom_session_stream", "ev_join_stream")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
       assert(!p.contains("CollectLimit"), s"$name plans a CollectLimit")
     }
+  }
+
+  test("stream-stream join watermarks BOTH sides (join state is bounded)") {
+    // A stream-stream join without watermarks on both inputs keeps
+    // every row in state forever; the time-range condition plus the two
+    // watermarks is what lets Spark evict — the difference between
+    // O(horizon) and O(stream) state at 100 TB.
+    val p = streaming.StreamDemo.joinedStreams(spark, sf)
+      .queryExecution.analyzed.toString
+    val n = "EventTimeWatermark".r.findAllIn(p).size
+    assert(n >= 2, s"expected a watermark on each join input, found $n")
   }
 
   test("IVF pair join reads the checkpointed assignment, not the k-means lineage") {
