@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Tables.{dec, rate, sumDec, tsLit}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY.md §2.4): group-agg, HAVING, DISTINCT aggs,
@@ -218,7 +218,41 @@ object Aggregates {
           .cast("double").as("rich_sum"))
       .orderBy("c_mktsegment")
 
+  /** Correlation / regression family — corr, sample covariance,
+    * least-squares slope+intercept of price on quantity per flag. NOT
+    * the native corr/covar/regr_* aggregates: their streaming
+    * co-moment updates are float-order-dependent (partial-merge order
+    * varies run to run and engine to engine). Instead all five stats
+    * derive from six EXACT decimal sums (n, Σx, Σy, Σx², Σy², Σxy —
+    * the same map-side-partial shuffle shape as any sum), combined in
+    * one fixed IEEE expression per stat and FLOAT-narrowed (D8). Same
+    * pattern the house stddev uses (aggStats). */
+  def aggCorr(spark: SparkSession, sf: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    def d(c: Column): Column = c.cast("double")
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .cast("float").as("corr_qp"),
+        ((d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))) /
+          (d(col("n")) - 1.0d)).cast("float").as("covar_qp"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+          .cast("float").as("slope"),
+        (((d(col("sy")) - ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))) * d(col("sx"))))
+          / d(col("n"))).cast("float").as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr" -> aggCorr,
     "agg_percentile" -> aggPercentile,
     "agg_condagg" -> aggCondAgg,
     "agg_q1_pricing" -> aggQ1Pricing,
@@ -300,6 +334,27 @@ object Aggregates {
         "CAST(GROUPING(l_linestatus) AS INT) AS g_status " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    // Mirrors aggCorr's fixed IEEE combination of the six exact sums
+    // term for term — CTE d carries the double casts so both engines
+    // evaluate the identical expression tree.
+    "agg_corr" ->
+      ("WITH s AS (SELECT l_returnflag, COUNT(*) AS n, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag), " +
+        "d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+        "CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd, " +
+        "CAST(sxy AS DOUBLE) AS sxyd FROM s) " +
+        "SELECT l_returnflag, n, " +
+        "CAST((nd * sxyd - sxd * syd) / SQRT((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS REAL) AS corr_qp, " +
+        "CAST((sxyd - sxd * syd / nd) / (nd - 1.0) AS REAL) AS covar_qp, " +
+        "CAST((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS REAL) AS slope, " +
+        "CAST((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd AS REAL) AS intercept " +
+        "FROM d ORDER BY l_returnflag"),
     "agg_stats" ->
       ("SELECT l_returnflag, COUNT(*) AS n, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx, " +
         "MEDIAN(l_extendedprice) AS med, " +

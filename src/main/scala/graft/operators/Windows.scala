@@ -98,13 +98,34 @@ object Windows {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** first/last/nth value per customer order history — the navigation
+    * trio with an EXPLICIT full-partition frame. last_value and
+    * nth_value under the default frame (unbounded preceding → current
+    * row) are the classic window footgun: they'd return the running
+    * last/nth, not the partition's. The explicit frame is also the
+    * performant shape — an unbounded frame is computed once per
+    * partition, not per row. Order key made unique with the primary
+    * key (D3); nth_value(2) is NULL for single-order customers. */
+  def winFirstLast(spark: SparkSession, sf: String): DataFrame = {
+    val full = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        first(col("o_orderdate")).over(full).as("first_dt"),
+        last(col("o_orderdate")).over(full).as("last_dt"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_topk_per_group" -> winTopkPerGroup,
     "win_rank_dense" -> winRankDense,
     "win_lag_lead" -> winLagLead,
     "win_running_frame" -> winRunningFrame,
     "win_distribution" -> winDistribution,
-    "win_ntile" -> winNtile
+    "win_ntile" -> winNtile,
+    "win_first_last" -> winFirstLast
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,6 +162,14 @@ object Windows {
     "win_ntile" ->
       ("SELECT c_mktsegment, c_custkey, " +
         "ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile " +
-        "FROM customer ORDER BY c_mktsegment, c_custkey")
+        "FROM customer ORDER BY c_mktsegment, c_custkey"),
+    "win_first_last" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "first_value(o_orderdate) OVER w AS first_dt, " +
+        "last_value(o_orderdate) OVER w AS last_dt, " +
+        "nth_value(o_orderkey, 2) OVER w AS second_key " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey")
   )
 }

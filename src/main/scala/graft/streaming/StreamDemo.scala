@@ -290,12 +290,51 @@ object StreamDemo {
     spark.read.parquet(out).orderBy("user_id", "v_id", "p_id")
   }
 
+  /** Streaming EXACT DEDUP of an at-least-once ingest: the events
+    * backlog read through two file sources and stream-stream UNIONed —
+    * the duplicated-delivery shape of a retrying producer — then
+    * `dropDuplicatesWithinWatermark` on the event key. Dedup state
+    * holds one entry per key seen inside the watermark horizon and is
+    * evicted as the watermark passes; duplicates of a key always carry
+    * the key's event time, so they land inside the horizon by
+    * construction and the dedup guarantee is total. This is the
+    * production exactly-once-ingest shape over at-least-once transport
+    * — state O(keys per horizon), not O(stream) (plain dropDuplicates
+    * in streaming retains every key forever). Duplicate copies carry
+    * identical payloads, so whichever copy is kept the row is the same
+    * — deterministic, and the oracle is simply the original table. */
+  def dedupStream(spark: SparkSession, sf: String): DataFrame = {
+    val schema = graft.Tables.eventsRaw(spark, sf).schema
+    val dir = graft.Tables.scratchDir("graft_ev_ddup_")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def src(): DataFrame =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts2", "10 minutes")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts2"))
+    withStateParts(spark) {
+      val q = src().union(src())
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          ntz(col("ts2")).as("ts2"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_stream" -> tumblingStream,
     "ev_append_stream" -> appendStream,
     "ev_session_stream" -> sessionStream,
     "ev_custom_session_stream" -> customSessionStream,
-    "ev_join_stream" -> joinStream
+    "ev_join_stream" -> joinStream,
+    "ev_dedup_stream" -> dedupStream
   )
 
   val oracle: Map[String, String] = Map(
@@ -329,7 +368,14 @@ object StreamDemo {
         "FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'view') v " +
         "JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type = 'purchase') p " +
         "ON v.user_id = p.user_id AND p.t > v.t AND p.t <= v.t + INTERVAL 30 MINUTE " +
-        "ORDER BY v.user_id, v_id, p_id")
+        "ORDER BY v.user_id, v_id, p_id"),
+    // Every duplicated key is deduped (copies share the key's event
+    // time, so both land inside the watermark horizon) and copies are
+    // byte-identical, so the streaming result is exactly the original
+    // table.
+    "ev_dedup_stream" ->
+      ("SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts2 " +
+        "FROM events ORDER BY event_id")
   )
 
   private lazy val sessionStreamOracle: String =

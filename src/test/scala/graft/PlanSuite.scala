@@ -114,7 +114,7 @@ class PlanSuite extends SparkTestBase {
     // be vacuous at real cost.
     val skip = Set("join_cross",
       "ev_tumbling_stream", "ev_append_stream", "ev_session_stream",
-      "ev_custom_session_stream", "ev_join_stream")
+      "ev_custom_session_stream", "ev_join_stream", "ev_dedup_stream")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
