@@ -319,4 +319,23 @@ object GraftOps {
     graft.llm.Ann.assign(vecContract(df, idCol, vecCol), centroids, probes)
       .select(col("vec_id").as(idCol), col("cell"))
   }
+
+  /** Corpus-wide word-n-gram frequency table — the n-gram LM /
+    * contamination-index build: (ngram, cnt) for every whitespace
+    * n-gram occurring at least `minCount` times. One explode + one
+    * keyed count; map-side partials mean the shuffle carries (gram,
+    * partial-count) pairs, not token occurrences, and the `minCount`
+    * filter sits on the aggregate (HAVING shape). Output cardinality
+    * is bounded by distinct-ngram count, not corpus size. */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int,
+      minCount: Long): DataFrame =
+    df.withColumn("_graft_toks", split(col(textCol), " "))
+      .filter(size(col("_graft_toks")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(_graft_toks) - $n), " +
+          s"i -> array_join(slice(_graft_toks, i + 1, $n), ' '))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy("ngram")
 }

@@ -35,6 +35,22 @@ object Scalars {
         col("p_name").like("%er%").as("lk"))
       .orderBy("p_partkey")
 
+  /** Regex family beyond fn_string's basics: extract-ALL into an
+    * array, match counting, and a regex predicate. Patterns stay
+    * POSIX-simple (literal classes, no \b/lookaround) so Java regex
+    * and DuckDB's RE2 agree; counts are via regexp_extract_all length
+    * on both engines (DuckDB has no regexp_count). Per-row, linear,
+    * codegen'd — the scale profile of any scalar map. */
+  def fnRegex(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[aeiou]"), lit(0)))
+          .cast("long").as("n_vowels"),
+        regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0)).as("s_words"),
+        col("text").rlike("spark").as("has_spark"))
+      .orderBy("doc_id")
+
   /** Edit distance (fuzzy-matching primitive for near-dup text): both
     * engines implement classic Levenshtein DP — integer-exact parity. */
   def fnEditDist(spark: SparkSession, sf: String): DataFrame =
@@ -139,6 +155,7 @@ object Scalars {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fnString,
+    "fn_regex" -> fnRegex,
     "fn_editdist" -> fnEditDist,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -163,6 +180,11 @@ object Scalars {
         "regexp_replace(p_name, 'a', 'X', 'g') AS rep, lpad(CAST(p_size AS VARCHAR), 4, '0') AS lp, " +
         "string_split(p_name, ' ')[1] AS tok0, regexp_extract(p_name, '([a-z]+)', 1) AS rex, " +
         "p_name LIKE '%er%' AS lk FROM part ORDER BY p_partkey"),
+    "fn_regex" ->
+      ("SELECT doc_id, len(regexp_extract_all(text, '[aeiou]')) AS n_vowels, " +
+        "regexp_extract_all(text, 's[a-z]+') AS s_words, " +
+        "regexp_matches(text, 'spark') AS has_spark " +
+        "FROM documents ORDER BY doc_id"),
     "fn_editdist" ->
       ("SELECT p_partkey, CAST(levenshtein(p_name, 'standard part name') AS INTEGER) AS lev, " +
         "CAST(levenshtein(string_split(p_name, ' ')[1], string_split(p_type, ' ')[1]) AS INTEGER) AS lev_tok " +

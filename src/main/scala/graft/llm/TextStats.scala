@@ -119,7 +119,15 @@ object TextStats {
       d.filter(col("doc_id") < 10), "doc_id", "text", 3)
   }
 
+  /** Corpus-wide word-bigram frequency table (corpus binding of
+    * [[graft.api.GraftOps.ngramCounts]]): the n-gram LM /
+    * contamination-index build, bigrams occurring ≥ 5 times. */
+  def ngramCounts(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.ngramCounts(
+      Tables.documents(spark, sf), "text", n = 2, minCount = 5L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_counts" -> ngramCounts,
     "llm_tfidf" -> tfidf,
     "llm_text_stats" -> textStats,
     "llm_lang_filter" -> langFilter,
@@ -132,6 +140,12 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_ngram_counts" ->
+      ("WITH ts AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
+        "g AS (SELECT ts[i+1] || ' ' || ts[i+2] AS ngram " +
+        "FROM ts, LATERAL (SELECT unnest(range(len(ts) - 1)) AS i) t) " +
+        "SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram " +
+        "HAVING COUNT(*) >= 5 ORDER BY ngram"),
     "llm_tfidf" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), " +

@@ -251,7 +251,26 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Array aggregation: the per-group value LIST. collect_list's
+    * element order is partition-arrival order — nondeterministic — so
+    * the aggregate is wrapped in array_sort, making the array a pure
+    * function of the group's contents (the only defensible contract
+    * for a distributed collect). Group arrays stay bounded by group
+    * size; at 100 TB this is the "small groups, many of them" shape —
+    * a group too large to collect shouldn't use collect at all. */
+  def aggCollect(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(col("c_acctbal"))).as("bals"))
+      .select(col("c_nationkey"), col("n"),
+        element_at(col("bals"), 1).as("low"),
+        element_at(col("bals"), -1).as("high"),
+        col("bals"))
+      .orderBy("c_nationkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_collect" -> aggCollect,
     "agg_corr" -> aggCorr,
     "agg_percentile" -> aggPercentile,
     "agg_condagg" -> aggCondAgg,
@@ -334,6 +353,12 @@ object Aggregates {
         "CAST(GROUPING(l_linestatus) AS INT) AS g_status " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "agg_collect" ->
+      ("SELECT c_nationkey, COUNT(*) AS n, " +
+        "list(c_acctbal ORDER BY c_acctbal)[1] AS low, " +
+        "list(c_acctbal ORDER BY c_acctbal)[-1] AS high, " +
+        "list(c_acctbal ORDER BY c_acctbal) AS bals " +
+        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
     // Mirrors aggCorr's fixed IEEE combination of the six exact sums
     // term for term — CTE d carries the double casts so both engines
     // evaluate the identical expression tree.

@@ -316,6 +316,12 @@ class PropertySuite extends SparkTestBase {
     assert(ov(1L) == 1000L && ov(2L) == 1000L,
       s"identical/self docs must be fully contaminated: $ov")
     assert(ov(3L) == 0L, s"disjoint doc must have zero overlap: $ov")
+    // n-gram counts on the colliding frame: docs 1/2 are identical, so
+    // each of their 6 bigrams occurs exactly twice; docs 3/4 contribute
+    // singletons only.
+    val ng = api.GraftOps.ngramCounts(docs, "body", 2, 2L).collect()
+    assert(ng.length == 6 && ng.forall(_.getLong(1) == 2L),
+      s"expected 6 bigrams of count 2: ${ng.toSeq}")
   }
 
   test("GraftOps ivfFit/ivfAssign: fit once, assign many, foreign columns") {
