@@ -320,6 +320,37 @@ object GraftOps {
       .select(col("vec_id").as(idCol), col("cell"))
   }
 
+  /** Composite quality gate — the C4/Gopher-style filter chain as one
+    * composable decision: token-count bounds, a bigram-repetition cap
+    * (via [[repetitionRatio]]) and a stopword-ratio floor, every
+    * signal integer-milli exact. Output (idCol, n_tok, rep_milli,
+    * stop_milli, gate_bits, keep): gate_bits sets bit 0 for a length
+    * failure, bit 1 for repetition, bit 2 for stopwords — the
+    * drop-reason telemetry a production pipeline logs alongside the
+    * boolean. Cost: two linear per-row passes + one equi-join on the
+    * id; at corpus scale the join shuffles only (id, milli) pairs. */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minTok: Long, maxTok: Long, maxRepMilli: Long,
+      minStopMilli: Long, stopwords: Seq[String]): DataFrame = {
+    val rep = repetitionRatio(df, idCol, textCol, 2)
+      .select(col("doc_id").as("_graft_rid"), col("rep_milli"))
+    val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    df.withColumn("_graft_toks", split(col(textCol), " "))
+      .select(col(idCol),
+        size(col("_graft_toks")).cast("long").as("n_tok"),
+        expr(s"cast(size(filter(_graft_toks, t -> $stopPred)) as bigint)")
+          .as("_graft_stop"))
+      .withColumn("stop_milli", expr("(_graft_stop * 1000) div n_tok"))
+      .join(rep, col(idCol) === col("_graft_rid"))
+      .select(col(idCol), col("n_tok"), col("rep_milli"), col("stop_milli"))
+      .withColumn("gate_bits",
+        when(col("n_tok") < minTok || col("n_tok") > maxTok, 1L).otherwise(0L)
+          + when(col("rep_milli") > maxRepMilli, 2L).otherwise(0L)
+          + when(col("stop_milli") < minStopMilli, 4L).otherwise(0L))
+      .withColumn("keep", col("gate_bits") === 0L)
+      .orderBy(idCol)
+  }
+
   /** Corpus-wide word-n-gram frequency table — the n-gram LM /
     * contamination-index build: (ngram, cnt) for every whitespace
     * n-gram occurring at least `minCount` times. One explode + one

@@ -126,7 +126,18 @@ object TextStats {
     graft.api.GraftOps.ngramCounts(
       Tables.documents(spark, sf), "text", n = 2, minCount = 5L)
 
+  /** Composite quality gate (corpus binding of
+    * [[graft.api.GraftOps.qualityGate]]): token-count bounds [20, 95],
+    * bigram repetition ≤ 80‰, stopword ratio ≥ 20‰ — thresholds set
+    * from the measured corpus quartiles so every rule discriminates. */
+  def qualityGate(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.qualityGate(
+      Tables.documents(spark, sf), "doc_id", "text",
+      minTok = 20L, maxTok = 95L, maxRepMilli = 80L, minStopMilli = 20L,
+      stopwords = Seq("the", "a", "of", "and", "in"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_quality_gate" -> qualityGate,
     "llm_ngram_counts" -> ngramCounts,
     "llm_tfidf" -> tfidf,
     "llm_text_stats" -> textStats,
@@ -140,6 +151,25 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    // Distinct hashed bigrams ≡ distinct string bigrams absent 64-bit
+    // collisions — the same contract llm_rep_ngram's oracle relies on.
+    "llm_quality_gate" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "s AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok, " +
+        "CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) * 1000 " +
+        "// CAST(len(ts) AS BIGINT) AS stop_milli FROM t), " +
+        "g AS (SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS bg " +
+        "FROM t, LATERAL (SELECT unnest(range(len(ts) - 1)) AS i) l), " +
+        "r AS (SELECT doc_id, (COUNT(*) - COUNT(DISTINCT bg)) * 1000 // COUNT(*) AS rep_milli " +
+        "FROM g GROUP BY doc_id) " +
+        "SELECT s.doc_id, n_tok, rep_milli, stop_milli, " +
+        "CAST(CASE WHEN n_tok < 20 OR n_tok > 95 THEN 1 ELSE 0 END " +
+        "+ CASE WHEN rep_milli > 80 THEN 2 ELSE 0 END " +
+        "+ CASE WHEN stop_milli < 20 THEN 4 ELSE 0 END AS BIGINT) AS gate_bits, " +
+        "(CASE WHEN n_tok < 20 OR n_tok > 95 THEN 1 ELSE 0 END " +
+        "+ CASE WHEN rep_milli > 80 THEN 2 ELSE 0 END " +
+        "+ CASE WHEN stop_milli < 20 THEN 4 ELSE 0 END) = 0 AS keep " +
+        "FROM s JOIN r ON s.doc_id = r.doc_id ORDER BY s.doc_id"),
     "llm_ngram_counts" ->
       ("WITH ts AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
         "g AS (SELECT ts[i+1] || ' ' || ts[i+2] AS ngram " +

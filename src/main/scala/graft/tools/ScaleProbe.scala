@@ -87,7 +87,11 @@ object ScaleProbe {
       "llm_decontaminate" ->
         (d => graft.llm.TextStats.decontaminate(spark, d).count()),
       "ev_session_stream" ->
-        (d => graft.streaming.StreamDemo.sessionStream(spark, d).count()))) {
+        (d => graft.streaming.StreamDemo.sessionStream(spark, d).count()),
+      "ev_join_stream" ->
+        (d => graft.streaming.StreamDemo.joinStream(spark, d).count()),
+      "ev_dedup_stream" ->
+        (d => graft.streaming.StreamDemo.dedupStream(spark, d).count()))) {
       fn(base): Unit
       val tb = time(s"$name base")(fn(base))
       val ts = time(s"$name x50/x100")(fn(scaled))

@@ -322,6 +322,16 @@ class PropertySuite extends SparkTestBase {
     val ng = api.GraftOps.ngramCounts(docs, "body", 2, 2L).collect()
     assert(ng.length == 6 && ng.forall(_.getLong(1) == 2L),
       s"expected 6 bigrams of count 2: ${ng.toSeq}")
+    // Quality gate on the colliding frame: all docs are unrepetitive
+    // and stopword-free, so with a stopword floor of 0 only the token
+    // bound bites — docs 3 (4 toks) and 4 (5 toks) fail bit 0.
+    val qg = api.GraftOps.qualityGate(docs, "docno", "body",
+        minTok = 5L, maxTok = 10L, maxRepMilli = 500L, minStopMilli = 0L,
+        stopwords = Seq("zz"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(qg(1L) == (0L, true) && qg(3L) == (1L, false)
+      && qg(4L) == (0L, true), s"unexpected gate rows: $qg")
   }
 
   test("GraftOps ivfFit/ivfAssign: fit once, assign many, foreign columns") {
