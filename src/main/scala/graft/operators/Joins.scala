@@ -208,7 +208,27 @@ object Joins {
       .crossJoin(Tables.nation(spark, sf).select("n_name"))
       .orderBy("r_name", "n_name")
 
+  /** Correlated LATERAL aggregate subquery — per customer, their order
+    * count and max order price computed "for this row" in the
+    * subquery. Catalyst DECORRELATES this into a plain aggregate +
+    * equi-join (no per-row re-execution — the nested-loop reading is
+    * the semantic model, not the plan), so it runs at the same cost as
+    * writing the join by hand; a scalar-aggregate lateral produces
+    * exactly one row per outer row, so zero-order customers surface
+    * with cnt 0 / NULL max rather than disappearing. SQL entry point:
+    * LATERAL has no Scala DSL surface. */
+  def joinLateral(spark: SparkSession, sf: String): DataFrame = {
+    Tables.customer(spark, sf).createOrReplaceTempView("customer")
+    Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    spark.sql(
+      "SELECT c_custkey, c_mktsegment, cnt, max_price " +
+        "FROM customer, LATERAL (SELECT COUNT(o_orderkey) AS cnt, " +
+        "MAX(o_totalprice) AS max_price FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_lateral" -> joinLateral,
     "join_inner_2way" -> joinInner2Way,
     "join_broadcast" -> joinBroadcast,
     "join_5way_q5" -> join5WayQ5,
@@ -272,6 +292,11 @@ object Joins {
         "WHERE rn = 1 ORDER BY p_id"),
     "join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "join_lateral" ->
+      ("SELECT c_custkey, c_mktsegment, cnt, max_price " +
+        "FROM customer, LATERAL (SELECT COUNT(o_orderkey) AS cnt, " +
+        "MAX(o_totalprice) AS max_price FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"),
     // Salting is invisible in the result: the oracle is the plain
     // join/aggregate over the same derived dim attribute.
     "join_salted_skew" ->

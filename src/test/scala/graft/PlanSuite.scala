@@ -122,6 +122,17 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("lateral aggregate subquery decorrelates to aggregate + equi-join") {
+    // The per-row semantic model must NOT survive into the plan: a
+    // correlated scalar-aggregate lateral should plan as one aggregate
+    // over orders plus one equi-join — re-executing the subquery per
+    // customer row would be O(customers × orders) at scale.
+    val p = plan(operators.Joins.joinLateral(spark, sf))
+    assert(p.contains("HashAggregate"), "expected the decorrelated aggregate")
+    assert(Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .exists(p.contains), "expected an equi-join, not per-row re-execution")
+  }
+
   test("stream-stream join watermarks BOTH sides (join state is bounded)") {
     // A stream-stream join without watermarks on both inputs keeps
     // every row in state forever; the time-range condition plus the two
