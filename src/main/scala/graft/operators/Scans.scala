@@ -143,7 +143,31 @@ object Scans {
       .orderBy("p_partkey")
   }
 
+  /** Schema EVOLUTION read: two parquet generations — an old one
+    * without `p_retailprice` and a new one with it — read together
+    * under `mergeSchema`. This is the multi-year data-lake reality at
+    * 100 TB (columns get added; history is never rewritten): the
+    * merged scan surfaces old rows with NULL for the new column.
+    * mergeSchema costs a footer read per file at planning, which is
+    * why it's an explicit option, not the default — turn it on only
+    * for evolving layouts. The oracle reconstructs the same frame from
+    * the original table, so any merge/coercion loss is a hash fail. */
+  def scanSchemaEvolution(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.part(spark, sf)
+    val dir = Tables.scratchDir("graft_evo_")
+    d.filter(col("p_partkey") % 2 === 0)
+      .select("p_partkey", "p_name", "p_brand")
+      .write.parquet(dir.resolve("gen1").toString)
+    d.filter(col("p_partkey") % 2 === 1)
+      .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+      .write.parquet(dir.resolve("gen2").toString)
+    spark.read.option("mergeSchema", "true")
+      .parquet(dir.resolve("gen1").toString, dir.resolve("gen2").toString)
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_schema_evolution" -> scanSchemaEvolution,
     "scan_project" -> scanProject,
     "sample_hash" -> sampleHash,
     "scan_schema_coerce" -> scanSchemaCoerce,
@@ -173,6 +197,10 @@ object Scans {
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "scan_orc_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part ORDER BY p_partkey",
+    "scan_schema_evolution" ->
+      ("SELECT p_partkey, p_name, p_brand, " +
+        "CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END AS p_retailprice " +
+        "FROM part ORDER BY p_partkey"),
     "scan_partitioned_prune" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
     "filter_pred" ->
