@@ -40,14 +40,18 @@ object Scalars {
     * POSIX-simple (literal classes, no \b/lookaround) so Java regex
     * and DuckDB's RE2 agree; counts are via regexp_extract_all length
     * on both engines (DuckDB has no regexp_count). Per-row, linear,
-    * codegen'd — the scale profile of any scalar map. */
+    * codegen'd — the scale profile of any scalar map. The extract-all
+    * array is emitted pipe-joined: the driver's pandas compare can't
+    * sort/hash ndarray cells, and a delimited string carries the exact
+    * same information (element order is the match order — stable). */
   def fnRegex(spark: SparkSession, sf: String): DataFrame =
     Tables.documents(spark, sf)
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit("[aeiou]"), lit(0)))
           .cast("long").as("n_vowels"),
-        regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0)).as("s_words"),
+        array_join(regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0)), "|")
+          .as("s_words"),
         col("text").rlike("spark").as("has_spark"))
       .orderBy("doc_id")
 
@@ -182,7 +186,7 @@ object Scalars {
         "p_name LIKE '%er%' AS lk FROM part ORDER BY p_partkey"),
     "fn_regex" ->
       ("SELECT doc_id, len(regexp_extract_all(text, '[aeiou]')) AS n_vowels, " +
-        "regexp_extract_all(text, 's[a-z]+') AS s_words, " +
+        "coalesce(array_to_string(regexp_extract_all(text, 's[a-z]+'), '|'), '') AS s_words, " +
         "regexp_matches(text, 'spark') AS has_spark " +
         "FROM documents ORDER BY doc_id"),
     "fn_editdist" ->

@@ -257,7 +257,11 @@ object Aggregates {
     * function of the group's contents (the only defensible contract
     * for a distributed collect). Group arrays stay bounded by group
     * size; at 100 TB this is the "small groups, many of them" shape —
-    * a group too large to collect shouldn't use collect at all. */
+    * a group too large to collect shouldn't use collect at all.
+    * The full array is emitted as integer cents pipe-joined into one
+    * string: the driver's pandas compare can't sort/hash ndarray
+    * cells, and round(bal*100) is exact for money-valued doubles, so
+    * the string is a lossless, engine-stable image of the array. */
   def aggCollect(spark: SparkSession, sf: String): DataFrame =
     Tables.customer(spark, sf)
       .groupBy(col("c_nationkey"))
@@ -266,7 +270,9 @@ object Aggregates {
       .select(col("c_nationkey"), col("n"),
         element_at(col("bals"), 1).as("low"),
         element_at(col("bals"), -1).as("high"),
-        col("bals"))
+        array_join(
+          transform(col("bals"), b => round(b * 100).cast("long").cast("string")),
+          "|").as("bals"))
       .orderBy("c_nationkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -357,7 +363,8 @@ object Aggregates {
       ("SELECT c_nationkey, COUNT(*) AS n, " +
         "list(c_acctbal ORDER BY c_acctbal)[1] AS low, " +
         "list(c_acctbal ORDER BY c_acctbal)[-1] AS high, " +
-        "list(c_acctbal ORDER BY c_acctbal) AS bals " +
+        "array_to_string(list(CAST(round(c_acctbal * 100) AS BIGINT) " +
+        "ORDER BY c_acctbal), '|') AS bals " +
         "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
     // Mirrors aggCorr's fixed IEEE combination of the six exact sums
     // term for term — CTE d carries the double casts so both engines
