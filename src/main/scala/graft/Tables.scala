@@ -93,9 +93,21 @@ object Tables {
   /** Temp dir removed RECURSIVELY at JVM exit. `File.deleteOnExit`
     * silently skips non-empty directories, so the parquet sink /
     * checkpoint / superstep trees written under these would otherwise
-    * leak on disk across every run. */
+    * leak on disk across every run.
+    *
+    * Scratch lives on tmpfs (`/dev/shm`) when available: streaming
+    * checkpoints fsync every microbatch commit, and on a disk-backed
+    * /tmp that fsync is the dominant fixed cost of each short-lived
+    * streaming query. On a cluster the analog is the job-scoped fast
+    * scratch tier (local SSD / memory-backed volume) — durable
+    * production checkpoints belong on shared storage instead, which a
+    * deployment selects by passing its own checkpoint path. */
   def scratchDir(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles()
