@@ -19,7 +19,8 @@ object SparkEntry {
       graft.llm.Dedup.queries ++ graft.llm.Similarity.queries ++
       graft.llm.TextStats.queries ++ graft.llm.TextHash.queries ++
       graft.llm.LangId.queries ++ graft.llm.Ann.queries ++
-      graft.llm.Multimodal.queries ++ graft.streaming.StreamDemo.queries
+      graft.llm.Multimodal.queries ++ graft.llm.Curation.queries ++
+      graft.streaming.StreamDemo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.llm.Dedup.oracle ++ graft.llm.Similarity.oracle ++
       graft.llm.TextStats.oracle ++ graft.llm.TextHash.oracle ++
       graft.llm.LangId.oracle ++ graft.llm.Ann.oracle ++
-      graft.llm.Multimodal.oracle ++ graft.streaming.StreamDemo.oracle
+      graft.llm.Multimodal.oracle ++ graft.llm.Curation.oracle ++
+      graft.streaming.StreamDemo.oracle
 }

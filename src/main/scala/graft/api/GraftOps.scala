@@ -369,4 +369,84 @@ object GraftOps {
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy("ngram")
+
+  // ------------------------------------------------------------------
+  // Corpus curation: packing, mixing, sampling, scrubbing
+  // ------------------------------------------------------------------
+
+  /** Sequence packing: assign documents to fixed token-budget packs
+    * for context-window-sized training batches. Packs are formed per
+    * shard (`shardCol`) in `idCol` order; a doc's pack is
+    * `cum_before div budget` where cum_before is the token count of
+    * the docs ahead of it in the shard — the standard streaming-pack
+    * approximation (a pack may straddle one boundary doc; exact
+    * first-fit would serialize). One partitioned window, no global
+    * ordering: shards pack in parallel, so the shape scales with the
+    * shard count, not the corpus. */
+  def seqPack(df: DataFrame, shardCol: String, idCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", expr("cum_before div " + budget))
+      .orderBy(shardCol, idCol)
+  }
+
+  /** Domain mixing under a per-source token budget: walk each
+    * source's docs in `idCol` order and keep them while the tokens
+    * already kept stay under `budget` (the doc that crosses the line
+    * is still taken — "first overflow included", so every non-empty
+    * source contributes). Returns the per-source mix actually
+    * achieved: docs kept, tokens kept, tokens available. Same
+    * partitioned-window shape as [[seqPack]] — parallel across
+    * sources. */
+  def mixBudget(df: DataFrame, shardCol: String, idCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("_graft_tok"))
+      .withColumn("_graft_before",
+        coalesce(sum(col("_graft_tok")).over(w), lit(0L)))
+      .groupBy(col(shardCol))
+      .agg(
+        count(when(col("_graft_before") < budget, 1)).as("n_kept"),
+        coalesce(sum(when(col("_graft_before") < budget,
+          col("_graft_tok"))), lit(0L)).as("tok_kept"),
+        sum(col("_graft_tok")).as("tok_avail"))
+      .orderBy(shardCol)
+  }
+
+  /** Deterministic importance sampling: keep a row with probability
+    * `weight / cap` using the engine-portable key-hash as the uniform
+    * draw — all-integer arithmetic (hash < weight * (2^32 div cap)),
+    * so both engines make the identical keep decision and re-runs are
+    * reproducible row-for-row. `weightCol` must be integral in
+    * [0, cap]. Pure per-row filter: no shuffle at all. */
+  def weightedSample(df: DataFrame, idCol: String,
+      weightCol: String, cap: Long): DataFrame = {
+    val slot = 4294967296L / cap
+    df.withColumn("_graft_h",
+        expr(s"(($idCol % 2147483648) * 2654435761) % 4294967296"))
+      .filter(col("_graft_h") < col(weightCol) * slot)
+      .drop("_graft_h")
+      .orderBy(idCol)
+  }
+
+  /** Pattern scrubbing (the PII-redaction plumbing): replace every
+    * match of `pattern` with `token` and report the per-doc hit
+    * count. Patterns stay RE2-safe (alternations / classes, no
+    * lookaround) so the same regex runs on any engine. Per-row map,
+    * linear scale. */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+      pattern: String, token: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+        .cast("long").as("n_hits"),
+      regexp_replace(col(textCol), lit(pattern), lit(token))
+        .as("redacted"))
+    .orderBy(idCol)
 }

@@ -157,7 +157,21 @@ object Scalars {
         expr("cast(bit_count(p_partkey) as bigint)").as("bc"))
       .orderBy("p_partkey")
 
+  /** Cryptographic digest family — the content-addressing primitives
+    * of exact dedup and cache keys at corpus scale: md5 and sha2-256
+    * over doc text, both emitted as lowercase hex by each engine.
+    * (xxhash64 stays out: Spark-native only.) Per-row map, linear. */
+  def fnHash(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"),
+        md5(concat(col("lang"), lit(":"), col("text"))).as("h_keyed"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_hash" -> fnHash,
     "fn_string" -> fnString,
     "fn_regex" -> fnRegex,
     "fn_editdist" -> fnEditDist,
@@ -170,6 +184,10 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_hash" ->
+      ("SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256, " +
+        "md5(concat(lang, ':', text)) AS h_keyed " +
+        "FROM documents ORDER BY doc_id"),
     "fn_bits" ->
       ("SELECT p_partkey, CAST(p_size << 3 AS BIGINT) AS sl, " +
         "CAST(p_partkey >> 2 AS BIGINT) AS sr, " +

@@ -1,0 +1,95 @@
+package graft.llm
+
+import graft.Tables
+import graft.api.GraftOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-curation operators (SURVEY.md §2.10 additions): sequence
+  * packing, domain mixing under token budgets, deterministic
+  * importance sampling, and pattern scrubbing. All four are thin
+  * corpus bindings of [[graft.api.GraftOps]] — the oracle gate
+  * verifies the API implementation itself.
+  *
+  * Scale notes: packing and mixing are partitioned windows (parallel
+  * across sources — no global sort), sampling and scrubbing are pure
+  * per-row maps (no shuffle). All arithmetic that decides an output
+  * row is integer-exact, so both engines agree bit-for-bit.
+  */
+object Curation {
+
+  /** Pack documents into 512-token training sequences per source. */
+  def seqPack(spark: SparkSession, sf: String): DataFrame =
+    GraftOps.seqPack(Tables.documents(spark, sf),
+      "source", "doc_id", "text", budget = 512L)
+
+  /** Per-source mix under a 2000-token budget, doc_id priority. */
+  def mixBudget(spark: SparkSession, sf: String): DataFrame =
+    GraftOps.mixBudget(Tables.documents(spark, sf),
+      "source", "doc_id", "text", budget = 2000L)
+
+  /** Length-weighted keep: P(keep) = min(n_chars, 400)/400 via the
+    * portable key hash — longer docs kept proportionally more often,
+    * the reweighting shape of quality-scored corpus sampling. */
+  def weightedSample(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    GraftOps.weightedSample(
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), col("n_chars"),
+          least(col("n_chars"), lit(400)).cast("long").as("w")),
+      "doc_id", "w", cap = 400L)
+  }
+
+  /** Scrub a term alternation, count hits per doc; the redacted text
+    * is emitted as its md5 so the dump stays narrow while still
+    * pinning every replaced byte. */
+  def redact(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    GraftOps.redact(Tables.documents(spark, sf),
+      "doc_id", "text", "customer|supplier", "[REDACTED]")
+      .select(col("doc_id"), col("n_hits"),
+        md5(col("redacted")).as("red_md5"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_seq_pack" -> seqPack,
+    "llm_mix_budget" -> mixBudget,
+    "llm_weighted_sample" -> weightedSample,
+    "llm_redact" -> redact
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_seq_pack" ->
+      ("WITH t AS (SELECT source, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+        "FROM documents) " +
+        "SELECT source, doc_id, n_tok, " +
+        "CAST(coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before, " +
+        "CAST(coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS pack_id " +
+        "FROM t ORDER BY source, doc_id"),
+    "llm_mix_budget" ->
+      ("WITH t AS (SELECT source, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "c AS (SELECT source, n_tok, " +
+        "coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before " +
+        "FROM t) " +
+        "SELECT source, COUNT(*) FILTER (cum_before < 2000) AS n_kept, " +
+        "CAST(coalesce(SUM(n_tok) FILTER (cum_before < 2000), 0) AS BIGINT) AS tok_kept, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS tok_avail " +
+        "FROM c GROUP BY source ORDER BY source"),
+    "llm_weighted_sample" ->
+      ("SELECT doc_id, n_chars, " +
+        "CAST(least(n_chars, 400) AS BIGINT) AS w FROM documents " +
+        "WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 " +
+        "< CAST(least(n_chars, 400) AS BIGINT) * 10737418 " +
+        "ORDER BY doc_id"),
+    "llm_redact" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, 'customer|supplier')) AS BIGINT) AS n_hits, " +
+        "md5(regexp_replace(text, 'customer|supplier', '[REDACTED]', 'g')) AS red_md5 " +
+        "FROM documents ORDER BY doc_id")
+  )
+}

@@ -275,7 +275,47 @@ object Aggregates {
           "|").as("bals"))
       .orderBy("c_nationkey")
 
+  /** MODE (most frequent value) per group, deterministic tie-break to
+    * the smallest value — native `mode()` leaves ties
+    * engine/arrival-order dependent, so both engines derive it from
+    * the same count + rank pipeline: two keyed shuffles, both on
+    * compact (group, value, cnt) partials, never on rows. */
+  def aggMode(spark: SparkSession, sf: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(desc("cnt"), asc("c_nationkey"))
+    Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"),
+        col("cnt").as("mode_cnt"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Equal-width HISTOGRAM with data-driven bounds: 10 buckets between
+    * the global min/max of o_totalprice. All bucket arithmetic runs in
+    * integer cents ((v-min)*10 div span — exact on both engines; float
+    * edges would disagree at bucket boundaries). The 1-row bounds
+    * aggregate joins back by broadcast (scalar-subquery shape), then
+    * one keyed count — the two-pass profile of any data-bounded
+    * histogram at scale. */
+  def aggHistogram(spark: SparkSession, sf: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val o = Tables.orders(spark, sf).select(cents.as("vc"))
+    val bounds = o.agg(min(col("vc")).as("lo"), max(col("vc")).as("hi"))
+    o.join(broadcast(bounds))
+      .select(expr("least((vc - lo) * 10 div (hi - lo + 1), 9)").as("bucket"),
+        col("lo"), col("hi"))
+      .groupBy(col("bucket"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> aggMode,
+    "agg_histogram" -> aggHistogram,
     "agg_collect" -> aggCollect,
     "agg_corr" -> aggCorr,
     "agg_percentile" -> aggPercentile,
@@ -294,6 +334,21 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      ("WITH c AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt " +
+        "FROM customer GROUP BY c_mktsegment, c_nationkey), " +
+        "r AS (SELECT c_mktsegment, c_nationkey, cnt, " +
+        "row_number() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY cnt DESC, c_nationkey ASC) AS rn FROM c) " +
+        "SELECT c_mktsegment, c_nationkey AS mode_nation, cnt AS mode_cnt " +
+        "FROM r WHERE rn = 1 ORDER BY c_mktsegment"),
+    "agg_histogram" ->
+      ("WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS vc " +
+        "FROM orders), " +
+        "b AS (SELECT MIN(vc) AS lo, MAX(vc) AS hi FROM o) " +
+        "SELECT least((vc - lo) * 10 // (hi - lo + 1), 9) AS bucket, " +
+        "lo, hi, COUNT(*) AS cnt " +
+        "FROM o, b GROUP BY 1, 2, 3 ORDER BY bucket"),
     "agg_condagg" ->
       ("SELECT c_mktsegment, COUNT(*) AS n, " +
         "CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS neg_cnt, " +

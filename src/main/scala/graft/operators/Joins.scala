@@ -227,7 +227,27 @@ object Joins {
         "ORDER BY c_custkey")
   }
 
+  /** Correlated SCALAR subquery in the projection — the other half of
+    * the decorrelation surface next to [[joinLateral]]'s FROM-clause
+    * form: a per-row COUNT and a per-row semi-membership flag, both
+    * referencing the outer key. Catalyst rewrites each into a left
+    * outer / existence join on the correlation key before planning, so
+    * the executed plan is two keyed joins against pre-aggregated
+    * partials — no per-row re-execution, the only shape that survives
+    * at scale. */
+  def subqScalarCorr(spark: SparkSession, sf: String): DataFrame = {
+    Tables.customer(spark, sf).createOrReplaceTempView("customer")
+    Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    spark.sql(
+      "SELECT c_custkey, " +
+        "(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders, " +
+        "EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') AS has_urgent " +
+        "FROM customer ORDER BY c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subq_scalar_corr" -> subqScalarCorr,
     "join_lateral" -> joinLateral,
     "join_inner_2way" -> joinInner2Way,
     "join_broadcast" -> joinBroadcast,
@@ -244,6 +264,12 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "subq_scalar_corr" ->
+      ("SELECT c_custkey, " +
+        "(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders, " +
+        "EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') AS has_urgent " +
+        "FROM customer ORDER BY c_custkey"),
     "join_inner_2way" ->
       "SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
     "join_broadcast" ->

@@ -94,7 +94,22 @@ object SortSet {
       .orderBy("k")
   }
 
+  /** INTERSECT ALL (bag semantics): each output occurrence is
+    * min(count_left, count_right) — order custkeys intersected with
+    * the urgent-priority sub-bag, so a customer appears
+    * min(n_orders, n_urgent_orders) times. Spark plans this as one
+    * keyed count-aggregate per side + a generate, the same
+    * compact-partials shuffle shape as EXCEPT ALL. */
+  def setIntersectAll(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+    o.select(col("o_custkey").as("k"))
+      .intersectAll(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k")))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_intersect_all" -> setIntersectAll,
     "sort_multi" -> sortMulti,
     "topk_limit" -> topkLimit,
     "topk_offset" -> topkOffset,
@@ -137,6 +152,9 @@ object SortSet {
       "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k",
     "set_except_all" ->
       ("SELECT * FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL " +
+        "SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT') t ORDER BY k"),
+    "set_intersect_all" ->
+      ("SELECT * FROM (SELECT o_custkey AS k FROM orders INTERSECT ALL " +
         "SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT') t ORDER BY k")
   )
 }

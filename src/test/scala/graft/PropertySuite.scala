@@ -422,4 +422,71 @@ class PropertySuite extends SparkTestBase {
       assert(j >= 0.9 && j <= 1.0)
     }
   }
+
+  test("seqPack: packs are contiguous per shard and budget-consistent") {
+    val packed = llm.Curation.seqPack(spark, sf).collect()
+    packed.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(1)).foreach { r =>
+        assert(r.getLong(3) == cum, s"$src cum_before mismatch")
+        assert(r.getLong(4) == cum / 512, s"$src pack_id mismatch")
+        cum += r.getLong(2)
+      }
+    }
+  }
+
+  test("mixBudget: kept tokens bounded by budget + one overflow doc") {
+    val mix = llm.Curation.mixBudget(spark, sf).collect()
+    val maxTok = Tables.documents(spark, sf)
+      .select(max(size(split(col("text"), " ")))).head().getInt(0)
+    mix.foreach { r =>
+      val (kept, avail) = (r.getLong(2), r.getLong(3))
+      assert(kept <= avail)
+      assert(r.getLong(1) >= 1, "every non-empty source contributes")
+      assert(kept < 2000L + maxTok || kept == avail,
+        s"source ${r.getString(0)} kept $kept >= budget+maxdoc")
+    }
+  }
+
+  test("weightedSample is deterministic and caps at full keep") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 500)).toDF("k", "wt")
+    val a = api.GraftOps.weightedSample(df, "k", "wt", 500L).collect()
+    val b = api.GraftOps.weightedSample(df, "k", "wt", 500L).collect()
+    assert(a.toSeq == b.toSeq, "same input must sample identically")
+    val rate = a.length / 1000.0
+    // w = k % 500 over 1..1000 has mean ~250 on cap 500 -> E ~ 0.5
+    assert(rate > 0.4 && rate < 0.6, s"rate $rate implausible")
+  }
+
+  test("redact leaves no pattern match behind and counts every hit") {
+    import spark.implicits._
+    val df = Seq((1L, "foo bar foo"), (2L, "baz"), (3L, "foofoo"))
+      .toDF("k", "body")
+    val red = api.GraftOps.redact(df, "k", "body", "foo", "[X]")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(red.toSeq == Seq((1L, 2L, "[X] bar [X]"), (2L, 0L, "baz"),
+      (3L, 2L, "[X][X]")))
+  }
+
+  test("histogram buckets partition the rows; mode dominates its group") {
+    val h = operators.Aggregates.aggHistogram(spark, sf).collect()
+    assert(h.map(_.getLong(3)).sum == Tables.orders(spark, sf).count())
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    val modes = operators.Aggregates.aggMode(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val counts = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"), col("c_nationkey")).count()
+      .groupBy(col("c_mktsegment")).agg(max(col("count")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(modes == counts, "mode count must equal the max group count")
+  }
+
+  test("bag identity: INTERSECT ALL + EXCEPT ALL partitions the bag") {
+    // B (urgent orders) is a sub-bag of A (all orders), so
+    // |A ∩all B| + |A \all B| == |A|.
+    val inter = operators.SortSet.setIntersectAll(spark, sf).count()
+    val exc = operators.SortSet.setExceptAll(spark, sf).count()
+    assert(inter + exc == Tables.orders(spark, sf).count())
+  }
 }
