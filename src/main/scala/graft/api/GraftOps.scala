@@ -436,6 +436,25 @@ object GraftOps {
       .orderBy(idCol)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the
+    * serving-prep compression step (4× smaller vectors, dot products
+    * in integer SIMD downstream). Per-vector scale = max|x|/127;
+    * quantized values use the fixed rule floor(x·127/max|x| + 0.5)
+    * (round-half-toward-+inf), which both engines evaluate as the
+    * identical IEEE expression — native round() half-handling is the
+    * one thing engines disagree on. All-zero vectors quantize to
+    * zeros with scale 0. Pure per-row map, no shuffle. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.withColumn("_graft_ma",
+        expr(s"array_max(transform($vecCol, x -> abs(cast(x as double))))"))
+      .select(col(idCol),
+        (col("_graft_ma") / 127.0d).cast("float").as("scale"),
+        expr(s"""array_join(transform($vecCol, x -> cast(cast(
+          CASE WHEN _graft_ma = 0.0d THEN 0.0d
+               ELSE floor(cast(x as double) * 127.0d / _graft_ma + 0.5d) END
+          as bigint) as string)), '|')""").as("q"))
+      .orderBy(idCol)
+
   /** Pattern scrubbing (the PII-redaction plumbing): replace every
     * match of `pattern` with `token` and report the per-doc hit
     * count. Patterns stay RE2-safe (alternations / classes, no

@@ -50,11 +50,16 @@ object Curation {
         md5(col("redacted")).as("red_md5"))
   }
 
+  /** Int8-quantize the corpus embeddings for serving. */
+  def embedQuant(spark: SparkSession, sf: String): DataFrame =
+    GraftOps.quantizeInt8(Tables.embeddings(spark, sf), "vec_id", "embedding")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_seq_pack" -> seqPack,
     "llm_mix_budget" -> mixBudget,
     "llm_weighted_sample" -> weightedSample,
-    "llm_redact" -> redact
+    "llm_redact" -> redact,
+    "llm_embed_quant" -> embedQuant
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,6 +95,16 @@ object Curation {
       ("SELECT doc_id, " +
         "CAST(len(regexp_extract_all(text, 'customer|supplier')) AS BIGINT) AS n_hits, " +
         "md5(regexp_replace(text, 'customer|supplier', '[REDACTED]', 'g')) AS red_md5 " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    "llm_embed_quant" ->
+      ("WITH m AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma " +
+        "FROM embeddings) " +
+        "SELECT vec_id, CAST(ma / 127.0 AS REAL) AS scale, " +
+        "array_to_string(list_transform(embedding, x -> CAST(CAST(" +
+        "CASE WHEN ma = 0.0 THEN 0.0 " +
+        "ELSE floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) END " +
+        "AS BIGINT) AS VARCHAR)), '|') AS q " +
+        "FROM m ORDER BY vec_id")
   )
 }

@@ -166,7 +166,33 @@ object Scans {
       .orderBy("p_partkey")
   }
 
+  /** Latest-wins upsert compaction (the MERGE INTO / CDC-ingest
+    * shape): a base snapshot unioned with a delta of re-stated rows,
+    * compacted to one row per key by generation priority. The window
+    * on the key is one keyed shuffle — the same cost as the join a
+    * MERGE would run; a lakehouse deployment buckets both sides by
+    * key so compaction never re-shuffles the snapshot. Base/delta are
+    * carved from orders by key residue (7∤k base, 3|k delta, so the
+    * overlap exercises both override and insert paths); the delta
+    * re-prices by +1.00 — exact in 2-dp money doubles. */
+  def scanUpsertMerge(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sf)
+    val base = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(1L).as("gen"))
+    val delta = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1.0d).as("o_totalprice"), lit(2L).as("gen"))
+    val w = Window.partitionBy("o_orderkey").orderBy(desc("gen"))
+    base.unionByName(delta)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_upsert_merge" -> scanUpsertMerge,
     "scan_schema_evolution" -> scanSchemaEvolution,
     "scan_project" -> scanProject,
     "sample_hash" -> sampleHash,
@@ -181,6 +207,17 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "scan_upsert_merge" ->
+      ("WITH u AS (" +
+        "SELECT o_orderkey, o_custkey, o_totalprice, CAST(1 AS BIGINT) AS gen " +
+        "FROM orders WHERE o_orderkey % 7 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_totalprice + 1.0, CAST(2 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 3 = 0), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey " +
+        "ORDER BY gen DESC) AS rn FROM u) " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, gen FROM r " +
+        "WHERE rn = 1 ORDER BY o_orderkey"),
     "scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "sample_hash" ->

@@ -118,7 +118,28 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    * user (streak detection — retention/engagement analysis, and the
+    * canonical rn-difference window trick: day − row_number is
+    * constant exactly within a consecutive run). One partitioned
+    * window + one keyed aggregate; at scale both operate per user
+    * key, so islands parallelize with user cardinality. */
+  def winIslands(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts2")).as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("island_start"),
+        max(col("day")).as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("island_start"), col("island_end"),
+        col("n_days"))
+      .orderBy("user_id", "island_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_islands" -> winIslands,
     "win_topk_per_group" -> winTopkPerGroup,
     "win_rank_dense" -> winRankDense,
     "win_lag_lead" -> winLagLead,
@@ -129,6 +150,15 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_islands" ->
+      ("WITH d AS (SELECT DISTINCT user_id, " +
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+        "r AS (SELECT user_id, day, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d) " +
+        "SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end, " +
+        "COUNT(*) AS n_days " +
+        "FROM r GROUP BY user_id, day - CAST(rn AS INTEGER) " +
+        "ORDER BY user_id, island_start"),
     "win_topk_per_group" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +

@@ -105,7 +105,26 @@ object Events {
       .orderBy("h", "event_type")
   }
 
+  /** Per-key rate limiting: keep the first 3 events per (user, hour)
+    * — the throttling/contribution-cap shape of ingest pipelines (cap
+    * what any one source adds to a training window). One partitioned
+    * row_number window with a unique tiebreak; the filter drops rows
+    * before anything downstream, so the cap also bounds every later
+    * stage's input. */
+  def evThrottle(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("hour"))
+      .orderBy(col("ts2"), col("event_id"))
+    Tables.events(spark, sf)
+      .withColumn("hour", ntz(date_trunc("hour", col("ts2"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("event_id"), col("user_id"), col("hour"), col("rn"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_throttle" -> evThrottle,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
@@ -115,6 +134,14 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_throttle" ->
+      ("SELECT event_id, user_id, hour, rn FROM (" +
+        "SELECT event_id, user_id, " +
+        "CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour, " +
+        "CAST(row_number() OVER (PARTITION BY user_id, " +
+        "date_trunc('hour', CAST(ts AS TIMESTAMP)) " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rn " +
+        "FROM events) t WHERE rn <= 3 ORDER BY event_id"),
     "ev_tumbling" ->
       ("SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, " +
         "COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val " +

@@ -77,21 +77,32 @@ object ScaleProbe {
       s
     }
 
+    // Materialize the FULL plan output: a bare count() lets Catalyst
+    // prune every projection that doesn't change cardinality (a
+    // per-row map like redact times as a parquet row count — nothing).
+    def full(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
     // Warm once per query shape, then time base vs scaled.
     for ((name, fn) <- Seq[(String, String => Long)](
-      "llm_tfidf" -> (d => graft.llm.TextStats.tfidf(spark, d).count()),
+      "llm_tfidf" -> (d => full(graft.llm.TextStats.tfidf(spark, d))),
       "llm_dedup_components" ->
-        (d => graft.llm.Dedup.dedupComponents(spark, d).count()),
+        (d => full(graft.llm.Dedup.dedupComponents(spark, d))),
       "llm_simhash_neardup" ->
-        (d => graft.llm.TextHash.simhashNearDup(spark, d).count()),
+        (d => full(graft.llm.TextHash.simhashNearDup(spark, d))),
       "llm_decontaminate" ->
-        (d => graft.llm.TextStats.decontaminate(spark, d).count()),
+        (d => full(graft.llm.TextStats.decontaminate(spark, d))),
+      "llm_seq_pack" ->
+        (d => full(graft.llm.Curation.seqPack(spark, d))),
+      "llm_mix_budget" ->
+        (d => full(graft.llm.Curation.mixBudget(spark, d))),
+      "llm_redact" ->
+        (d => full(graft.llm.Curation.redact(spark, d))),
       "ev_session_stream" ->
-        (d => graft.streaming.StreamDemo.sessionStream(spark, d).count()),
+        (d => full(graft.streaming.StreamDemo.sessionStream(spark, d))),
       "ev_join_stream" ->
-        (d => graft.streaming.StreamDemo.joinStream(spark, d).count()),
+        (d => full(graft.streaming.StreamDemo.joinStream(spark, d))),
       "ev_dedup_stream" ->
-        (d => graft.streaming.StreamDemo.dedupStream(spark, d).count()))) {
+        (d => full(graft.streaming.StreamDemo.dedupStream(spark, d))))) {
       fn(base): Unit
       val tb = time(s"$name base")(fn(base))
       val ts = time(s"$name x50/x100")(fn(scaled))

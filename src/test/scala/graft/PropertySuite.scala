@@ -482,6 +482,61 @@ class PropertySuite extends SparkTestBase {
     assert(modes == counts, "mode count must equal the max group count")
   }
 
+  test("upsert merge: every key once, delta wins exactly on overlap") {
+    val m = operators.Scans.scanUpsertMerge(spark, sf)
+    assert(m.count() == m.select("o_orderkey").distinct().count())
+    // gen 2 rows are exactly the delta keys (3 | k), incl. inserts of
+    // keys absent from base (21 | k is still present — delta wins).
+    val badGen = m.filter(
+      (col("o_orderkey") % 3 === 0 && col("gen") =!= 2L) ||
+        (col("o_orderkey") % 3 =!= 0 && col("gen") =!= 1L)).count()
+    assert(badGen == 0)
+  }
+
+  test("islands are disjoint, consecutive, and cover all active days") {
+    val isl = operators.Windows.winIslands(spark, sf).collect()
+    val activeDays = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts2"))).distinct().count()
+    assert(isl.map(_.getLong(3)).sum == activeDays,
+      "island day counts must cover every active (user, day)")
+    isl.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      sorted.foreach { r =>
+        val span = r.getDate(2).toLocalDate.toEpochDay -
+          r.getDate(1).toLocalDate.toEpochDay + 1
+        assert(span == r.getLong(3), "island must be gap-free")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getDate(1).toLocalDate.toEpochDay >
+            a.getDate(2).toLocalDate.toEpochDay + 1,
+            "adjacent islands must be separated by a gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("throttle caps every (user, hour) at 3 and keeps the earliest") {
+    val t = streaming.Events.evThrottle(spark, sf)
+    val over = t.groupBy("user_id", "hour").count()
+      .filter(col("count") > 3).count()
+    assert(over == 0)
+    assert(t.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
+  }
+
+  test("int8 quantization bounds and sign-preserves; dequant error <= scale/2") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vid", "emb")
+    val q = api.GraftOps.quantizeInt8(vecs, "vid", "emb").collect()
+    val r1 = q.find(_.getLong(0) == 1L).get
+    val vals = r1.getString(2).split('|').map(_.toLong)
+    assert(vals.toSeq == Seq(64L, -127L, 32L))
+    assert(math.abs(r1.getFloat(1) - 1.0f / 127f) < 1e-7)
+    val r2 = q.find(_.getLong(0) == 2L).get
+    assert(r2.getString(2) == "0|0|0" && r2.getFloat(1) == 0.0f)
+  }
+
   test("bag identity: INTERSECT ALL + EXCEPT ALL partitions the bag") {
     // B (urgent orders) is a sub-bag of A (all orders), so
     // |A ∩all B| + |A \all B| == |A|.
