@@ -123,7 +123,55 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Cohort retention: users grouped by first-active day (their
+    * cohort), counted by day offset since it — the engagement matrix
+    * behind every retention curve. Two keyed aggregates (per-user
+    * first day via min; distinct users per (cohort, offset)) — both
+    * compact-partial shuffles; the matrix is |days|² at most,
+    * independent of event volume. */
+  def evRetentionCohort(spark: SparkSession, sf: String): DataFrame = {
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts2")).as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_d"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("offset_d"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset_d")
+  }
+
+  /** Ordered funnel: per user, the view → click → purchase progression
+    * where each step must STRICTLY follow the previous one in event
+    * time (min-ts recurrence: step k = earliest event of type k after
+    * step k-1). Three keyed aggregate+join rounds, one per step — the
+    * funnel state per user is three timestamps, never an event list,
+    * and each round shuffles only (user, ts) pairs. */
+  def evFunnel(spark: SparkSession, sf: String): DataFrame = {
+    val perUser = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts2"))).as("t1"))
+    val withClick = Tables.events(spark, sf)
+      .join(perUser, "user_id")
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(when(col("event_type") === "click" && col("ts2") > col("t1"),
+        col("ts2"))).as("t2"))
+    val withBuy = Tables.events(spark, sf)
+      .join(withClick, "user_id")
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts2") > col("t2"),
+        col("ts2"))).as("t3"))
+    withBuy.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t1")).as("reached_view"),
+      count(col("t2")).as("reached_click"),
+      count(col("t3")).as("reached_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention_cohort" -> evRetentionCohort,
+    "ev_funnel" -> evFunnel,
     "ev_throttle" -> evThrottle,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
@@ -134,6 +182,25 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_retention_cohort" ->
+      ("WITH d AS (SELECT DISTINCT user_id, " +
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+        "c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id) " +
+        "SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS offset_d, " +
+        "COUNT(DISTINCT d.user_id) AS n_users " +
+        "FROM d JOIN c ON d.user_id = c.user_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "ev_funnel" ->
+      ("WITH s1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' " +
+        "THEN CAST(ts AS TIMESTAMP) END) AS t1 FROM events GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, s1.t1, MIN(CASE WHEN event_type = 'click' " +
+        "AND CAST(ts AS TIMESTAMP) > s1.t1 THEN CAST(ts AS TIMESTAMP) END) AS t2 " +
+        "FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, s1.t1), " +
+        "s3 AS (SELECT e.user_id, s2.t1, s2.t2, MIN(CASE WHEN event_type = 'purchase' " +
+        "AND CAST(ts AS TIMESTAMP) > s2.t2 THEN CAST(ts AS TIMESTAMP) END) AS t3 " +
+        "FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, s2.t1, s2.t2) " +
+        "SELECT COUNT(*) AS n_users, COUNT(t1) AS reached_view, " +
+        "COUNT(t2) AS reached_click, COUNT(t3) AS reached_purchase FROM s3"),
     "ev_throttle" ->
       ("SELECT event_id, user_id, hour, rn FROM (" +
         "SELECT event_id, user_id, " +

@@ -102,7 +102,11 @@ object ScaleProbe {
       "ev_join_stream" ->
         (d => full(graft.streaming.StreamDemo.joinStream(spark, d))),
       "ev_dedup_stream" ->
-        (d => full(graft.streaming.StreamDemo.dedupStream(spark, d))))) {
+        (d => full(graft.streaming.StreamDemo.dedupStream(spark, d))),
+      "ev_retention_cohort" ->
+        (d => full(graft.streaming.Events.evRetentionCohort(spark, d))),
+      "ev_funnel" ->
+        (d => full(graft.streaming.Events.evFunnel(spark, d))))) {
       fn(base): Unit
       val tb = time(s"$name base")(fn(base))
       val ts = time(s"$name x50/x100")(fn(scaled))

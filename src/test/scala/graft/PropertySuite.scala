@@ -537,6 +537,30 @@ class PropertySuite extends SparkTestBase {
     assert(r2.getString(2) == "0|0|0" && r2.getFloat(1) == 0.0f)
   }
 
+  test("funnel depths are monotone and bounded by the user count") {
+    val r = streaming.Events.evFunnel(spark, sf).head()
+    val (n, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n >= v && v >= c && c >= p && p >= 0,
+      s"funnel $n >= $v >= $c >= $p violated")
+  }
+
+  test("retention: offset-0 cell equals the cohort size, matrix covers all activity") {
+    val m = streaming.Events.evRetentionCohort(spark, sf).collect()
+    val cohortSizes = m.filter(_.getLong(1) == 0L)
+      .map(r => r.getDate(0) -> r.getLong(2)).toMap
+    // every user is active on their own cohort day, so each cohort's
+    // offset-0 count is the cohort's full population: no later offset
+    // can exceed it.
+    m.foreach { r =>
+      assert(r.getLong(2) <= cohortSizes(r.getDate(0)),
+        s"offset ${r.getLong(1)} exceeds cohort ${r.getDate(0)}")
+    }
+    val total = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts2"))).distinct().count()
+    assert(m.map(_.getLong(2)).sum == total,
+      "matrix cells must partition the distinct (user, day) activity")
+  }
+
   test("bag identity: INTERSECT ALL + EXCEPT ALL partitions the bag") {
     // B (urgent orders) is a sub-bag of A (all orders), so
     // |A ∩all B| + |A \all B| == |A|.
