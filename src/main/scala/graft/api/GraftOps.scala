@@ -458,14 +458,17 @@ object GraftOps {
   /** Pattern scrubbing (the PII-redaction plumbing): replace every
     * match of `pattern` with `token` and report the per-doc hit
     * count. Patterns stay RE2-safe (alternations / classes, no
-    * lookaround) so the same regex runs on any engine. Per-row map,
-    * linear scale. */
+    * lookaround) so the same regex runs on any engine; the pattern
+    * must not match the empty string. One regex SPLIT per row yields
+    * both outputs (segments − 1 hits; segments joined on the token ≡
+    * regexp_replace) — half the cost of the natural extract-all +
+    * replace pair, which scans the text twice. Per-row map, linear
+    * scale. */
   def redact(df: DataFrame, idCol: String, textCol: String,
       pattern: String, token: String): DataFrame =
-    df.select(col(idCol),
-      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
-        .cast("long").as("n_hits"),
-      regexp_replace(col(textCol), lit(pattern), lit(token))
-        .as("redacted"))
-    .orderBy(idCol)
+    df.withColumn("_graft_seg", split(col(textCol), pattern))
+      .select(col(idCol),
+        (size(col("_graft_seg")) - 1).cast("long").as("n_hits"),
+        array_join(col("_graft_seg"), token).as("redacted"))
+      .orderBy(idCol)
 }
