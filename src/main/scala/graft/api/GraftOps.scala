@@ -371,6 +371,99 @@ object GraftOps {
       .orderBy("ngram")
 
   // ------------------------------------------------------------------
+  // Keyed compaction / capping / event analytics
+  // ------------------------------------------------------------------
+
+  /** Latest-wins compaction (the MERGE INTO / CDC-upsert shape): one
+    * row per key, keeping the row that sorts FIRST by `orderCols`
+    * descending. `(key, orderCols)` must be unique or the winner is
+    * arbitrary. One keyed row_number shuffle — the cost of the join a
+    * MERGE would run. */
+  def latestWins(df: DataFrame, keyCol: String,
+      orderCols: String*): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+      .orderBy(keyCol)
+  }
+
+  /** Per-key rate limiting / contribution cap: the first `n` rows per
+    * key group in `orderCols` order (make the order unique for a
+    * deterministic cap). The rank is emitted under caller-chosen
+    * `rankCol`. Filters ahead of all downstream work, so the cap also
+    * bounds every later stage's input. */
+  def rateLimit(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], n: Int, rankCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= n)
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE dates per key via
+    * the rn-difference trick (day − row_number is constant exactly
+    * within a run). Input is reduced to the distinct (key, day) grain
+    * first. Returns (key, island_start, island_end, n_days). */
+  def islands(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    df.select(col(keyCol), col(dayCol)).distinct()
+      .withColumn("_graft_grp", date_sub(col(dayCol), row_number().over(w)))
+      .groupBy(col(keyCol), col("_graft_grp"))
+      .agg(min(col(dayCol)).as("island_start"),
+        max(col(dayCol)).as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select(col(keyCol), col("island_start"), col("island_end"),
+        col("n_days"))
+      .orderBy(keyCol, "island_start")
+  }
+
+  /** Cohort retention matrix: users keyed by first-active day,
+    * distinct-counted per day offset since it. Two keyed aggregates
+    * over the distinct (user, day) grain; the matrix is at most
+    * |days|², independent of event volume. Returns (cohort_day,
+    * offset_d, n_users). */
+  def retentionMatrix(df: DataFrame, userCol: String,
+      dayCol: String): DataFrame = {
+    val days = df.select(col(userCol), col(dayCol)).distinct()
+    val cohort = days.groupBy(col(userCol))
+      .agg(min(col(dayCol)).as("cohort_day"))
+    days.join(cohort, userCol)
+      .select(col("cohort_day"),
+        datediff(col(dayCol), col("cohort_day")).cast("long").as("offset_d"),
+        col(userCol))
+      .groupBy(col("cohort_day"), col("offset_d"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .orderBy("cohort_day", "offset_d")
+  }
+
+  /** Ordered funnel over arbitrary step values: step k = each user's
+    * earliest `typeCol == steps(k)` event STRICTLY after step k−1,
+    * then one count per depth (`n_users`, `reached_<step>`…). One
+    * conditional-aggregate+join round per step; per-user state is one
+    * timestamp per step, never an event list. */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = df.groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === steps.head, col(tsCol)))
+        .as("_graft_t1"))
+    val staged = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val groupCols = col(userCol) +: (1 to i).map(j => col(s"_graft_t$j"))
+        df.join(acc, userCol)
+          .groupBy(groupCols: _*)
+          .agg(min(when(col(typeCol) === step &&
+            col(tsCol) > col(s"_graft_t$i"), col(tsCol)))
+            .as(s"_graft_t${i + 1}"))
+    }
+    val counts = steps.zipWithIndex.map { case (s, i) =>
+      count(col(s"_graft_t${i + 1}")).as(s"reached_$s")
+    }
+    staged.agg(count(lit(1)).as("n_users"), counts: _*)
+  }
+
+  // ------------------------------------------------------------------
   // Corpus curation: packing, mixing, sampling, scrubbing
   // ------------------------------------------------------------------
 

@@ -176,7 +176,6 @@ object Scans {
     * overlap exercises both override and insert paths); the delta
     * re-prices by +1.00 — exact in 2-dp money doubles. */
   def scanUpsertMerge(spark: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, sf)
     val base = o.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -184,11 +183,7 @@ object Scans {
     val delta = o.filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey"), col("o_custkey"),
         (col("o_totalprice") + 1.0d).as("o_totalprice"), lit(2L).as("gen"))
-    val w = Window.partitionBy("o_orderkey").orderBy(desc("gen"))
-    base.unionByName(delta)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      .orderBy("o_orderkey")
+    graft.api.GraftOps.latestWins(base.unionByName(delta), "o_orderkey", "gen")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

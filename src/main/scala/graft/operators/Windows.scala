@@ -124,19 +124,11 @@ object Windows {
     * constant exactly within a consecutive run). One partitioned
     * window + one keyed aggregate; at scale both operate per user
     * key, so islands parallelize with user cardinality. */
-  def winIslands(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("day")
-    Tables.events(spark, sf)
-      .select(col("user_id"), to_date(col("ts2")).as("day")).distinct()
-      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
-      .groupBy(col("user_id"), col("grp"))
-      .agg(min(col("day")).as("island_start"),
-        max(col("day")).as("island_end"),
-        count(lit(1)).as("n_days"))
-      .select(col("user_id"), col("island_start"), col("island_end"),
-        col("n_days"))
-      .orderBy("user_id", "island_start")
-  }
+  def winIslands(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.islands(
+      Tables.events(spark, sf)
+        .select(col("user_id"), to_date(col("ts2")).as("day")),
+      "user_id", "day")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_islands" -> winIslands,

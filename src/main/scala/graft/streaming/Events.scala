@@ -111,17 +111,13 @@ object Events {
     * row_number window with a unique tiebreak; the filter drops rows
     * before anything downstream, so the cap also bounds every later
     * stage's input. */
-  def evThrottle(spark: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"), col("hour"))
-      .orderBy(col("ts2"), col("event_id"))
-    Tables.events(spark, sf)
-      .withColumn("hour", ntz(date_trunc("hour", col("ts2"))))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+  def evThrottle(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.rateLimit(
+      Tables.events(spark, sf)
+        .withColumn("hour", ntz(date_trunc("hour", col("ts2")))),
+      Seq("user_id", "hour"), Seq("ts2", "event_id"), 3, "rn")
       .select(col("event_id"), col("user_id"), col("hour"), col("rn"))
       .orderBy("event_id")
-  }
 
   /** Cohort retention: users grouped by first-active day (their
     * cohort), counted by day offset since it — the engagement matrix
@@ -129,18 +125,11 @@ object Events {
     * first day via min; distinct users per (cohort, offset)) — both
     * compact-partial shuffles; the matrix is |days|² at most,
     * independent of event volume. */
-  def evRetentionCohort(spark: SparkSession, sf: String): DataFrame = {
-    val days = Tables.events(spark, sf)
-      .select(col("user_id"), to_date(col("ts2")).as("day")).distinct()
-    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    days.join(cohort, "user_id")
-      .select(col("cohort_day"),
-        datediff(col("day"), col("cohort_day")).cast("long").as("offset_d"),
-        col("user_id"))
-      .groupBy(col("cohort_day"), col("offset_d"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy("cohort_day", "offset_d")
-  }
+  def evRetentionCohort(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.retentionMatrix(
+      Tables.events(spark, sf)
+        .select(col("user_id"), to_date(col("ts2")).as("day")),
+      "user_id", "day")
 
   /** Ordered funnel: per user, the view → click → purchase progression
     * where each step must STRICTLY follow the previous one in event
@@ -148,26 +137,9 @@ object Events {
     * step k-1). Three keyed aggregate+join rounds, one per step — the
     * funnel state per user is three timestamps, never an event list,
     * and each round shuffles only (user, ts) pairs. */
-  def evFunnel(spark: SparkSession, sf: String): DataFrame = {
-    val perUser = Tables.events(spark, sf)
-      .groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("ts2"))).as("t1"))
-    val withClick = Tables.events(spark, sf)
-      .join(perUser, "user_id")
-      .groupBy(col("user_id"), col("t1"))
-      .agg(min(when(col("event_type") === "click" && col("ts2") > col("t1"),
-        col("ts2"))).as("t2"))
-    val withBuy = Tables.events(spark, sf)
-      .join(withClick, "user_id")
-      .groupBy(col("user_id"), col("t1"), col("t2"))
-      .agg(min(when(col("event_type") === "purchase" && col("ts2") > col("t2"),
-        col("ts2"))).as("t3"))
-    withBuy.agg(
-      count(lit(1)).as("n_users"),
-      count(col("t1")).as("reached_view"),
-      count(col("t2")).as("reached_click"),
-      count(col("t3")).as("reached_purchase"))
-  }
+  def evFunnel(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.funnel(Tables.events(spark, sf),
+      "user_id", "event_type", "ts2", Seq("view", "click", "purchase"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_retention_cohort" -> evRetentionCohort,

@@ -537,6 +537,39 @@ class PropertySuite extends SparkTestBase {
     assert(r2.getString(2) == "0|0|0" && r2.getFloat(1) == 0.0f)
   }
 
+  test("keyed-analytics APIs work over foreign column names") {
+    import spark.implicits._
+    val ev = Seq(
+      (10L, "open", 1000L), (10L, "pay", 2000L), (10L, "open", 3000L),
+      (11L, "pay", 500L), (11L, "open", 600L),
+      (12L, "open", 100L)
+    ).toDF("acct", "kind", "tick")
+    val f = api.GraftOps.funnel(ev, "acct", "kind", "tick",
+      Seq("open", "pay")).head()
+    // acct 10 converts (pay after open); 11's pay precedes its open.
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) == ((3L, 3L, 1L)))
+    val lim = api.GraftOps.rateLimit(ev, Seq("acct"), Seq("tick"), 1, "pos")
+    assert(lim.count() == 3 && lim.filter(col("pos") =!= 1L).count() == 0)
+    val lw = api.GraftOps.latestWins(
+      ev.withColumn("ver", col("tick")), "acct", "ver")
+    assert(lw.count() == 3 &&
+      lw.filter(col("acct") === 10L).head().getLong(2) == 3000L)
+    val isl = api.GraftOps.islands(
+      Seq((1L, "2026-01-01"), (1L, "2026-01-02"), (1L, "2026-01-05"))
+        .toDF("k", "d").select(col("k"), col("d").cast("date").as("d")),
+      "k", "d")
+    assert(isl.count() == 2 &&
+      isl.head().getLong(3) == 2L, "run of 2 days + singleton")
+    val ret = api.GraftOps.retentionMatrix(
+      Seq((1L, "2026-01-01"), (1L, "2026-01-03"), (2L, "2026-01-03"))
+        .toDF("u", "d").select(col("u"), col("d").cast("date").as("d")),
+      "u", "d")
+    val cells = ret.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(cells == Set(("2026-01-01", 0L, 1L), ("2026-01-01", 2L, 1L),
+      ("2026-01-03", 0L, 1L)))
+  }
+
   test("funnel depths are monotone and bounded by the user count") {
     val r = streaming.Events.evFunnel(spark, sf).head()
     val (n, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
