@@ -122,6 +122,47 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("correlated scalar/EXISTS subqueries decorrelate to joins") {
+    val p = plan(operators.Joins.subqScalarCorr(spark, sf))
+    // After decorrelation nothing subquery-shaped survives execution:
+    // the COUNT becomes an aggregate + outer join, EXISTS an
+    // existence join — a surviving per-row subquery node would mean
+    // per-outer-row re-execution, the anti-scale shape.
+    assert(!p.contains("Subquery"), "subquery must not survive to execution")
+    assert(p.contains("HashAggregate"), "pre-aggregated COUNT side")
+  }
+
+  test("histogram bounds are broadcast, scan pruned to the value column") {
+    val p = plan(operators.Aggregates.aggHistogram(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "1-row bounds must broadcast, not shuffle")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"),
+      "histogram reads exactly the value column")
+  }
+
+  test("upsert merge is one keyed window, no join") {
+    val p = plan(operators.Scans.scanUpsertMerge(spark, sf))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "compaction via window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "latest-wins must not plan a join")
+  }
+
+  test("weighted sample is a map-side filter (only the result-sort exchange)") {
+    val p = plan(llm.Curation.weightedSample(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, // rangepartitioning for the final sort + AQE read
+      s"sampling filter must not shuffle, found $exchanges exchanges:\n$p")
+  }
+
+  test("seq_pack is one partitioned window shuffle plus the result sort") {
+    val p = plan(llm.Curation.seqPack(spark, sf))
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx <= 1, s"one hash exchange for the shard window, got $hashEx")
+    assert(!p.contains("SinglePartition"),
+      "packing must not funnel to a single partition")
+  }
+
   test("lateral aggregate subquery decorrelates to aggregate + equi-join") {
     // The per-row semantic model must NOT survive into the plan: a
     // correlated scalar-aggregate lateral should plan as one aggregate
