@@ -246,7 +246,53 @@ object Joins {
         "FROM customer ORDER BY c_custkey")
   }
 
+  /** One-time bucketed-table registration per (session, sf): both
+    * join sides written bucketed by the join key into session scratch
+    * (external-table path, in-memory catalog) — the write-once cost a
+    * lakehouse pays at ingest so every later join is co-located. */
+  private val bucketCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  private def bucketedTables(spark: SparkSession, sf: String): (String, String) =
+    bucketCache.getOrElseUpdate((spark.sparkContext.applicationId, sf), {
+      val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+      val (li, ord) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
+      val dir = Tables.scratchDir("graft_bkt_")
+      Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite")
+        .option("path", dir.resolve(li).toString)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+      Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .option("path", dir.resolve(ord).toString)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+      (li, ord)
+    })
+
+  /** Co-located bucketed join — the flagship shuffle-avoidance
+    * technique at 100 TB: both sides pre-bucketed by the join key (the
+    * ingest-time cost a lakehouse pays once), so the fact-fact
+    * SortMergeJoin reads bucket i against bucket i with NO exchange on
+    * either side — the plan property PlanSuite pins. The merge hint
+    * keeps the demonstration honest at test scale (a 2-column orders
+    * side would otherwise auto-broadcast, which bucketing is precisely
+    * the escape from when both sides are fact-sized). Revenue math is
+    * exact decimal (D7). */
+  def joinBucketed(spark: SparkSession, sf: String): DataFrame = {
+    val (li, ord) = bucketedTables(spark, sf)
+    spark.table(li).hint("merge")
+      .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> joinBucketed,
     "subq_scalar_corr" -> subqScalarCorr,
     "join_lateral" -> joinLateral,
     "join_inner_2way" -> joinInner2Way,
@@ -264,6 +310,15 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // The oracle reads the ORIGINAL tables: bucketing must be a pure
+    // physical-layout change — any row loss/dup in the bucketed write
+    // hash-fails here.
+    "join_bucketed" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "subq_scalar_corr" ->
       ("SELECT c_custkey, " +
         "(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders, " +

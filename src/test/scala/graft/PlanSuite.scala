@@ -122,6 +122,15 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("bucketed join is exchange-free on both sides") {
+    val p = plan(operators.Joins.joinBucketed(spark, sf))
+    assert(p.contains("SortMergeJoin"), "co-located fact-fact join is SMJ")
+    assert(!p.contains("hashpartitioning(l_orderkey") &&
+      !p.contains("hashpartitioning(o_orderkey"),
+      s"bucketing must eliminate both join-side exchanges:\n$p")
+    assert(p.contains("SelectedBucketsCount"), "scans must be bucket-aware")
+  }
+
   test("correlated scalar/EXISTS subqueries decorrelate to joins") {
     val p = plan(operators.Joins.subqScalarCorr(spark, sf))
     // After decorrelation nothing subquery-shaped survives execution:
