@@ -112,6 +112,25 @@ object Scans {
       .orderBy("c_custkey")
   }
 
+  /** Plain-text (line-oriented) round trip — the raw-corpus ingest
+    * format (one record per line, tab-keyed): completes the source
+    * matrix next to parquet/JSONL/CSV/ORC/partitioned. The read side
+    * re-parses with a limit-2 split so text containing further tabs
+    * would survive; line order is NOT relied on (the id travels in
+    * the line — the only line-format contract that scales past one
+    * file). Oracle reads the original parquet: any encode loss
+    * hash-fails. */
+  def scanTextRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val path = Tables.scratchDir("graft_txt_").resolve("docs").toString
+    Tables.documents(spark, sf)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")))
+      .write.text(path)
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\t", 2).getItem(1).as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Hive-partitioned layout round trip with partition pruning: the
     * documents table written one directory per `lang`, read back and
     * filtered to one language — the filter prunes at the FILE INDEX
@@ -188,6 +207,7 @@ object Scans {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_upsert_merge" -> scanUpsertMerge,
+    "scan_text_roundtrip" -> scanTextRoundtrip,
     "scan_schema_evolution" -> scanSchemaEvolution,
     "scan_project" -> scanProject,
     "sample_hash" -> sampleHash,
@@ -225,6 +245,8 @@ object Scans {
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts2, user_id, event_type, value FROM events ORDER BY event_id",
     "scan_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "scan_text_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "scan_csv_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "scan_orc_roundtrip" ->

@@ -130,7 +130,27 @@ object Windows {
         .select(col("user_id"), to_date(col("ts2")).as("day")),
       "user_id", "day")
 
+  /** RANGE-frame time window: per user, the rolling count/sum of
+    * event value over the trailing hour AT EACH EVENT — the
+    * continuous sliding aggregate (vs ev_sliding's discrete window
+    * grid). RANGE over epoch seconds (ns div 10^9: integer, exact,
+    * identical frame membership on both engines; RANGE includes
+    * peers, so same-second events agree by construction). Value sums
+    * in exact decimal (D2). One partitioned window — per-user
+    * parallel, frame bounded by the hour horizon. */
+  def winTimeRange(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("epoch_s")
+      .rangeBetween(-3600L, 0L)
+    Tables.eventsRaw(spark, sf)
+      .withColumn("epoch_s", expr("ts div 1000000000"))
+      .select(col("event_id"), col("user_id"), col("epoch_s"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        sum(Tables.dec(col("value"))).over(w).cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_time_range" -> winTimeRange,
     "win_islands" -> winIslands,
     "win_topk_per_group" -> winTopkPerGroup,
     "win_rank_dense" -> winRankDense,
@@ -142,6 +162,16 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_time_range" ->
+      ("WITH e AS (SELECT event_id, user_id, value, " +
+        "epoch_ns(ts) // 1000000000 AS epoch_s FROM events) " +
+        "SELECT event_id, user_id, epoch_s, " +
+        "COUNT(*) OVER w AS cnt_1h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h " +
+        "FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     "win_islands" ->
       ("WITH d AS (SELECT DISTINCT user_id, " +
         "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
