@@ -313,7 +313,19 @@ object Aggregates {
       .orderBy("bucket")
   }
 
+  /** LISTAGG / string_agg: per-group delimited value concatenation in
+    * sorted order (collect_list alone is arrival-order-nondeterministic
+    * — the sort makes the string a pure function of group contents).
+    * Same bounded-group discipline as aggCollect. */
+  def aggStringAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws("|", array_sort(collect_list(col("c_name")))).as("names"))
+      .orderBy("c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_agg" -> aggStringAgg,
     "agg_mode" -> aggMode,
     "agg_histogram" -> aggHistogram,
     "agg_collect" -> aggCollect,
@@ -334,6 +346,10 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_string_agg" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n, " +
+        "string_agg(c_name, '|' ORDER BY c_name) AS names " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "agg_mode" ->
       ("WITH c AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt " +
         "FROM customer GROUP BY c_mktsegment, c_nationkey), " +
