@@ -131,6 +131,36 @@ object Scans {
       .orderBy("doc_id")
   }
 
+  /** Corrupt-tolerant ingest: a JSONL drop containing 7 malformed
+    * lines read under PERMISSIVE mode with an explicit
+    * `_corrupt_record` column — real corpus drops always carry some
+    * damage, and the 100 TB contract is "quarantine and count, never
+    * abort, never silently drop". The result pins the good count, the
+    * corrupt count AND a content checksum over the good rows, so both
+    * over- and under-quarantine hash-fail. */
+  def scanCorruptTolerant(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val path = Tables.scratchDir("graft_corrupt_").resolve("drop").toString
+    Tables.documents(spark, sf)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+      .write.text(path)
+    spark.range(7)
+      .select(concat(lit("{broken json line "), col("id")).as("value"))
+      .write.mode("append").text(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("chars_good"))
+  }
+
   /** Hive-partitioned layout round trip with partition pruning: the
     * documents table written one directory per `lang`, read back and
     * filtered to one language — the filter prunes at the FILE INDEX
@@ -208,6 +238,7 @@ object Scans {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_upsert_merge" -> scanUpsertMerge,
     "scan_text_roundtrip" -> scanTextRoundtrip,
+    "scan_corrupt_tolerant" -> scanCorruptTolerant,
     "scan_schema_evolution" -> scanSchemaEvolution,
     "scan_project" -> scanProject,
     "sample_hash" -> sampleHash,
@@ -247,6 +278,9 @@ object Scans {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_text_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "scan_corrupt_tolerant" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_good, CAST(7 AS BIGINT) AS n_corrupt, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars_good FROM documents"),
     "scan_csv_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "scan_orc_roundtrip" ->

@@ -42,9 +42,13 @@ object Sinks {
 
   /** JSON-lines sink — the interchange format training-data pipelines
     * actually exchange (one JSON object per line, splittable,
-    * append-friendly). */
+    * append-friendly). Gzip-compressed like real corpus drops;
+    * Spark's codec layer keeps the files line-splittable per file
+    * (gzip members aren't byte-splittable — a 100 TB layout holds
+    * many moderate files rather than few huge ones, which the
+    * one-file-per-task writer produces naturally). */
   def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
 
   /** JSON-lines source with an EXPLICIT schema: at 100 TB a schema
     * inference pass is a full extra read of the corpus, so readers
