@@ -324,7 +324,22 @@ object Aggregates {
         concat_ws("|", array_sort(collect_list(col("c_name")))).as("names"))
       .orderBy("c_mktsegment")
 
+  /** Multiple DISTINCT aggregates over different columns in one pass —
+    * planned through Expand (each input row fans out once per distinct
+    * group), the one aggregate shape whose shuffle grows a small
+    * constant factor with the distinct count; pinned here so the cost
+    * is a deliberate choice, not an accident. */
+  def aggMultiDistinct(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderdate")).as("n_days"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_multi_distinct" -> aggMultiDistinct,
     "agg_string_agg" -> aggStringAgg,
     "agg_mode" -> aggMode,
     "agg_histogram" -> aggHistogram,
@@ -346,6 +361,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_multi_distinct" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n, " +
+        "COUNT(DISTINCT o_custkey) AS n_cust, " +
+        "COUNT(DISTINCT o_orderdate) AS n_days, " +
+        "COUNT(DISTINCT o_orderstatus) AS n_status " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "agg_string_agg" ->
       ("SELECT c_mktsegment, COUNT(*) AS n, " +
         "string_agg(c_name, '|' ORDER BY c_name) AS names " +
