@@ -488,6 +488,30 @@ object GraftOps {
       .orderBy(shardCol, idCol)
   }
 
+  /** Assemble the packed training sequences [[seqPack]] assigns:
+    * per (shard, pack), the member count, token total, and the
+    * concatenated text in id order (one string per pack — bounded by
+    * the pack budget + one overflow doc, so pack rows stay small no
+    * matter the corpus). Reuses seqPack's window, then one keyed
+    * aggregate; the id-sorted struct collect makes the concatenation
+    * a pure function of pack contents. */
+  def packTexts(df: DataFrame, shardCol: String, idCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val packed = seqPack(df, shardCol, idCol, textCol, budget)
+      .select(col(shardCol), col(idCol).as("_graft_id"),
+        col("n_tok"), col("pack_id"))
+    df.select(col(shardCol).as("_graft_sh"), col(idCol).as("_graft_id"),
+        col(textCol).as("_graft_tx"))
+      .join(packed.drop(shardCol), "_graft_id")
+      .groupBy(col("_graft_sh").as(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(_graft_id, _graft_tx))), s -> s._graft_tx), ' ')")
+          .as("packed"))
+      .orderBy(shardCol, "pack_id")
+  }
+
   /** Domain mixing under a per-source token budget: walk each
     * source's docs in `idCol` order and keep them while the tokens
     * already kept stay under `budget` (the doc that crosses the line

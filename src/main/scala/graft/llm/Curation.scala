@@ -50,12 +50,24 @@ object Curation {
         md5(col("redacted")).as("red_md5"))
   }
 
+  /** Assembled 512-token packs: the actual training-sequence build
+    * over [[seqPack]]'s assignment; the pack text is pinned by md5 so
+    * the dump stays narrow while every concatenated byte is checked. */
+  def packBuild(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    GraftOps.packTexts(Tables.documents(spark, sf),
+      "source", "doc_id", "text", budget = 512L)
+      .select(col("source"), col("pack_id"), col("n_docs"), col("tok"),
+        md5(col("packed")).as("pack_md5"))
+  }
+
   /** Int8-quantize the corpus embeddings for serving. */
   def embedQuant(spark: SparkSession, sf: String): DataFrame =
     GraftOps.quantizeInt8(Tables.embeddings(spark, sf), "vec_id", "embedding")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_seq_pack" -> seqPack,
+    "llm_pack_build" -> packBuild,
     "llm_mix_budget" -> mixBudget,
     "llm_weighted_sample" -> weightedSample,
     "llm_redact" -> redact,
@@ -73,6 +85,17 @@ object Curation {
         "CAST(coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS pack_id " +
         "FROM t ORDER BY source, doc_id"),
+    "llm_pack_build" ->
+      ("WITH t AS (SELECT source, doc_id, text, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT source, doc_id, text, n_tok, " +
+        "CAST(coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS pack_id " +
+        "FROM t) " +
+        "SELECT source, pack_id, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS tok, " +
+        "md5(string_agg(text, ' ' ORDER BY doc_id)) AS pack_md5 " +
+        "FROM c GROUP BY source, pack_id ORDER BY source, pack_id"),
     "llm_mix_budget" ->
       ("WITH t AS (SELECT source, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
