@@ -50,6 +50,27 @@ class GoldenSuite extends SparkTestBase {
     assert(streaming.StreamDemo.customSessionStream(spark, sf1).count() == 95391L)
   }
 
+  test("round-5 sf0.1 goldens: funnel / islands / buckets / packs / upsert") {
+    // DuckDB-oracle-verified at sf0.1 this round (tools/check.py full
+    // sweep). The events corpus is dense enough that every one of the
+    // 1,500 users completes view -> click -> purchase in order.
+    val f = streaming.Events.evFunnel(spark, sf1).head()
+    assert((f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3)) ==
+      ((1500L, 1500L, 1500L, 1500L)))
+    assert(operators.Windows.winIslands(spark, sf1).count() == 5584L)
+    val b = operators.Joins.joinBucketed(spark, sf1).head()
+    assert(b.getString(0) == "1-URGENT" && b.getLong(1) == 120566L)
+    assert(math.abs(b.getDouble(2) - 6.0787561747656e9) < 0.01)
+    val packs = llm.Curation.packBuild(spark, sf1)
+    assert(packs.count() == 535L)
+    assert(packs.filter(col("source") === "src0" && col("pack_id") === 0L)
+      .head().getString(4) == "4672759d2c07448d5e4d3919503c3e31")
+    assert(operators.Scans.scanUpsertMerge(spark, sf1).count() == 135714L)
+    assert(llm.Curation.weightedSample(spark, sf1).count() == 3478L)
+    val r0 = streaming.Events.evRetentionCohort(spark, sf1).head()
+    assert(r0.getLong(1) == 0L && r0.getLong(2) == 1338L)
+  }
+
   test("top cosine pair is (425, 1198, 0.600856) at sf0.1") {
     val r = llm.Similarity.knnCosine(spark, sf1).head()
     assert(r.getLong(0) == 425L && r.getLong(1) == 1198L)
