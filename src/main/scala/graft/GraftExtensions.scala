@@ -19,9 +19,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * shared with `register`, so the two paths can never drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorExprs.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
     }
+    // Whole-operator extension: the bounded per-key top-k planner
+    // strategy (graft.plans.TopKPerKey). GraftOps.topKPerKey also
+    // installs it lazily per session, so both entry paths work.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

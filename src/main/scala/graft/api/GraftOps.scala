@@ -374,6 +374,32 @@ object GraftOps {
   // Keyed compaction / capping / event analytics
   // ------------------------------------------------------------------
 
+  /** Bounded per-key top-k through the custom [[graft.plans.TopKPerKey]]
+    * operator: `row_number() <= k` semantics, heap execution — one
+    * streaming pass with O(keys × k) memory instead of the window
+    * plan's full per-partition sort (the spill shape at scale). Rows
+    * rank by `orderCol` DESC with `tieCol` ASC making the order total,
+    * so output and ranks are deterministic. Appends a `rn` rank
+    * column. Installs the planner strategy on first use. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String) = analyzed.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    org.apache.spark.sql.GraftDatasetShim.ofRows(spark,
+      graft.plans.TopKPerKey(
+        keyCols.map(attr),
+        Seq(SortOrder(attr(orderCol), Descending),
+          SortOrder(attr(tieCol), Ascending)),
+        k, analyzed))
+  }
+
   /** Latest-wins compaction (the MERGE INTO / CDC-upsert shape): one
     * row per key, keeping the row that sorts FIRST by `orderCols`
     * descending. `(key, orderCols)` must be unique or the winner is

@@ -27,6 +27,19 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** The same per-customer top-3 answered through the CUSTOM
+    * [[graft.plans.TopKPerKey]] operator (logical node + strategy +
+    * heap exec): one streaming pass, no per-partition sort — the
+    * whole-operator extension tier of the build rules. The oracle is
+    * the identical window SQL as win_topk_per_group, holding the
+    * custom exec to exact window semantics. */
+  def winTopkNative(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.topKPerKey(
+      Tables.orders(spark, sf)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+      .orderBy("o_custkey", "rn")
+
   /** rank / dense_rank (deterministic under ties) + ntile over a
     * unique order key. */
   def winRankDense(spark: SparkSession, sf: String): DataFrame = {
@@ -153,6 +166,7 @@ object Windows {
     "win_time_range" -> winTimeRange,
     "win_islands" -> winIslands,
     "win_topk_per_group" -> winTopkPerGroup,
+    "win_topk_native" -> winTopkNative,
     "win_rank_dense" -> winRankDense,
     "win_lag_lead" -> winLagLead,
     "win_running_frame" -> winRunningFrame,
@@ -181,6 +195,11 @@ object Windows {
         "COUNT(*) AS n_days " +
         "FROM r GROUP BY user_id, day - CAST(rn AS INTEGER) " +
         "ORDER BY user_id, island_start"),
+    "win_topk_native" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
     "win_topk_per_group" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +

@@ -122,6 +122,18 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("custom top-k operator plans heap exec with no sort, no window") {
+    val p = plan(operators.Windows.winTopkNative(spark, sf))
+    assert(p.contains("TopKPerKey"), "custom exec must appear in the plan")
+    assert(!p.contains("Window"), "no window operator")
+    // The only Sort allowed is the final result orderBy — none may sit
+    // under the custom exec (that's the cost it removes).
+    val lines = p.linesIterator.toSeq
+    val topkIdx = lines.indexWhere(_.contains("TopKPerKey"))
+    assert(!lines.drop(topkIdx + 1).exists(_.contains("Sort")),
+      "no per-partition sort below the heap exec")
+  }
+
   test("bucketed join is exchange-free on both sides") {
     val p = plan(operators.Joins.joinBucketed(spark, sf))
     assert(p.contains("SortMergeJoin"), "co-located fact-fact join is SMJ")

@@ -537,6 +537,28 @@ class PropertySuite extends SparkTestBase {
     assert(r2.getString(2) == "0|0|0" && r2.getFloat(1) == 0.0f)
   }
 
+  test("custom top-k equals the window top-k row-for-row on the corpus") {
+    val native = operators.Windows.winTopkNative(spark, sf).collect()
+    val window = operators.Windows.winTopkPerGroup(spark, sf).collect()
+    assert(native.toSeq == window.toSeq,
+      "heap exec must reproduce exact window semantics incl. ranks")
+  }
+
+  test("topKPerKey API: foreign columns, k > group size, determinism") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 9.0),
+      (2L, 20L, 1.0)).toDF("grp", "item", "score")
+    val r = api.GraftOps.topKPerKey(df, Seq("grp"), "score", "item", 2)
+      .orderBy("grp", "rn").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(3)))
+    // score ties broken by item asc; group 2 has fewer than k rows.
+    assert(r.toSeq == Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L)))
+    val again = api.GraftOps.topKPerKey(df, Seq("grp"), "score", "item", 2)
+      .orderBy("grp", "rn").collect()
+    assert(again.map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).toSeq
+      == r.toSeq)
+  }
+
   test("keyed-analytics APIs work over foreign column names") {
     import spark.implicits._
     val ev = Seq(
