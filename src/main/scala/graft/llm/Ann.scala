@@ -33,6 +33,23 @@ object Ann {
       .orderBy("x", "y")
   }
 
+  /** SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs →
+    * connected components → kept corpus (min-id keeper per cluster) —
+    * the modern-pipeline twin of the text-shingle dedup chain
+    * (llm_near_dedup → llm_dedup_components → llm_dedup_keep), keyed
+    * on meaning instead of surface form. Reuses the exact cosine pair
+    * generator and the superstep component engine; the final keep is
+    * one broadcast anti-join, so the corpus side never shuffles. */
+  def cosDedupKeep(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = cosNearDup(spark, sf).select(col("x"), col("y"))
+    val comps = Dedup.componentsOf(spark, pairs, rounds = 3)
+    val dropped = comps.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("vec_id"))
+    Tables.embeddings(spark, sf).select(col("vec_id"))
+      .join(broadcast(dropped), Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Signed projection onto Rademacher hyperplane `i` (SQL text —
     * identical integer arithmetic in both engines). */
   private def planeDot(i: Int): String =
@@ -349,6 +366,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_cos_neardup" -> cosNearDup,
+    "llm_cos_dedup_keep" -> cosDedupKeep,
     "llm_ann_lsh" -> annLsh,
     "llm_ann_ivf" -> annIvf,
     "llm_ann_ivf_probe" -> annIvfProbe,
@@ -370,6 +388,19 @@ object Ann {
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y"),
+    "llm_cos_dedup_keep" ->
+      ("WITH RECURSIVE p AS (SELECT x, y FROM (" +
+        "SELECT a.vec_id AS x, b.vec_id AS y, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t " +
+        "WHERE sim >= 0.45), " +
+        "e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y AS a, x AS b FROM p), " +
+        "vtx AS (SELECT DISTINCT a AS v FROM e), " +
+        "r AS (SELECT v AS src, v AS dst FROM vtx " +
+        "UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a), " +
+        "comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM r GROUP BY src) " +
+        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN " +
+        "(SELECT vec_id FROM comp WHERE vec_id <> component) ORDER BY vec_id"),
     "llm_ann_lsh" ->
       (s"WITH sig AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket FROM embeddings) " +
         "SELECT x, y, bucket, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.bucket AS bucket, " +

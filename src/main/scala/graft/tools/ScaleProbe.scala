@@ -106,7 +106,17 @@ object ScaleProbe {
       "ev_retention_cohort" ->
         (d => full(graft.streaming.Events.evRetentionCohort(spark, d))),
       "ev_funnel" ->
-        (d => full(graft.streaming.Events.evFunnel(spark, d))))) {
+        (d => full(graft.streaming.Events.evFunnel(spark, d))),
+      "win_time_range" ->
+        (d => full(graft.operators.Windows.winTimeRange(spark, d))),
+      // The custom heap top-k over the replicated events (top-3 per
+      // user by value): per-partition state is O(users × 3) however
+      // large the event volume — the property the operator exists for.
+      "topk_native_events" ->
+        (d => full(graft.api.GraftOps.topKPerKey(
+          graft.Tables.events(spark, d)
+            .select(col("user_id"), col("event_id"), col("value")),
+          Seq("user_id"), "value", "event_id", 3))))) {
       fn(base): Unit
       val tb = time(s"$name base")(fn(base))
       val ts = time(s"$name x50/x100")(fn(scaled))
