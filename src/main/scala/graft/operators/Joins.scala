@@ -291,7 +291,102 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Confs the bloom demo needs at PLAN time (exposed for PlanSuite):
+    * the runtime-filter optimizer sizes its decision for cluster scans
+    * (application side ≥ 10 GB by default), so the thresholds are
+    * lowered to make the sf-scale demo take the 100 TB plan; broadcast
+    * is disabled because a broadcast-able dim needs no bloom — the
+    * target shape is a shuffle join whose fact side is pre-filtered. */
+  private[graft] val bloomConfs = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def withConfs[T](spark: SparkSession,
+      kv: Seq[(String, String)])(f: => T): T = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The join under the bloom runtime filter: lineitem ⋈ the urgent
+    * orders, revenue-profiled per return flag. Catalyst's
+    * InjectRuntimeFilter plants `might_contain(bloom(o_orderkey))` on
+    * the LINEITEM SCAN — rows whose order key cannot be on the
+    * filtered build side are dropped before the shuffle, which at
+    * 100 TB is the difference between shuffling the whole fact table
+    * and shuffling the ~20% that survives the semi-filter. The bloom
+    * is a compact byte-array aggregate broadcast to every scan task
+    * (false positives only cost shuffle rows; the join stays exact). */
+  private[graft] def bloomJoinPlan(spark: SparkSession, sf: String): DataFrame = {
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Scored wrapper: the plan-time confs must hold when the lazy plan
+    * is optimized, so the result is materialized eagerly under them
+    * (scratch parquet, same pattern as the layout round-trips) and the
+    * read-back is returned. PlanSuite pins `might_contain` on the
+    * inner plan. */
+  def joinBloomPrune(spark: SparkSession, sf: String): DataFrame = {
+    val out = Tables.scratchDir("graft_bloom_").resolve("res").toString
+    withConfs(spark, bloomConfs) {
+      bloomJoinPlan(spark, sf).write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(out).orderBy("l_returnflag")
+  }
+
+  /** Dynamic partition pruning: supplier laid out one directory per
+    * nation (the selective-dimension layout of scan_partitioned_prune,
+    * session-cached), joined to the nation dim filtered to one region.
+    * The filter sits on the DIM side — statically the fact scan has no
+    * predicate — so Catalyst injects a dynamicpruning subquery into
+    * the fact's PartitionFilters, reusing the dim broadcast: only the
+    * ~5 of 25 nation directories that survive the region filter are
+    * ever opened. At 100 TB this is partition-level I/O elimination
+    * decided at RUN time — the lakehouse complement of the bloom
+    * filter's row-level pruning (PlanSuite pins both). */
+  def joinDppPrune(spark: SparkSession, sf: String): DataFrame = {
+    val fact = spark.read.parquet(dppSupplierDir(spark, sf))
+    val dim = Tables.nation(spark, sf)
+      .join(broadcast(Tables.region(spark, sf)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    fact.join(dim, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(dec(col("s_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy("n_name")
+  }
+
+  private val dppCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def dppSupplierDir(spark: SparkSession, sf: String): String =
+    dppCache.getOrElseUpdate((spark.sparkContext.applicationId, sf), {
+      val path = Tables.scratchDir("graft_dpp_").resolve("supplier").toString
+      graft.sources.Sinks.writePartitioned(
+        Tables.supplier(spark, sf)
+          .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey")),
+        path, Seq("s_nationkey"))
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prune" -> joinBloomPrune,
+    "join_dpp_prune" -> joinDppPrune,
     "join_bucketed" -> joinBucketed,
     "subq_scalar_corr" -> subqScalarCorr,
     "join_lateral" -> joinLateral,
@@ -310,6 +405,21 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_bloom_prune" ->
+      ("SELECT l_returnflag, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // The oracle reads the ORIGINAL supplier table: the hive layout
+    // must be a pure physical change — any row loss in the partitioned
+    // write (or a partition-column type drift) hash-fails here.
+    "join_dpp_prune" ->
+      ("SELECT n_name, COUNT(*) AS n_suppliers, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
     // The oracle reads the ORIGINAL tables: bucketing must be a pure
     // physical-layout change — any row loss/dup in the bucketed write
     // hash-fails here.

@@ -162,7 +162,29 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Truncated exponentially-weighted moving average per user — the
+    * online-smoothing shape of metric/telemetry pipelines. Dyadic
+    * weights (128·v₀ + 64·v₋₁ + … + 1·v₋₇ over the trailing 8 events,
+    * i.e. EWMA α=1/2 truncated where the weight underflows the cent)
+    * keep the arithmetic INTEGER: value is exact cents (D2), so the
+    * weighted sum in 1/128-cent units is a plain BIGINT on both
+    * engines — no float accumulation order to disagree on. One
+    * partitioned window with 7 bounded lags and a unique tiebreak
+    * (D3) — per-user parallel at any scale, state is 8 rows/key. */
+  def winEwma(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val terms = col("vc") * lit(128L) +: (1 to 7).map(k =>
+      coalesce(lag(col("vc"), k).over(w), lit(0L)) * lit(1L << (7 - k)))
+    Tables.eventsRaw(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .select(col("event_id"), col("user_id"), col("vc"),
+        terms.reduce(_ + _).as("ewma_c128"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma" -> winEwma,
     "win_time_range" -> winTimeRange,
     "win_islands" -> winIslands,
     "win_topk_per_group" -> winTopkPerGroup,
@@ -176,6 +198,20 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_ewma" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc FROM events) " +
+        "SELECT event_id, user_id, vc, " +
+        "vc * 128 + coalesce(lag(vc, 1) OVER w, 0) * 64 " +
+        "+ coalesce(lag(vc, 2) OVER w, 0) * 32 " +
+        "+ coalesce(lag(vc, 3) OVER w, 0) * 16 " +
+        "+ coalesce(lag(vc, 4) OVER w, 0) * 8 " +
+        "+ coalesce(lag(vc, 5) OVER w, 0) * 4 " +
+        "+ coalesce(lag(vc, 6) OVER w, 0) * 2 " +
+        "+ coalesce(lag(vc, 7) OVER w, 0) AS ewma_c128 " +
+        "FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id) " +
+        "ORDER BY event_id"),
     "win_time_range" ->
       ("WITH e AS (SELECT event_id, user_id, value, " +
         "epoch_ns(ts) // 1000000000 AS epoch_s FROM events) " +

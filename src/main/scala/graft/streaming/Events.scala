@@ -141,7 +141,37 @@ object Events {
     graft.api.GraftOps.funnel(Tables.events(spark, sf),
       "user_id", "event_type", "ts2", Seq("view", "click", "purchase"))
 
+  /** Per-type 3-sigma outlier profile — the anomaly-detection gate of
+    * a metrics/quality pipeline. Pass 1 is one keyed aggregate over
+    * exact integer cents (n, Σv, Σv² per type — map-side partials,
+    * tiny result); pass 2 broadcasts those stats back onto the linear
+    * scan and counts events with (n·v − Σv)² > 9·(n·Σv² − (Σv)²) —
+    * the population |z| > 3 test cleared of division and sqrt, so
+    * membership is integer-exact on both engines (the squares live in
+    * DECIMAL(38,0) here / HUGEINT in the oracle: ~10²⁶ at corpus
+    * sf 1000, well under 10³⁸). Two shuffles total at any scale, and
+    * the second is the same keyed agg shape as the first. */
+  def evZscoreOutlier(spark: SparkSession, sf: String): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.eventsRaw(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("vc"))).cast("decimal(38,0)").as("s"),
+      sum(d38(col("vc") * col("vc"))).cast("decimal(38,0)").as("sxx"))
+    val dev = d38(col("n")) * d38(col("vc")) - col("s")
+    val isOut = dev * dev > lit(9) * (d38(col("n")) * col("sxx") - col("s") * col("s"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min(col("n")).as("n"),
+        count(when(isOut, lit(1))).as("n_out"),
+        max(when(isOut, col("vc"))).as("max_out_cents"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_zscore_outlier" -> evZscoreOutlier,
     "ev_retention_cohort" -> evRetentionCohort,
     "ev_funnel" -> evFunnel,
     "ev_throttle" -> evThrottle,
@@ -154,6 +184,20 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_zscore_outlier" ->
+      ("WITH c AS (SELECT event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc FROM events), " +
+        "s AS (SELECT event_type, COUNT(*) AS n, " +
+        "SUM(CAST(vc AS HUGEINT)) AS sv, " +
+        "SUM(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) AS sxx " +
+        "FROM c GROUP BY event_type) " +
+        "SELECT c.event_type, CAST(MIN(n) AS BIGINT) AS n, " +
+        "COUNT(*) FILTER ((CAST(n AS HUGEINT) * vc - sv) * (CAST(n AS HUGEINT) * vc - sv) " +
+        "> 9 * (CAST(n AS HUGEINT) * sxx - sv * sv)) AS n_out, " +
+        "MAX(vc) FILTER ((CAST(n AS HUGEINT) * vc - sv) * (CAST(n AS HUGEINT) * vc - sv) " +
+        "> 9 * (CAST(n AS HUGEINT) * sxx - sv * sv)) AS max_out_cents " +
+        "FROM c JOIN s USING (event_type) " +
+        "GROUP BY c.event_type ORDER BY c.event_type"),
     "ev_retention_cohort" ->
       ("WITH d AS (SELECT DISTINCT user_id, " +
         "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +

@@ -332,7 +332,44 @@ object StreamDemo {
     spark.read.parquet(out).orderBy("event_id")
   }
 
+  /** Stream-STATIC enrichment — the most common production streaming
+    * shape: the event stream joins a slowly-changing dimension
+    * (customer segment, broadcast per microbatch; user_ids are drawn
+    * from the customer key space) and aggregates per (hour, segment)
+    * in append mode behind the same 10-min watermark as appendStream.
+    * The static side never enters the state store — state is only the
+    * open windows — and the parquet-sink/read-back keeps nothing
+    * driver-resident. At 100 TB the dim broadcast is the standard
+    * map-side enrich; a dim too big to broadcast becomes the bucketed
+    * join of joinBucketed instead. */
+  def enrichStream(spark: SparkSession, sf: String): DataFrame = {
+    val schema = graft.Tables.eventsRaw(spark, sf).schema
+    val dim = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dir = graft.Tables.scratchDir("graft_ev_enrich_")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    withStateParts(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts2", "10 minutes")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts2"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(graft.Tables.dec(col("value"))).cast("double").as("sum_val"))
+        .select(ntz(col("window.start")).as("hour_start"),
+          col("c_mktsegment"), col("cnt"), col("sum_val"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).orderBy("hour_start", "c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_enrich_stream" -> enrichStream,
     "ev_tumbling_stream" -> tumblingStream,
     "ev_append_stream" -> appendStream,
     "ev_session_stream" -> sessionStream,
@@ -345,6 +382,17 @@ object StreamDemo {
     "ev_tumbling_stream" ->
       ("SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, " +
         "COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // Same ms-floored watermark cutoff as ev_append_stream; the join
+    // to the static dim happens before windowing on both engines.
+    "ev_enrich_stream" ->
+      ("SELECT hour_start, c_mktsegment, cnt, sum_val FROM (" +
+        "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, " +
+        "c_mktsegment, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2) t " +
+        "WHERE hour_start + INTERVAL 1 HOUR <= (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) - INTERVAL 10 MINUTE FROM events) " +
+        "ORDER BY hour_start, c_mktsegment"),
     "ev_append_stream" ->
       ("SELECT hour_start, event_type, cnt FROM (" +
         "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, COUNT(*) AS cnt " +

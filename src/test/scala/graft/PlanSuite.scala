@@ -143,6 +143,25 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("SelectedBucketsCount"), "scans must be bucket-aware")
   }
 
+  test("bloom runtime filter lands on the fact scan") {
+    val p = operators.Joins.withConfs(spark, operators.Joins.bloomConfs) {
+      plan(operators.Joins.bloomJoinPlan(spark, sf01))
+    }
+    assert(p.contains("might_contain"),
+      s"InjectRuntimeFilter must plant a bloom probe on the lineitem side:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      "the build side must aggregate the compact bloom")
+  }
+
+  test("DPP: dim-side filter prunes fact partitions at run time") {
+    val df = operators.Joins.joinDppPrune(spark, sf01)
+    val p = plan(df)
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact PartitionFilters must carry the runtime dim subquery:\n$p")
+    // The join itself must stay broadcast (the DPP filter reuses it).
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("correlated scalar/EXISTS subqueries decorrelate to joins") {
     val p = plan(operators.Joins.subqScalarCorr(spark, sf))
     // After decorrelation nothing subquery-shaped survives execution:
