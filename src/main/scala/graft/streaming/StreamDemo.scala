@@ -368,7 +368,54 @@ object StreamDemo {
     spark.read.parquet(out).orderBy("hour_start", "c_mktsegment")
   }
 
+  /** Streaming CDC-upsert via foreachBatch — the idempotent MERGE
+    * sink every table format (Delta/Iceberg/Hudi) wraps: each
+    * microbatch latest-wins-merges into a keyed state table, swapped
+    * by generation directory (the commit-swap a real format does with
+    * a metadata pointer). The source is re-laid-out as 8 files and
+    * rate-limited to 2 per microbatch, so the merge genuinely runs
+    * INCREMENTALLY (4 batches) — correct under any batch split
+    * because per-key latest-wins is associative: max(state, batch) ==
+    * max(all rows so far). Final state is one row per user (the
+    * latest event), which the batch oracle reproduces in one window.
+    * At 100 TB the per-batch merge cost is one keyed shuffle of
+    * (state ∪ batch) — the same price a MERGE INTO pays. */
+  def upsertStream(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.Tables.scratchDir("graft_ev_upsert_")
+    val src = dir.resolve("src").toString
+    // µs-truncated epoch key: DuckDB reads the ns parquet timestamp at
+    // µs precision, so the merge order key must live at µs on both
+    // engines (event_id breaks any residual tie deterministically).
+    graft.Tables.eventsRaw(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .repartition(8).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val gen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    withStateParts(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val g = gen.get()
+          val in = if (g < 0) batch
+            else batch.unionByName(
+              spark.read.parquet(dir.resolve(s"state$g").toString))
+          graft.api.GraftOps.latestWins(in, "user_id", "ts_us", "event_id")
+            .write.mode("overwrite")
+            .parquet(dir.resolve(s"state${g + 1}").toString)
+          gen.incrementAndGet()
+          ()
+        }
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(dir.resolve(s"state${gen.get()}").toString)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_upsert_stream" -> upsertStream,
     "ev_enrich_stream" -> enrichStream,
     "ev_tumbling_stream" -> tumblingStream,
     "ev_append_stream" -> appendStream,
@@ -382,6 +429,14 @@ object StreamDemo {
     "ev_tumbling_stream" ->
       ("SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, event_type, " +
         "COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // The incremental merge must equal the one-shot batch latest-wins
+    // (associativity is the thing under test).
+    "ev_upsert_stream" ->
+      ("WITH r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "SELECT event_id, user_id, ts_us, value FROM r WHERE rn = 1 " +
+        "ORDER BY user_id"),
     // Same ms-floored watermark cutoff as ev_append_stream; the join
     // to the static dim happens before windowing on both engines.
     "ev_enrich_stream" ->
