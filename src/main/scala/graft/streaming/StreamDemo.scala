@@ -373,34 +373,52 @@ object StreamDemo {
     * microbatch latest-wins-merges into a keyed state table, swapped
     * by generation directory (the commit-swap a real format does with
     * a metadata pointer). The source is re-laid-out as 8 files and
-    * rate-limited to 2 per microbatch, so the merge genuinely runs
-    * INCREMENTALLY (4 batches) — correct under any batch split
+    * rate-limited to 4 per microbatch, so the merge genuinely runs
+    * INCREMENTALLY (2 batches) — correct under any batch split
     * because per-key latest-wins is associative: max(state, batch) ==
     * max(all rows so far). Final state is one row per user (the
     * latest event), which the batch oracle reproduces in one window.
     * At 100 TB the per-batch merge cost is one keyed shuffle of
     * (state ∪ batch) — the same price a MERGE INTO pays. */
+  private val upsertSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The 8-file CDC source layout, written once per session+sf (the
+    * stream itself is the thing under test, not the re-layout). */
+  private def upsertSrc(spark: SparkSession, sf: String): String =
+    upsertSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, sf), {
+      val src = graft.Tables.scratchDir("graft_ev_upsrc_")
+        .resolve("src").toString
+      // µs-truncated epoch key: DuckDB reads the ns parquet timestamp
+      // at µs precision, so the merge order key must live at µs on
+      // both engines (event_id breaks residual ties).
+      graft.Tables.eventsRaw(spark, sf)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .repartition(8).write.mode("overwrite").parquet(src)
+      src
+    })
+
   def upsertStream(spark: SparkSession, sf: String): DataFrame = {
     val dir = graft.Tables.scratchDir("graft_ev_upsert_")
-    val src = dir.resolve("src").toString
-    // µs-truncated epoch key: DuckDB reads the ns parquet timestamp at
-    // µs precision, so the merge order key must live at µs on both
-    // engines (event_id breaks any residual tie deterministically).
-    graft.Tables.eventsRaw(spark, sf)
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("value"))
-      .repartition(8).write.mode("overwrite").parquet(src)
+    val src = upsertSrc(spark, sf)
     val schema = spark.read.parquet(src).schema
     val gen = new java.util.concurrent.atomic.AtomicInteger(-1)
     withStateParts(spark) {
       val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(src)
+        .option("maxFilesPerTrigger", "4").parquet(src)
         .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
           val g = gen.get()
           val in = if (g < 0) batch
             else batch.unionByName(
               spark.read.parquet(dir.resolve(s"state$g").toString))
-          graft.api.GraftOps.latestWins(in, "user_id", "ts_us", "event_id")
+          // latestWins minus its presentation sort: state files don't
+          // need a global order (the read-back sorts once at the end).
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts_us").desc, col("event_id").desc)
+          in.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
             .write.mode("overwrite")
             .parquet(dir.resolve(s"state${g + 1}").toString)
           gen.incrementAndGet()
