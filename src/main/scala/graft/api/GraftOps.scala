@@ -598,6 +598,52 @@ object GraftOps {
           as bigint) as string)), '|')""").as("q"))
       .orderBy(idCol)
 
+  /** Truncated EWMA (α = 1/2 over the trailing `2^(depth-1)`-weighted
+    * `depth` rows) per key — online metric smoothing whose dyadic
+    * weights keep the weighted sum INTEGER when `valueCol` is
+    * integral: no float accumulation order for engines to disagree
+    * on. Emits `ewma` in `2^(depth-1)`-units of the input. One
+    * partitioned window with `depth−1` bounded lags; make
+    * `orderCols` unique per key for a deterministic series. */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, depth: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    val terms = col(valueCol) * lit(1L << (depth - 1)) +:
+      (1 until depth).map(k =>
+        coalesce(lag(col(valueCol), k).over(w), lit(0L)) *
+          lit(1L << (depth - 1 - k)))
+    df.withColumn("ewma", terms.reduce(_ + _))
+  }
+
+  /** Per-key 3-sigma outlier profile — the anomaly gate of a metrics
+    * pipeline. `valueCol` must be integral (scale your measure to
+    * cents/millis first). Membership is the population |z| > 3 test
+    * cleared of division and sqrt — (n·v − Σv)² > 9·(n·Σv² − (Σv)²) —
+    * evaluated in DECIMAL(38,0), so it is integer-exact on any
+    * engine. One keyed stats aggregate broadcast back onto the linear
+    * scan + one conditional aggregate: two shuffles at any scale. */
+  def zscoreOutliers(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val v = col("_graft_v")
+    val e = df.select(col(keyCol), col(valueCol).as("_graft_v"))
+    val stats = e.groupBy(keyCol).agg(
+      count(lit(1)).as("_graft_n"),
+      sum(d38(v)).cast("decimal(38,0)").as("_graft_s"),
+      sum(d38(v * v)).cast("decimal(38,0)").as("_graft_sxx"))
+    val dev = d38(col("_graft_n")) * d38(v) - col("_graft_s")
+    val isOut = dev * dev >
+      lit(9) * (d38(col("_graft_n")) * col("_graft_sxx") -
+        col("_graft_s") * col("_graft_s"))
+    e.join(broadcast(stats), Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(min(col("_graft_n")).as("n"),
+        count(when(isOut, lit(1))).as("n_out"),
+        max(when(isOut, v)).as("max_out"))
+      .orderBy(keyCol)
+  }
+
   /** Pattern scrubbing (the PII-redaction plumbing): replace every
     * match of `pattern` with `token` and report the per-doc hit
     * count. Patterns stay RE2-safe (alternations / classes, no

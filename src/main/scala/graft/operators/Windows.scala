@@ -170,18 +170,17 @@ object Windows {
     * weighted sum in 1/128-cent units is a plain BIGINT on both
     * engines — no float accumulation order to disagree on. One
     * partitioned window with 7 bounded lags and a unique tiebreak
-    * (D3) — per-user parallel at any scale, state is 8 rows/key. */
-  def winEwma(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-    val terms = col("vc") * lit(128L) +: (1 to 7).map(k =>
-      coalesce(lag(col("vc"), k).over(w), lit(0L)) * lit(1L << (7 - k)))
-    Tables.eventsRaw(spark, sf)
-      .select(col("event_id"), col("user_id"), col("ts"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    * (D3) — per-user parallel at any scale, state is 8 rows/key.
+    * Thin binding of [[graft.api.GraftOps.ewma]]. */
+  def winEwma(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.ewma(
+      Tables.eventsRaw(spark, sf)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc")),
+      "user_id", Seq("ts", "event_id"), "vc", depth = 8)
       .select(col("event_id"), col("user_id"), col("vc"),
-        terms.reduce(_ + _).as("ewma_c128"))
+        col("ewma").as("ewma_c128"))
       .orderBy("event_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_ewma" -> winEwma,

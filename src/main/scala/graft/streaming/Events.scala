@@ -150,25 +150,15 @@ object Events {
     * membership is integer-exact on both engines (the squares live in
     * DECIMAL(38,0) here / HUGEINT in the oracle: ~10²⁶ at corpus
     * sf 1000, well under 10³⁸). Two shuffles total at any scale, and
-    * the second is the same keyed agg shape as the first. */
-  def evZscoreOutlier(spark: SparkSession, sf: String): DataFrame = {
-    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val e = Tables.eventsRaw(spark, sf)
-      .select(col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
-    val stats = e.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      sum(d38(col("vc"))).cast("decimal(38,0)").as("s"),
-      sum(d38(col("vc") * col("vc"))).cast("decimal(38,0)").as("sxx"))
-    val dev = d38(col("n")) * d38(col("vc")) - col("s")
-    val isOut = dev * dev > lit(9) * (d38(col("n")) * col("sxx") - col("s") * col("s"))
-    e.join(broadcast(stats), Seq("event_type"))
-      .groupBy("event_type")
-      .agg(min(col("n")).as("n"),
-        count(when(isOut, lit(1))).as("n_out"),
-        max(when(isOut, col("vc"))).as("max_out_cents"))
-      .orderBy("event_type")
-  }
+    * the second is the same keyed agg shape as the first. Thin
+    * binding of [[graft.api.GraftOps.zscoreOutliers]]. */
+  def evZscoreOutlier(spark: SparkSession, sf: String): DataFrame =
+    graft.api.GraftOps.zscoreOutliers(
+      Tables.eventsRaw(spark, sf)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc")),
+      "event_type", "vc")
+      .withColumnRenamed("max_out", "max_out_cents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_zscore_outlier" -> evZscoreOutlier,

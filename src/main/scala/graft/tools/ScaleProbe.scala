@@ -56,6 +56,14 @@ object ScaleProbe {
           .cast("array<float>").as("embedding"))
       .write.parquet(s"$scaled/embeddings.parquet")
 
+    // customer ×100 with the SAME key shift as events.user_id, so the
+    // stream-static enrichment join scales with replica count instead
+    // of going empty (each replica's users hit that replica's dim).
+    Tables.customer(spark, base).crossJoin(reps(100))
+      .select((col("c_custkey") + col("rep") * 10000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      .write.parquet(s"$scaled/customer.parquet")
+
     // events ×100, keys/timestamps shifted; single file so the
     // streaming reader's pathGlobFilter matches like the corpus file.
     Tables.eventsRaw(spark, base).crossJoin(reps(100))
@@ -109,6 +117,14 @@ object ScaleProbe {
         (d => full(graft.streaming.Events.evFunnel(spark, d))),
       "win_time_range" ->
         (d => full(graft.operators.Windows.winTimeRange(spark, d))),
+      "win_ewma" ->
+        (d => full(graft.operators.Windows.winEwma(spark, d))),
+      "ev_zscore_outlier" ->
+        (d => full(graft.streaming.Events.evZscoreOutlier(spark, d))),
+      "ev_upsert_stream" ->
+        (d => full(graft.streaming.StreamDemo.upsertStream(spark, d))),
+      "ev_enrich_stream" ->
+        (d => full(graft.streaming.StreamDemo.enrichStream(spark, d))),
       // The custom heap top-k over the replicated events (top-3 per
       // user by value): per-partition state is O(users × 3) however
       // large the event volume — the property the operator exists for.

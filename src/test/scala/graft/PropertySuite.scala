@@ -358,6 +358,32 @@ class PropertySuite extends SparkTestBase {
     assert(api.GraftOps.ivfAssign(vecs, "vid", "emb", cents, 2).count() == 40)
   }
 
+  test("GraftOps ewma/zscoreOutliers: foreign columns, hand-checked values") {
+    import spark.implicits._
+    val m = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 40L),
+      ("b", 1L, 5L), ("b", 2L, 5L)
+    ).toDF("sensor", "tick", "reading")
+    val e = api.GraftOps.ewma(m, "sensor", Seq("tick"), "reading", depth = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // depth 3 -> weights 4,2,1: a@3 = 40*4 + 20*2 + 10*1 = 210.
+    assert(e(("a", 3L)) == 210L && e(("a", 1L)) == 40L && e(("b", 2L)) == 30L)
+
+    // One key with a blatant outlier, one without. A single spike
+    // among n−1 equal values has |z| = sqrt(n−1) exactly, so n must
+    // exceed 10 for the 3-sigma test to fire (n=12 -> z ≈ 3.32).
+    val vals = (Seq.fill(11)(10L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => ("hot", i.toLong, v) } ++
+      (0 until 10).map(i => ("cold", i.toLong, 10L + (i % 2)))
+    val z = api.GraftOps.zscoreOutliers(vals.toDF("sensor", "tick", "reading"),
+      "sensor", "reading")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.get(3))).toMap
+    assert(z("hot")._1 == 1L && z("hot")._2 == 1000L,
+      "the planted spike must be the only hot outlier")
+    assert(z("cold")._1 == 0L && z("cold")._2 == null,
+      "a ±0.5 alternation has no 3-sigma outliers")
+  }
+
   test("GraftExtensions injects the native functions at session build") {
     // A session built with the extension (the spark.sql.extensions
     // deployment path) must resolve graft_* SQL functions with no
