@@ -84,6 +84,43 @@ object Aggregates {
           <= col("exact_parts") * 0.1).as("within_rsd"))
       .orderBy("l_returnflag")
 
+  /** Count-min sketch frequency estimation — the streaming/mergeable
+    * heavy-hitter sketch (one compact byte array instead of a
+    * per-key hashmap; sketches from any partitioning merge
+    * losslessly, which is what makes it the 100 TB/streaming shape).
+    * The sketch is built in ONE aggregate pass (seeded →
+    * deterministic), broadcast as a single row, and probed
+    * distributed via a scalar UDF next to the exact counts. Scored
+    * through the two provable CMS contracts (an accuracy-contract
+    * oracle, like agg_approx_distinct): estimates never undercount,
+    * and overcount is bounded by eps·N at the sketch's confidence
+    * (eps 0.1% → +100 rows of slack at sf0.1's 100k events, vs 5
+    * distinct keys — no real collisions). */
+  def aggCountMin(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(spark, sf)
+    val sk = ev.agg(
+      expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+    val estimate = udf { (bytes: Array[Byte], key: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(key)
+    }
+    // N for the eps·N bound comes from a window total over the tiny
+    // grouped result — no eager driver-side count in the query path.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("_n", sum(col("exact_cnt")).over(wAll))
+      .crossJoin(broadcast(sk))
+      .select(col("event_type"), col("exact_cnt"),
+        estimate(col("sk"), col("event_type")).as("est"), col("_n"))
+      .select(col("event_type"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("never_under"),
+        (col("est") <= col("exact_cnt") + (col("_n") / 1000L).cast("long"))
+          .as("within_eps"))
+      .orderBy("event_type")
+  }
+
   /** Rollup hierarchy over a join. The DataFrame .rollup API after a
     * join trips Spark 4.1.2's DetectAmbiguousSelfJoin false positive
     * (SURVEY.md P8), so this goes through the SQL entry point — same
@@ -351,6 +388,7 @@ object Aggregates {
     "agg_having" -> aggHaving,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_countmin" -> aggCountMin,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -409,6 +447,10 @@ object Aggregates {
     "agg_approx_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_rsd " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_countmin" ->
+      ("SELECT event_type, COUNT(*) AS exact_cnt, " +
+        "TRUE AS never_under, TRUE AS within_eps " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "agg_percentile" ->
       ("SELECT l_returnflag, " +
         "CAST(quantile_cont(l_extendedprice, 0.5) AS REAL) AS p50, " +

@@ -384,7 +384,29 @@ object Joins {
       path
     })
 
+  /** NOT IN with a nullable probe key — the three-valued-logic corner
+    * every SQL engine must get right: a NULL probe key can never
+    * satisfy NOT IN (NULL <> x is unknown), so those rows vanish —
+    * the classic footgun vs the NULL-keeping anti join. Spark plans
+    * this as a BroadcastHashJoin in null-aware anti mode (single-key
+    * NOT IN, broadcastable build side) rather than the quadratic
+    * BroadcastNestedLoopJoin fallback — PlanSuite pins it. At scale
+    * the probe side streams map-side against the broadcast set, no
+    * shuffle. */
+  def joinNullAwareAnti(spark: SparkSession, sf: String): DataFrame = {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    Tables.supplier(spark, sf).createOrReplaceTempView("supplier")
+    spark.sql(
+      "SELECT l_returnflag, COUNT(*) AS n_kept " +
+        "FROM (SELECT l_returnflag, NULLIF(l_suppkey % 100, 7) AS k " +
+        "FROM lineitem) " +
+        "WHERE k NOT IN (SELECT s_suppkey % 100 FROM supplier " +
+        "WHERE s_acctbal < 0) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_aware_anti" -> joinNullAwareAnti,
     "join_bloom_prune" -> joinBloomPrune,
     "join_dpp_prune" -> joinDppPrune,
     "join_bucketed" -> joinBucketed,
@@ -405,6 +427,15 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical NOT IN text: both engines must drop the NULL-key rows
+    // by three-valued logic, not keep them like an anti join would.
+    "join_null_aware_anti" ->
+      ("SELECT l_returnflag, COUNT(*) AS n_kept " +
+        "FROM (SELECT l_returnflag, NULLIF(l_suppkey % 100, 7) AS k " +
+        "FROM lineitem) " +
+        "WHERE k NOT IN (SELECT s_suppkey % 100 FROM supplier " +
+        "WHERE s_acctbal < 0) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "join_bloom_prune" ->
       ("SELECT l_returnflag, COUNT(*) AS n_items, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +

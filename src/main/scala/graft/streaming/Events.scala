@@ -160,7 +160,33 @@ object Events {
       "event_type", "vc")
       .withColumnRenamed("max_out", "max_out_cents")
 
+  /** Adjacency pattern detection (MATCH_RECOGNIZE-lite): a view
+    * IMMEDIATELY followed by a purchase within 30 minutes, per user —
+    * the sequence-mining primitive under conversion attribution, and
+    * the strictly-adjacent complement of ev_funnel's eventually-
+    * ordered steps. One partitioned lead() window with a unique
+    * tiebreak; per-row state is the single next event, so the match
+    * scan is one shuffle at any volume. Time math lives at µs on both
+    * engines (the corpus ns column truncates to µs in DuckDB). */
+  def evNextPattern(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts_us"), asc("event_id"))
+    Tables.eventsRaw(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+        lead(col("event_type"), 1).over(w).as("nt"),
+        lead(col("event_id"), 1).over(w).as("nid"),
+        lead(col("ts_us"), 1).over(w).as("nts"))
+      .filter(col("event_type") === "view" && col("nt") === "purchase" &&
+        col("nts") - col("ts_us") <= 1800000000L)
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("nid").as("p_id"), (col("nts") - col("ts_us")).as("gap_us"))
+      .orderBy("v_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_next_pattern" -> evNextPattern,
     "ev_zscore_outlier" -> evZscoreOutlier,
     "ev_retention_cohort" -> evRetentionCohort,
     "ev_funnel" -> evFunnel,
@@ -174,6 +200,17 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_next_pattern" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, " +
+        "epoch_us(ts) AS ts_us FROM events), " +
+        "l AS (SELECT user_id, event_id, event_type, ts_us, " +
+        "lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid, " +
+        "lead(ts_us) OVER w AS nts FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) " +
+        "SELECT user_id, event_id AS v_id, nid AS p_id, " +
+        "nts - ts_us AS gap_us FROM l " +
+        "WHERE event_type = 'view' AND nt = 'purchase' " +
+        "AND nts - ts_us <= 1800000000 ORDER BY v_id"),
     "ev_zscore_outlier" ->
       ("WITH c AS (SELECT event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS vc FROM events), " +

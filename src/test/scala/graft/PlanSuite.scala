@@ -162,6 +162,16 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("NOT IN plans as a null-aware hash anti join, not a nested loop") {
+    val p = plan(operators.Joins.joinNullAwareAnti(spark, sf01))
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as a
+    // bare trailing `true` after the build side.
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"single-key NOT IN must take the hash-based null-aware path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the quadratic NAAJ fallback must not appear")
+  }
+
   test("correlated scalar/EXISTS subqueries decorrelate to joins") {
     val p = plan(operators.Joins.subqScalarCorr(spark, sf))
     // After decorrelation nothing subquery-shaped survives execution:
