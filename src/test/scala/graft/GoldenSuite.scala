@@ -71,6 +71,30 @@ class GoldenSuite extends SparkTestBase {
     assert(r0.getLong(1) == 0L && r0.getLong(2) == 1338L)
   }
 
+  test("continued-round-5 sf0.1 goldens: new joins / events / windows") {
+    // DuckDB-verified this session (tools/check.py three-SF sweep +
+    // direct probes on the oracle SQL).
+    val naaj = operators.Joins.joinNullAwareAnti(spark, sf1).collect()
+    assert(naaj.map(r => r.getString(0) -> r.getLong(1)).toSeq ==
+      Seq("A" -> 88338L, "N" -> 88324L, "R" -> 87789L))
+    val z = streaming.Events.evZscoreOutlier(spark, sf1).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(z == Map("click" -> 340L, "error" -> 361L, "purchase" -> 353L,
+      "signup" -> 383L, "view" -> 357L))
+    assert(streaming.Events.evNextPattern(spark, sf1).count() == 170L)
+    val d = operators.Joins.joinDppPrune(spark, sf1).collect()
+    assert(d.length == 5 && d.head.getString(0) == "NATION_12" &&
+      d.head.getLong(1) == 39L)
+    // First event (id 0): EWMA seed row is 128·vc by construction.
+    val e0 = operators.Windows.winEwma(spark, sf1).head()
+    assert(e0.getLong(0) == 0L && e0.getLong(3) == 374656L &&
+      e0.getLong(3) == 128L * e0.getLong(2))
+    val cm = operators.Aggregates.aggCountMin(spark, sf1).collect()
+    assert(cm.length == 5 && cm.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3)), "CMS contracts must hold")
+    assert(streaming.StreamDemo.upsertStream(spark, sf1).count() == 1500L)
+  }
+
   test("top cosine pair is (425, 1198, 0.600856) at sf0.1") {
     val r = llm.Similarity.knnCosine(spark, sf1).head()
     assert(r.getLong(0) == 425L && r.getLong(1) == 1198L)
