@@ -16,15 +16,20 @@ import org.apache.spark.sql.types.DecimalType
   * repeated calls within one session.
   */
 object Tables {
+  // Keyed by SESSION identity, not applicationId: a DataFrame is bound
+  // to the session that created it, and a cloned session (e.g. the
+  // bloom query's conf-scoped `newSession()`) planning through a
+  // main-session DataFrame would silently use the main session's SQL
+  // confs. Sessions per JVM are few; the map stays tiny.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Write timestamps as µs (not legacy INT96 nanos) so dumped results
     // carry the same physical type the DuckDB oracle produces.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     cache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sfDir, name),
+      (spark, sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 

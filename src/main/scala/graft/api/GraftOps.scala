@@ -77,32 +77,64 @@ object GraftOps {
     * work only inside band buckets; verification is two XOR+popcounts
     * of integer arithmetic.
     *
-    * Scale caveat (measured, not hypothetical): band-bucket sizes
-    * depend on the corpus's fingerprint bit-entropy. On THIS corpus
-    * (31-token vocab) every document agrees on most majority bits, so
-    * one 15-bit band holds ~30% of all documents and candidates carry
-    * a real quadratic term — tools/ScaleProbe still measures ×50 data
-    * → 20× time at fixed cores (verification is two integer ops), but
-    * on a low-entropy corpus at 100 TB prefer the MinHash-LSH path
-    * ([[nearDupPairs]]), whose shingle-hash bands stay uniform
-    * regardless of token-distribution skew. On a realistic large-vocab
-    * corpus the fingerprints are near-uniform and this caveat
-    * vanishes. */
-  def simhashNearDup(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+    * Low-entropy guard (the r5 "scale cliff": on a 31-token-vocab
+    * corpus one 15-bit band held ~30% of ALL documents, so that
+    * bucket's candidate term went quadratic in the corpus). Buckets
+    * whose size exceeds `bandBucketCap` are NOT joined directly;
+    * inside an oversized bucket the OTHER 47 bits are re-banded into
+    * 4 sub-bands and the join runs on (band, sub-band). Exactness is
+    * preserved by the same pigeonhole one level down: a qualifying
+    * pair in the bucket agrees on the whole band, so its ≤ 3
+    * differing bits all live in the remaining 47 — split 4 ways they
+    * cannot cover all sub-bands, so the pair shares one verbatim.
+    * Worst-case candidates per oversized bucket drop from n² to
+    * Σ nᵢ² over sub-buckets; the only input this cannot bound is a
+    * corpus of near-identical FINGERPRINTS, where the qualifying
+    * OUTPUT itself is quadratic and no candidate generator can beat
+    * its own output size. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      bandBucketCap: Int = 512): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val bands = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
       posexplode(array(
         expr("sh_lo % 65536"), expr("sh_lo div 65536"),
         expr("sh_hi % 65536"), expr("sh_hi div 65536")))
         .as(Seq("b_idx", "b_val")))
-    bands.as("a").join(bands.as("b"),
-        col("a.b_idx") === col("b.b_idx")
-          && col("a.b_val") === col("b.b_val")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
-        (expr("bit_count(a.sh_lo ^ b.sh_lo)")
-          + expr("bit_count(a.sh_hi ^ b.sh_hi)")).cast("long").as("ham"))
+    // One keyed count per (band, value) — compact partials, the same
+    // shuffle key the candidate join uses anyway.
+    val withN = bands.join(
+      bands.groupBy("b_idx", "b_val").agg(count(lit(1)).as("_graft_bn")),
+      Seq("b_idx", "b_val"))
+    def pairUp(c: DataFrame, keys: Seq[String]): DataFrame =
+      c.as("a").join(c.as("b"),
+          keys.map(k => col(s"a.$k") === col(s"b.$k"))
+            .reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+          (expr("bit_count(a.sh_lo ^ b.sh_lo)")
+            + expr("bit_count(a.sh_hi ^ b.sh_hi)")).cast("long").as("ham"))
+    val small = pairUp(withN.filter(col("_graft_bn") <= bandBucketCap),
+      Seq("b_idx", "b_val"))
+    // Oversized buckets: pack the three non-band values (the other 47
+    // bits) into one bigint, injectively per b_idx, and re-band it
+    // into 4 × 12-bit slices.
+    val rest = withN.filter(col("_graft_bn") > bandBucketCap)
+      .withColumn("_graft_rest", expr(
+        """CASE b_idx
+           WHEN 0 THEN (cast(sh_lo as bigint) div 65536) + (cast(sh_hi as bigint) % 65536) * 32768 + (cast(sh_hi as bigint) div 65536) * 2147483648
+           WHEN 1 THEN (cast(sh_lo as bigint) % 65536) + (cast(sh_hi as bigint) % 65536) * 65536 + (cast(sh_hi as bigint) div 65536) * 4294967296
+           WHEN 2 THEN (cast(sh_lo as bigint) % 65536) + (cast(sh_lo as bigint) div 65536) * 65536 + (cast(sh_hi as bigint) div 65536) * 2147483648
+           ELSE (cast(sh_lo as bigint) % 65536) + (cast(sh_lo as bigint) div 65536) * 65536 + (cast(sh_hi as bigint) % 65536) * 2147483648
+           END"""))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("b_idx"), col("b_val"),
+        posexplode(array(
+          expr("_graft_rest % 4096"),
+          expr("(_graft_rest div 4096) % 4096"),
+          expr("(_graft_rest div 16777216) % 4096"),
+          expr("_graft_rest div 68719476736")))
+          .as(Seq("s_idx", "s_val")))
+    val big = pairUp(rest, Seq("b_idx", "b_val", "s_idx", "s_val"))
+    small.union(big)
       .distinct()
       .filter(col("ham") <= 3)
       .orderBy("x", "y")
@@ -132,11 +164,11 @@ object GraftOps {
 
   /** Connected components over an undirected pair list (`x`, `y`):
     * (vertex, component-minimum) labels — the canonical-keeper step.
-    * `rounds` must cover the cluster diameter (see llm_dedup_components
-    * notes); the edge list is superstep-checkpointed to a scratch dir. */
-  def dedupComponents(spark: SparkSession, pairs: DataFrame,
-      rounds: Int): DataFrame =
-    graft.llm.Dedup.componentsOf(spark, pairs, rounds)
+    * Alternating large-star/small-star contraction, self-converging in
+    * O(log n) rounds for ANY cluster diameter (no round count to
+    * tune); each superstep is checkpointed to a scratch dir. */
+  def dedupComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
+    graft.llm.Dedup.componentsOf(spark, pairs)
 
   /** Within-document n-gram repetition ratio — the Gopher/Falcon-style
     * quality signal (heavily repetitive documents are low-value
@@ -629,9 +661,24 @@ object GraftOps {
     val v = col("_graft_v")
     val e = df.select(col(keyCol), col(valueCol).as("_graft_v"))
     val stats = e.groupBy(keyCol).agg(
-      count(lit(1)).as("_graft_n"),
-      sum(d38(v)).cast("decimal(38,0)").as("_graft_s"),
-      sum(d38(v * v)).cast("decimal(38,0)").as("_graft_sxx"))
+        count(lit(1)).as("_graft_n"),
+        sum(d38(v)).cast("decimal(38,0)").as("_graft_s"),
+        sum(d38(v * v)).cast("decimal(38,0)").as("_graft_sxx"),
+        max(abs(d38(v))).as("_graft_ma"))
+      // Overflow envelope, enforced: the integer-exact test squares
+      // n·v − Σv, so it needs |n·max(v)| < 10^19 to stay inside
+      // DECIMAL(38,0). Under ANSI mode an overflow would throw anyway;
+      // under non-ANSI it would NULL the predicate and silently count
+      // extreme rows as non-outliers (r5 advisory) — this assertion
+      // makes both modes fail loudly instead. The filter keeps every
+      // row (assert_true returns NULL on success) and anchors the
+      // check against column pruning.
+      .filter(assert_true(
+        d38(col("_graft_n")) * col("_graft_ma") <
+          lit(java.math.BigDecimal.valueOf(1e18)).cast("decimal(38,0)"),
+        lit("zscoreOutliers: |value|*n exceeds the DECIMAL(38,0) " +
+          "envelope; rescale the value column")).isNull)
+      .drop("_graft_ma")
     val dev = d38(col("_graft_n")) * d38(v) - col("_graft_s")
     val isOut = dev * dev >
       lit(9) * (d38(col("_graft_n")) * col("_graft_sxx") -

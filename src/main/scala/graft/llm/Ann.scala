@@ -42,7 +42,7 @@ object Ann {
     * one broadcast anti-join, so the corpus side never shuffles. */
   def cosDedupKeep(spark: SparkSession, sf: String): DataFrame = {
     val pairs = cosNearDup(spark, sf).select(col("x"), col("y"))
-    val comps = Dedup.componentsOf(spark, pairs, rounds = 3)
+    val comps = Dedup.componentsOf(spark, pairs)
     val dropped = comps.filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("vec_id"))
     Tables.embeddings(spark, sf).select(col("vec_id"))

@@ -134,63 +134,139 @@ object Dedup {
     lshJaccard(charGrams(spark, sf), 0.9)
   }
 
-  /** Label-propagation rounds for dedupComponents. Labels travel one
-    * edge per round, so any round count >= the largest cluster's
-    * eccentricity from its minimum member converges; planted near-dup
-    * clusters here have diameter <= 2, and the oracle (true recursive
-    * reachability closure) FAILS the hash check on any shortfall — the
-    * round count is audited, not assumed. Kept minimal because each
-    * round doubles the label lineage (the unreferenced-twice plan
-    * shape); at 100 TB scale the loop materializes labels between
-    * supersteps and runs alternating large-star/small-star steps
-    * (O(log n) rounds) — the per-round plan (equi-join +
-    * min-aggregate) is unchanged. */
-  private val CcIters = 3
-
   /** Connected components over the near-duplicate pair graph — the
     * canonical-keeper step of a real dedup pipeline: near-dup PAIRS
     * are not directly actionable (keeping "one of each pair" over
     * chains a-b, b-c drops too much or too little); the component
     * label (minimum doc_id reachable via near-dup edges) is what a
-    * keep/drop decision keys on. Min-label propagation over the
-    * symmetric edge list: every round is one equi-join plus one
-    * min-aggregate — pure keyed shuffles, no driver-side graph. */
+    * keep/drop decision keys on. */
   /** Components over an arbitrary undirected pair list (first two
     * columns = the edge endpoints) — the generic engine behind
     * [[dedupComponents]] and [[graft.api.GraftOps.dedupComponents]].
     *
-    * Materializes the pair list ONCE before iterating — the standard
-    * Pregel/GraphX superstep-checkpoint pattern. Without the lineage
-    * cut every propagation round re-derives the whole upstream
-    * pipeline and the plan grows exponentially (measured at 5 rounds
-    * over the LSH pairs: a 24k-line physical plan and 2.2 s; with the
-    * cut, file-scan leaves and sub-second). A scratch-dir parquet
-    * write, nothing driver-resident, removed recursively at JVM exit. */
+    * Alternating large-star / small-star contraction (the MapReduce
+    * connected-components algorithm of Kiveris et al., also what
+    * GraphFrames ships): each round rewires every edge toward the
+    * minimum of its neighborhood, so component trees flatten
+    * doubly-exponentially fast and ARBITRARY diameters converge in
+    * O(log n) rounds — no corpus-tuned round constant (the r5 fixed
+    * `CcIters = 3` relied on this corpus' cluster diameter <= 2).
+    * Every round is two keyed min-aggregates plus two equi-joins —
+    * pure keyed shuffles, no driver-side graph; the only driver
+    * traffic is a 2-value convergence signature per round.
+    *
+    * Each superstep is materialized to scratch parquet — the standard
+    * Pregel/GraphX checkpoint pattern. Without the lineage cut every
+    * round re-derives the whole upstream pipeline and the plan grows
+    * exponentially (measured at 5 rounds over the LSH pairs: a
+    * 24k-line physical plan and 2.2 s; with the cut, file-scan leaves
+    * and sub-second). Natural partitioning throughout: at 100 TB the
+    * pair list is billions of rows — no coalesce(1) funnels.
+    * Convergence = unchanged (count, xxhash64-sum) signature on the
+    * materialized round output: the star fixed point is exactly the
+    * forest of depth-1 stars rooted at component minima. */
   private[graft] def componentsOf(spark: SparkSession, pairsDf: DataFrame,
-      rounds: Int, materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true): DataFrame = {
+    val scratch = Tables.scratchDir("graft_cc_")
     // `materialize = false` when the caller's pair list is ALREADY a
     // file-scan leaf (the cached stage output below) — re-writing it
     // would be a redundant full copy per call.
     val pairs = (if (materialize) {
-      val pairsPath = Tables.scratchDir("graft_cc_").resolve("pairs").toString
-      // Natural partitioning: at 100 TB the near-dup pair list is
-      // billions of rows — a coalesce(1) here would be a single-task
-      // funnel (the read-back never needed one file).
+      val pairsPath = scratch.resolve("pairs").toString
       pairsDf.write.parquet(pairsPath)
       spark.read.parquet(pairsPath)
     } else pairsDf).toDF("x", "y")
-    val edges = pairs.union(pairs.select(col("y"), col("x")))
-      .toDF("src", "dst")
-    var lbl = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-    for (_ <- 1 to rounds) {
-      // Neighbor labels in, then keep the minimum seen per vertex —
-      // one equi-join plus one keyed aggregation per round.
-      val msgs = edges.join(lbl, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      lbl = lbl.union(msgs).groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+
+    // Canonical direction: every edge points from the LARGER id to
+    // the smaller (a > b), self-loops dropped. Both star steps
+    // preserve the invariant, so `a > b` holds for every round file.
+    // No distinct here — duplicate edges are harmless to window-min
+    // and the per-round distinct collapses them.
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("x"), col("y")).as("a"),
+        least(col("x"), col("y")).as("b"))
+      .where(col("a") =!= col("b"))
+
+    // Both star steps use a window-min instead of a groupBy+self-join:
+    // ONE hash shuffle per step and no join at all — the per-group
+    // minimum rides each row, and every output row is a 1:1 map of an
+    // input row, so a superstep is 3 shuffles total (two window
+    // partitionings + the closing distinct) in a single job.
+    import org.apache.spark.sql.expressions.Window
+
+    // large-star(u): connect every STRICTLY LARGER neighbor v > u to
+    // m = min(N(u) ∪ {u}). Output stays canonical (v > u >= m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      sym.withColumn("mn", min(col("v")).over(Window.partitionBy("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("a"), least(col("u"), col("mn")).as("b"))
     }
-    lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
+
+    // small-star(u): over the canonical (larger -> smaller) edges,
+    // connect u and all its smaller neighbors to m = min(N(u)).
+    // The row that attains the minimum (b = mn) would emit the
+    // self-loop (mn, mn); emitting the required (u, mn) edge in its
+    // place keeps the step a strict 1:1 row map — no union, no join.
+    def smallStar(e: DataFrame): DataFrame =
+      e.withColumn("mn", min(col("b")).over(Window.partitionBy("a")))
+        .select(when(col("b") === col("mn"), col("a"))
+            .otherwise(col("b")).as("x"), col("mn").as("m"))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b"))
+        .distinct()
+
+    // (row count, order-independent content hash): equal signatures on
+    // consecutive rounds mean the edge set is the star fixed point.
+    // DECIMAL(38,0) accumulator — full-range xxhash64 longs overflow a
+    // bigint sum under ANSI mode after as few as two rows.
+    def sigCnt = count(lit(1)).as("cnt")
+    def sigSum = coalesce(sum(expr("cast(xxhash64(a, b) as decimal(38,0))")),
+      lit(java.math.BigDecimal.ZERO)).as("hsum")
+    def sigOf(m: Map[String, Any]): (Long, String) =
+      (m("cnt").asInstanceOf[Long], String.valueOf(m("hsum")))
+
+    // Round 0 is NOT materialized: `pairs` is already a file-scan leaf
+    // (or one write away) and canon() is a pure projection on it, so
+    // the first superstep plans straight off the file. No round-0
+    // signature job either — convergence is detected between
+    // consecutive superstep outputs (the star fixed point always
+    // needs at least one superstep to confirm anyway).
+    var cur = canon(pairs)
+    var sig: (Long, String) = (-1L, "")
+    var converged = false
+    var round = 0
+    // O(log n) convergence bound; 40 rounds covers any graph this side
+    // of 2^40 vertices. Hitting the cap means a logic bug, not a big
+    // input — fail loudly rather than return silently-partial labels.
+    val MaxRounds = 40
+    while (!converged && round < MaxRounds) {
+      val p = scratch.resolve(s"round${round + 1}").toString
+      // The convergence signature rides the write job as an observed
+      // metric (Dataset.observe) — one Spark job per superstep total,
+      // no separate scan of the round file.
+      val obs = org.apache.spark.sql.Observation()
+      smallStar(largeStar(cur)).observe(obs, sigCnt, sigSum)
+        .write.parquet(p)
+      val nsig = sigOf(obs.get)
+      converged = nsig == sig
+      sig = nsig
+      cur = spark.read.parquet(p)
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"componentsOf failed to converge in $MaxRounds star rounds")
+
+    // At the fixed point `cur` is a depth-1 star forest: (child, root)
+    // with root = component minimum. Roots (and any vertex whose every
+    // edge collapsed onto it) label themselves.
+    val verts = pairs.select(col("x").as("doc_id"))
+      .union(pairs.select(col("y").as("doc_id"))).distinct()
+    verts.join(cur.select(col("a").as("doc_id"), col("b").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("component"))
       .orderBy("doc_id")
   }
 
@@ -214,7 +290,7 @@ object Dedup {
 
   def dedupComponents(spark: SparkSession, sf: String): DataFrame =
     componentsOf(spark,
-      spark.read.parquet(nearDupPairsPath(spark, sf)), CcIters,
+      spark.read.parquet(nearDupPairsPath(spark, sf)),
       materialize = false)
 
   /** The END of the dedup pipeline: the kept corpus. A document is
@@ -224,7 +300,7 @@ object Dedup {
     * (tiny) dropped set — the corpus side never shuffles. */
   def dedupKeep(spark: SparkSession, sf: String): DataFrame = {
     val comps = componentsOf(spark,
-      spark.read.parquet(nearDupPairsPath(spark, sf)), CcIters,
+      spark.read.parquet(nearDupPairsPath(spark, sf)),
       materialize = false)
     val dropped = comps.filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))

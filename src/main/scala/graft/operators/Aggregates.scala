@@ -100,11 +100,7 @@ object Aggregates {
     val ev = Tables.events(spark, sf)
     val sk = ev.agg(
       expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
-    val estimate = udf { (bytes: Array[Byte], key: String) =>
-      org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-        .estimateCount(key)
-    }
+    val estimate = udf(new Aggregates.CmsProbe(): (Array[Byte], String) => Long)
     // N for the eps·N bound comes from a window total over the tiny
     // grouped result — no eager driver-side count in the query path.
     val wAll = org.apache.spark.sql.expressions.Window
@@ -375,7 +371,53 @@ object Aggregates {
         countDistinct(col("o_orderstatus")).as("n_status"))
       .orderBy("o_orderpriority")
 
+  /** ARGMAX as a single aggregate — "the row attaining the group
+    * maximum" WITHOUT a window or self-join: `max(struct(ord...))`
+    * rides the ordinary partial/final hash-aggregate (compact
+    * per-group state = one struct), where the row_number formulation
+    * costs a full per-group sort. Struct comparison is
+    * lexicographic, so (acctbal, custkey) encodes the tiebreak
+    * explicitly: highest balance, then highest custkey — the oracle
+    * pins the same order via ROW_NUMBER. */
+  def aggArgmax(spark: SparkSession, sf: String): DataFrame =
+    Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("_top"))
+      .select(col("c_mktsegment"), col("_top.c_custkey").as("top_cust"),
+        col("_top.c_acctbal").as("top_bal"))
+      .orderBy("c_mktsegment")
+
+  /** Mergeable HLL distinct-count rollup — the sketch pattern behind
+    * every at-scale distinct dashboard: per-DAY HyperLogLog sketches
+    * of the user set (datasketches `hll_sketch_agg`, deterministic:
+    * register maxima are order-independent) merged upward with
+    * `hll_union_agg` into per-week distincts — the raw stream is
+    * touched ONCE; every coarser rollup merges kilobyte sketches.
+    * Scored like agg_approx_distinct: exact count + a within-5%
+    * contract flag the oracle asserts as literal TRUE (HLL lgK=12
+    * rse ≈ 1.6%, and user/day cardinalities here are ≤ 1,500). */
+  def aggHllMerge(spark: SparkSession, sf: String): DataFrame = {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts2")).as("day"))
+    val daily = ev.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+        countDistinct(col("user_id")).as("exact_day"))
+    daily
+      .groupBy(expr("weekofyear(day)").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+        sum(col("exact_day")).as("sum_daily"))
+      .join(ev.select(col("user_id"), expr("weekofyear(day)").as("week"))
+          .groupBy("week").agg(countDistinct(col("user_id")).as("exact_week")),
+        Seq("week"))
+      .select(col("week"), col("exact_week"), col("sum_daily"),
+        (abs(col("est") - col("exact_week"))
+          <= col("exact_week") * 0.05).as("within_rse"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_argmax" -> aggArgmax,
+    "agg_hll_merge" -> aggHllMerge,
     "agg_multi_distinct" -> aggMultiDistinct,
     "agg_string_agg" -> aggStringAgg,
     "agg_mode" -> aggMode,
@@ -399,6 +441,23 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_argmax" ->
+      ("SELECT c_mktsegment, c_custkey AS top_cust, c_acctbal AS top_bal FROM (" +
+        "SELECT c_mktsegment, c_custkey, c_acctbal, ROW_NUMBER() OVER (" +
+        "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey DESC) AS rn " +
+        "FROM customer) t WHERE rn = 1 ORDER BY c_mktsegment"),
+    // Accuracy-contract oracle (see aggApproxDistinct): exact weekly
+    // distincts + the HLL estimate contract asserted as literal TRUE.
+    "agg_hll_merge" ->
+      ("WITH d AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
+        "FROM events), " +
+        "daily AS (SELECT day, COUNT(DISTINCT user_id) AS ed FROM d GROUP BY day), " +
+        "wk AS (SELECT CAST(weekofyear(day) AS INT) AS week, " +
+        "CAST(SUM(ed) AS BIGINT) AS sum_daily FROM daily GROUP BY 1), " +
+        "ex AS (SELECT CAST(weekofyear(day) AS INT) AS week, " +
+        "COUNT(DISTINCT user_id) AS exact_week FROM d GROUP BY 1) " +
+        "SELECT wk.week, exact_week, sum_daily, TRUE AS within_rse " +
+        "FROM wk JOIN ex ON wk.week = ex.week ORDER BY 1"),
     "agg_multi_distinct" ->
       ("SELECT o_orderpriority, COUNT(*) AS n, " +
         "COUNT(DISTINCT o_custkey) AS n_cust, " +
@@ -529,4 +588,30 @@ object Aggregates {
         "/ CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS REAL) AS sd " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
+
+  /** Per-closure-instance count-min probe: deserializes the sketch
+    * byte array ONCE per distinct payload per deserialized closure
+    * (i.e. O(partitions), not O(rows)) and reuses the parsed
+    * `CountMinSketch` for every subsequent row. The cache key is the
+    * payload itself — identity fast-path first (rows sharing the
+    * broadcast backing array), content-equality fallback (rows that
+    * received a per-row copy). `Arrays.equals` is a memcmp over the
+    * ~KB sketch, orders of magnitude cheaper than re-parsing it.
+    * `deserCount` exists for the spec test that pins the O(partitions)
+    * contract. */
+  final class CmsProbe extends ((Array[Byte], String) => Long) with Serializable {
+    @transient private var cachedBytes: Array[Byte] = _
+    @transient private var cachedSketch: org.apache.spark.util.sketch.CountMinSketch = _
+    @transient private[graft] var deserCount: Int = 0
+    def apply(bytes: Array[Byte], key: String): Long = {
+      if (cachedSketch == null ||
+          !((cachedBytes eq bytes) || java.util.Arrays.equals(cachedBytes, bytes))) {
+        cachedSketch = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        cachedBytes = bytes
+        deserCount += 1
+      }
+      cachedSketch.estimateCount(key)
+    }
+  }
 }

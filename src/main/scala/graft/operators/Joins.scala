@@ -302,6 +302,13 @@ object Joins {
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
     "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
+  /** Set/restore SQL confs around `f`. NOTE: this mutates the GIVEN
+    * session's conf for the duration of `f` — any query planned
+    * concurrently on the same session inherits the overrides. The
+    * scored bloom query therefore runs on a cloned session
+    * (`spark.newSession()` in [[joinBloomPrune]]) so the shared
+    * session's confs are never touched; this helper remains for
+    * single-threaded contexts (PlanSuite's plan pinning). */
   private[graft] def withConfs[T](spark: SparkSession,
       kv: Seq[(String, String)])(f: => T): T = {
     val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -341,9 +348,13 @@ object Joins {
     * inner plan. */
   def joinBloomPrune(spark: SparkSession, sf: String): DataFrame = {
     val out = Tables.scratchDir("graft_bloom_").resolve("res").toString
-    withConfs(spark, bloomConfs) {
-      bloomJoinPlan(spark, sf).write.mode("overwrite").parquet(out)
-    }
+    // Cloned session: shares the SparkContext (and so the scratch
+    // state) but owns its SQL conf — the bloom/broadcast overrides
+    // can never leak into a query planned concurrently on the shared
+    // session (r5 advisory).
+    val scoped = spark.newSession()
+    bloomConfs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    bloomJoinPlan(scoped, sf).write.mode("overwrite").parquet(out)
     spark.read.parquet(out).orderBy("l_returnflag")
   }
 

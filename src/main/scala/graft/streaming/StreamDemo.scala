@@ -428,8 +428,15 @@ object StreamDemo {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    spark.read.parquet(dir.resolve(s"state${gen.get()}").toString)
-      .orderBy("user_id")
+    // A source that yields ZERO microbatches (empty events table)
+    // leaves gen at -1 with no state file; the merged result is then
+    // the empty relation with the source schema, not a path error.
+    if (gen.get() < 0)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.parquet(dir.resolve(s"state${gen.get()}").toString)
+        .orderBy("user_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

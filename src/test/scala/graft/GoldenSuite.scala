@@ -95,6 +95,16 @@ class GoldenSuite extends SparkTestBase {
     assert(streaming.StreamDemo.upsertStream(spark, sf1).count() == 1500L)
   }
 
+  test("round-6 sf0.1 golden: topk_limit top-10 order keys and head revenue") {
+    // DuckDB-verified this round on the oracle SQL (cross-engine): the
+    // Q3 top-10 by revenue with o_orderkey tiebreak. Pins the
+    // broadcast-dim rework of q3Revenue beyond the driver's hash gate.
+    val rows = operators.SortSet.topkLimit(spark, sf1).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(37019L, 148150L, 2522L,
+      80692L, 21757L, 116882L, 6400L, 100430L, 66293L, 40009L))
+    assert(math.abs(rows.head.getDouble(2) - 919319.2189) < 1e-4)
+  }
+
   test("top cosine pair is (425, 1198, 0.600856) at sf0.1") {
     val r = llm.Similarity.knnCosine(spark, sf1).head()
     assert(r.getLong(0) == 425L && r.getLong(1) == 1198L)

@@ -649,4 +649,71 @@ class PropertySuite extends SparkTestBase {
     val exc = operators.SortSet.setExceptAll(spark, sf).count()
     assert(inter + exc == Tables.orders(spark, sf).count())
   }
+
+  test("star components converge on a diameter-6 chain (fixed rounds could not)") {
+    import spark.implicits._
+    // Chain 10-11-…-16 (diameter 6), a triangle with an out-of-order
+    // edge list, and a lone pair. The r5 fixed-3-round label
+    // propagation could NOT label vertex 16 with 10 (distance 6); the
+    // alternating-star engine must, in O(log n) supersteps.
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (31L, 30L), (32L, 31L), (30L, 32L),
+      (41L, 40L)).toDF("x", "y")
+    val got = llm.Dedup.componentsOf(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (10L to 16L).map(_ -> 10L).toMap ++
+      (30L to 32L).map(_ -> 30L) ++ Map(40L -> 40L, 41L -> 40L)
+    assert(got == want, s"star components wrong: $got")
+  }
+
+  test("simhash band-bucket cap preserves exactness on a low-entropy corpus") {
+    import spark.implicits._
+    // Adversarial low-entropy shard: every doc is a tiny perturbation
+    // of one base sentence, so fingerprints collide on most bands and
+    // the uncapped band buckets hold nearly the whole corpus — the
+    // scale cliff the cap guards. With cap=4 every oversized bucket
+    // goes through the sub-band path; by pigeonhole the result must
+    // still equal the brute-force Hamming-<=3 pair set.
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val docs = (0L until 48L)
+      .map(i => (i, if (i % 3 == 0) base else base + s" tail${i % 5}"))
+      .toDF("doc_id", "text")
+    val capped = graft.api.GraftOps
+      .simhashNearDup(docs, "doc_id", "text", bandBucketCap = 4)
+      .select("x", "y", "ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = graft.api.GraftOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      a <- fps; b <- fps if a._1 < b._1
+      ham = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if ham <= 3
+    } yield (a._1, b._1, ham.toLong)).toSet
+    assert(brute.nonEmpty, "adversarial corpus must produce near-dups")
+    assert(capped == brute, "capped banding must equal brute-force pairs")
+  }
+
+  test("count-min probe deserializes once per distinct sketch payload") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def bytes(seed: Int): Array[Byte] = {
+      val sk = CountMinSketch.create(0.001, 0.99, seed)
+      Seq("a", "b", "c").foreach(sk.add)
+      val bos = new java.io.ByteArrayOutputStream()
+      sk.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = new operators.Aggregates.CmsProbe()
+    val p1 = bytes(42)
+    val p1copy = p1.clone() // same content, different instance
+    val p2 = bytes(7)
+    probe(p1, "a"); probe(p1, "b"); probe(p1, "c")
+    assert(probe.deserCount == 1, "same instance must not re-deserialize")
+    probe(p1copy, "a")
+    assert(probe.deserCount == 1, "equal content must not re-deserialize")
+    val est = probe(p2, "a")
+    assert(probe.deserCount == 2, "new payload must re-deserialize")
+    assert(est >= 1L, "estimate must never undercount")
+  }
 }
