@@ -611,6 +611,23 @@ object GraftOps {
       .orderBy(idCol)
   }
 
+  /** Deterministic FIXED-SIZE uniform sample: the k rows with the
+    * smallest portable key hash ([[weightedSample]]'s multiplicative
+    * LCG — an odd multiplier mod 2^32 permutes the key space, so the
+    * k smallest hashes are a uniform k-subset). Where weightedSample
+    * keeps a proportional fraction, this pins an exact count — the
+    * eval-set / human-review draw. Compiles to
+    * TakeOrderedAndProject: per-partition bounded heaps plus a k-row
+    * driver merge — no global sort, no full shuffle, identical plan
+    * at any corpus size. Re-runs and engines agree row-for-row.
+    * `idCol` must be a non-negative integral key. */
+  def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("_graft_h",
+        expr(s"(($idCol % 2147483648) * 2654435761) % 4294967296"))
+      .orderBy(col("_graft_h"), col(idCol))
+      .limit(k)
+      .drop("_graft_h")
+
   /** Symmetric int8 quantization of an embedding column — the
     * serving-prep compression step (4× smaller vectors, dot products
     * in integer SIMD downstream). Per-vector scale = max|x|/127;

@@ -65,7 +65,17 @@ object Curation {
   def embedQuant(spark: SparkSession, sf: String): DataFrame =
     GraftOps.quantizeInt8(Tables.embeddings(spark, sf), "vec_id", "embedding")
 
+  /** Exact-200-document eval draw via the hash top-k. */
+  def fixedSample(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    GraftOps.fixedSample(
+      Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")),
+      "doc_id", 200)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_fixed_sample" -> fixedSample,
     "llm_seq_pack" -> seqPack,
     "llm_pack_build" -> packBuild,
     "llm_mix_budget" -> mixBudget,
@@ -75,6 +85,11 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_fixed_sample" ->
+      ("SELECT doc_id, n_chars FROM (" +
+        "SELECT doc_id, n_chars FROM documents " +
+        "ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id " +
+        "LIMIT 200) t ORDER BY doc_id"),
     "llm_seq_pack" ->
       ("WITH t AS (SELECT source, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +

@@ -293,6 +293,36 @@ object Dedup {
       spark.read.parquet(nearDupPairsPath(spark, sf)),
       materialize = false)
 
+  /** Degree distribution of the near-dup pair graph — the audit
+    * metric a dedup pipeline alarms on (a fat-degree tail means a
+    * template/boilerplate cluster is about to chain half the corpus
+    * into one component). Two keyed counts over the persisted pair
+    * list; nothing touches the corpus. */
+  def pairDegree(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = spark.read.parquet(nearDupPairsPath(spark, sf))
+    pairs.select(col("x").as("v"))
+      .union(pairs.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  /** Containment profile of the near-dup pairs: c/|A| and c/|B| per
+    * pair plus which side is the contained (sub-)document — the
+    * keep/drop DIRECTION signal exact Jaccard alone hides (J is
+    * symmetric; containment says "x is 97% inside y, keep y").
+    * Reuses the LSH candidate verification's (c, na, nb) — zero new
+    * shuffles beyond the pair pipeline itself; both engines evaluate
+    * the same exact-integer division. */
+  def containment(spark: SparkSession, sf: String): DataFrame =
+    nearDedup(spark, sf)
+      .select(col("x"), col("y"), col("c"), col("na"), col("nb"),
+        (col("c") * lit(1.0) / col("na")).as("cont_x"),
+        (col("c") * lit(1.0) / col("nb")).as("cont_y"),
+        when(col("na") <= col("nb"), col("x")).otherwise(col("y"))
+          .as("sub_doc"))
+      .orderBy("x", "y")
+
   /** The END of the dedup pipeline: the kept corpus. A document is
     * dropped iff its component label names a different keeper (the
     * component minimum); singleton documents never appear in the pair
@@ -352,7 +382,9 @@ object Dedup {
     "llm_ngram_jaccard" -> ngramJaccard,
     "llm_dedup_components" -> dedupComponents,
     "llm_dedup_keep" -> dedupKeep,
-    "llm_minhash_est" -> minhashEst
+    "llm_minhash_est" -> minhashEst,
+    "llm_pair_degree" -> pairDegree,
+    "llm_containment" -> containment
   )
 
   /** Exact all-pairs word-3-gram Jaccard pair query (shared between
@@ -383,6 +415,17 @@ object Dedup {
     // the same string-shingle sets, est_ok asserted TRUE.
     "llm_minhash_est" ->
       (s"SELECT x, y, j, TRUE AS est_ok FROM ($nearDupOracleSql) q ORDER BY x, y"),
+    "llm_pair_degree" ->
+      (s"WITH p AS (SELECT x, y FROM ($nearDupOracleSql) q), " +
+        "e AS (SELECT x AS v FROM p UNION ALL SELECT y AS v FROM p), " +
+        "deg AS (SELECT v, COUNT(*) AS degree FROM e GROUP BY v) " +
+        "SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree " +
+        "ORDER BY degree"),
+    "llm_containment" ->
+      (s"SELECT x, y, c, na, nb, c * 1.0 / na AS cont_x, " +
+        "c * 1.0 / nb AS cont_y, " +
+        s"CASE WHEN na <= nb THEN x ELSE y END AS sub_doc " +
+        s"FROM ($nearDupOracleSql) q ORDER BY x, y"),
     "llm_dedup_components" ->
       (s"WITH RECURSIVE p AS (SELECT x, y FROM ($nearDupOracleSql) q), " +
         "e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y AS a, x AS b FROM p), " +

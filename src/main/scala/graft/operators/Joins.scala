@@ -416,7 +416,43 @@ object Joins {
         "GROUP BY l_returnflag ORDER BY l_returnflag")
   }
 
+  /** Interval-OVERLAP join decomposed to an equi-join — the
+    * two-sided extension of join_range_bucket's point-in-interval
+    * bucketing: urgent pending orders vs low-priority orders, each
+    * carrying a 7-day activity interval [d, d+7), paired when the
+    * intervals overlap, profiled per month. Each interval explodes to
+    * the ≤ 2 week-buckets it touches; candidates equi-join on the
+    * bucket (co-partitioned, no theta join anywhere), the exact
+    * overlap predicate filters, and a distinct collapses pairs seen
+    * from both buckets. At 100 TB this is the only shape that scales:
+    * candidate count ∝ bucket co-occupancy, never |A|×|B|, and the
+    * bucket key shuffles both sides once. */
+  def joinIntervalOverlap(spark: SparkSession, sf: String): DataFrame = {
+    val day0 = to_date(lit("1970-01-01"))
+    def iv(df: DataFrame, key: String, dcol: String) = df
+      .select(col(key), datediff(to_date(col(dcol)), day0).as("d"),
+        trunc(col(dcol), "month").as("mon"))
+      .select(col(key), col("d"), col("mon"),
+        explode(array_distinct(array(expr("d div 7"),
+          expr("(d + 6) div 7")))).as("bk"))
+    val a = iv(Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "P"),
+      "o_orderkey", "o_orderdate")
+      .toDF("akey", "ad", "mon", "bk")
+    val b = iv(Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "5-LOW"),
+      "o_orderkey", "o_orderdate")
+      .select(col("o_orderkey").as("bkey"), col("d").as("bd"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("bd") < col("ad") + 7 && col("ad") < col("bd") + 7)
+      .select(col("akey"), col("bkey"), col("mon")).distinct()
+      .groupBy(col("mon")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("mon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_overlap" -> joinIntervalOverlap,
     "join_null_aware_anti" -> joinNullAwareAnti,
     "join_bloom_prune" -> joinBloomPrune,
     "join_dpp_prune" -> joinDppPrune,
@@ -438,6 +474,17 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // The oracle states overlap DIRECTLY as the quadratic theta join —
+    // independent of the bucket decomposition it audits.
+    "join_interval_overlap" ->
+      ("WITH a AS (SELECT o_orderkey AS akey, CAST(o_orderdate AS DATE) AS adt, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS mon FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'P'), " +
+        "b AS (SELECT o_orderkey AS bkey, CAST(o_orderdate AS DATE) AS bdt " +
+        "FROM orders WHERE o_orderpriority = '5-LOW') " +
+        "SELECT mon, COUNT(*) AS n_pairs FROM a JOIN b " +
+        "ON b.bdt < a.adt + 7 AND a.adt < b.bdt + 7 " +
+        "GROUP BY mon ORDER BY mon"),
     // Identical NOT IN text: both engines must drop the NULL-key rows
     // by three-valued logic, not keep them like an anti join would.
     "join_null_aware_anti" ->

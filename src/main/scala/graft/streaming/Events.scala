@@ -185,7 +185,32 @@ object Events {
       .orderBy("v_id")
   }
 
+  /** SCD2 dimension build from a change log — the slowly-changing-
+    * dimension type-2 shape every warehouse ETL ships: collapse each
+    * user's event stream to its VALUE-CHANGE rows (event_type as the
+    * tracked attribute), then seam validity intervals with lead():
+    * [valid_from, valid_to) per attribute version, open interval
+    * (NULL valid_to) = current row. Two partitioned windows over the
+    * same (user, time) ordering — one shuffle at any scale, no
+    * self-join; the change-row filter drops ~1/5 of rows before the
+    * second window. µs-integer keys end-to-end (D7). */
+  def evScd2(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.eventsRaw(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("ts_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_scd2" -> evScd2,
     "ev_next_pattern" -> evNextPattern,
     "ev_zscore_outlier" -> evZscoreOutlier,
     "ev_retention_cohort" -> evRetentionCohort,
@@ -200,6 +225,18 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "c AS (SELECT user_id, event_id, ts_us, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) " +
+        "AS prev FROM e), " +
+        "f AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type) " +
+        "SELECT user_id, event_type AS attr, ts_us AS valid_from, " +
+        "lead(ts_us) OVER w AS valid_to, " +
+        "lead(ts_us) OVER w IS NULL AS is_current FROM f " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) " +
+        "ORDER BY user_id, valid_from"),
     "ev_next_pattern" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, " +
         "epoch_us(ts) AS ts_us FROM events), " +

@@ -95,6 +95,19 @@ class GoldenSuite extends SparkTestBase {
     assert(streaming.StreamDemo.upsertStream(spark, sf1).count() == 1500L)
   }
 
+  test("round-6 sf0.1 goldens: pair degree / interval overlap / scd2 / argmax") {
+    // DuckDB-oracle-verified at sf0.1 this round (tools/check.py).
+    val pd = llm.Dedup.pairDegree(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pd == Map(1L -> 444L, 2L -> 21L, 3L -> 4L))
+    val io = operators.Joins.joinIntervalOverlap(spark, sf1).collect()
+    assert(io.length == 80 && io.head.getLong(1) == 17940L)
+    assert(streaming.Events.evScd2(spark, sf1).count() == 80440L)
+    val am = operators.Aggregates.aggArgmax(spark, sf1).collect()
+    assert(am.map(_.getLong(1)).toSeq ==
+      Seq(6414L, 13521L, 13315L, 13978L, 4796L))
+  }
+
   test("round-6 sf0.1 golden: topk_limit top-10 order keys and head revenue") {
     // DuckDB-verified this round on the oracle SQL (cross-engine): the
     // Q3 top-10 by revenue with o_orderkey tiebreak. Pins the
