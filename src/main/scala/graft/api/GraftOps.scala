@@ -402,6 +402,61 @@ object GraftOps {
       .filter(col("cnt") >= minCount)
       .orderBy("ngram")
 
+  /** PMI collocation mining: top-k word bigrams by pointwise mutual
+    * information, ln(P(xy) / (P(x)·P(y))) — the classic phrase /
+    * multi-word-expression detector over a corpus. Built from three
+    * exact count tables (unigram, bigram, and their 1-row totals —
+    * all keyed count-aggregates with map-side partials); the bigram
+    * table joins the unigram table twice on the word key (equi-joins
+    * that AQE broadcasts while the vocabulary fits, shuffles once it
+    * doesn't), the totals ride a 1-row broadcast. PMI combines the
+    * six exact integers in one fixed double expression, FLOAT-narrowed
+    * (D8): ln((cxy·Nu·Nu) / (cx·cy·Nb)) — every product is formed in
+    * double, so no integer-overflow cliff at corpus scale. `minCount`
+    * drops hapax pairs BEFORE the joins (standard PMI practice and the
+    * candidate bound: output ≤ distinct bigrams, never token volume).
+    */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val toks = df.select(split(col(textCol), " ").as("_graft_toks"))
+    val uni = toks.select(explode(col("_graft_toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val biOcc = toks.filter(size(col("_graft_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(_graft_toks) - 2), " +
+          "i -> struct(_graft_toks[i] as w1, _graft_toks[i+1] as w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      // Vacuously true (split tokens are never null) but load-bearing:
+      // the cx/cy equi-joins push IsNotNull(w1, w2) below the bigram
+      // aggregate on their branch; stating it here puts the identical
+      // filter on the totals branch too, so the two consumers
+      // canonicalize to ONE shuffle exchange (exchange reuse) instead
+      // of exploding the corpus a third time.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+    val bc = biOcc.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    // Token total from the bigram total: every doc yields len tokens
+    // and max(len-1, 0) bigrams, and split() never yields an empty
+    // array, so Nu = Nb + ndocs exactly. This replaces a third full
+    // text-column pass with a column-free row count; the two real
+    // explode passes (unigram, bigram) each build one shuffle that
+    // exchange-reuse shares between its two consumers.
+    val totals = bc.agg(sum(col("cxy")).as("nb"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_graft_nd"))))
+      .select((col("nb") + col("_graft_nd")).as("nu"), col("nb"))
+    bc.filter(col("cxy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", expr(
+        "CAST(LN((CAST(cxy AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE)) / " +
+          "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) * CAST(nb AS DOUBLE))) AS FLOAT)"))
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+        col("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------
   // Keyed compaction / capping / event analytics
   // ------------------------------------------------------------------

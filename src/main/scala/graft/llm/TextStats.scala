@@ -139,6 +139,8 @@ object TextStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_quality_gate" -> qualityGate,
     "llm_ngram_counts" -> ngramCounts,
+    "llm_pmi_bigrams" -> ((s, d) => graft.api.GraftOps.pmiBigrams(
+      Tables.documents(s, d), "text", minCount = 5L, k = 40)),
     "llm_tfidf" -> tfidf,
     "llm_text_stats" -> textStats,
     "llm_lang_filter" -> langFilter,
@@ -170,6 +172,24 @@ object TextStats {
         "+ CASE WHEN rep_milli > 80 THEN 2 ELSE 0 END " +
         "+ CASE WHEN stop_milli < 20 THEN 4 ELSE 0 END) = 0 AS keep " +
         "FROM s JOIN r ON s.doc_id = r.doc_id ORDER BY s.doc_id"),
+    // Mirrors GraftOps.pmiBigrams: exact unigram/bigram/total counts,
+    // PMI combined in the identical double expression, REAL-narrowed.
+    "llm_pmi_bigrams" ->
+      ("WITH ts AS (SELECT string_split(text, ' ') AS ts FROM documents), " +
+        "uni AS (SELECT unnest(ts) AS w FROM ts), " +
+        "uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w), " +
+        "bi AS (SELECT ts[i+1] AS w1, ts[i+2] AS w2 FROM " +
+        "(SELECT ts FROM ts WHERE len(ts) >= 2) t2, " +
+        "LATERAL (SELECT unnest(range(len(ts) - 1)) AS i) t), " +
+        "bc AS (SELECT w1, w2, COUNT(*) AS cxy FROM bi GROUP BY 1, 2), " +
+        "tot AS (SELECT (SELECT SUM(c) FROM uc) AS nu, " +
+        "(SELECT SUM(cxy) FROM bc) AS nb) " +
+        "SELECT w1, w2, cxy, cx, cy, " +
+        "CAST(LN((CAST(cxy AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE)) / " +
+        "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) * CAST(nb AS DOUBLE))) AS REAL) AS pmi " +
+        "FROM bc JOIN (SELECT w AS w1, c AS cx FROM uc) USING (w1) " +
+        "JOIN (SELECT w AS w2, c AS cy FROM uc) USING (w2), tot " +
+        "WHERE cxy >= 5 ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 40"),
     "llm_ngram_counts" ->
       ("WITH ts AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
         "g AS (SELECT ts[i+1] || ' ' || ts[i+2] AS ngram " +

@@ -284,6 +284,39 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group skewness and excess kurtosis — the 3rd/4th-moment
+    * extension of aggStats/aggCorr: four EXACT integer power sums per
+    * group (cents in DECIMAL(38,0); v⁴ ≤ 10²⁸ per row keeps Σv⁴ inside
+    * 38 digits through corpus sf 1000), combined in one fixed IEEE
+    * expression per stat and FLOAT-narrowed (D8). sqrt(v)·v replaces
+    * pow(v, 1.5) deliberately: sqrt and multiply are correctly-rounded
+    * IEEE ops on both engines, libm pow is not. */
+  def aggSkewKurt(spark: SparkSession, sf: String): DataFrame = {
+    val v = expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))")
+    def d(c: Column): Column = c.cast("double")
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), v.as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      .withColumn("m1", d(col("s1")) / d(col("n")))
+      .withColumn("m2", d(col("s2")) / d(col("n")))
+      .withColumn("m3", d(col("s3")) / d(col("n")))
+      .withColumn("m4", d(col("s4")) / d(col("n")))
+      .withColumn("vr", col("m2") - col("m1") * col("m1"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("m3") - lit(3.0d) * col("m1") * col("m2")
+          + lit(2.0d) * col("m1") * col("m1") * col("m1")) /
+          (col("vr") * sqrt(col("vr")))).cast("float").as("skew"),
+        ((col("m4") - lit(4.0d) * col("m1") * col("m3")
+          + lit(6.0d) * col("m1") * col("m1") * col("m2")
+          - lit(3.0d) * col("m1") * col("m1") * col("m1") * col("m1")) /
+          (col("vr") * col("vr")) - lit(3.0d)).cast("float").as("kurt"))
+      .orderBy("l_returnflag")
+  }
+
   /** Array aggregation: the per-group value LIST. collect_list's
     * element order is partition-arrival order — nondeterministic — so
     * the aggregate is wrapped in array_sort, making the array a pure
@@ -424,6 +457,7 @@ object Aggregates {
     "agg_histogram" -> aggHistogram,
     "agg_collect" -> aggCollect,
     "agg_corr" -> aggCorr,
+    "agg_skew_kurt" -> aggSkewKurt,
     "agg_percentile" -> aggPercentile,
     "agg_condagg" -> aggCondAgg,
     "agg_q1_pricing" -> aggQ1Pricing,
@@ -441,6 +475,26 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // Mirrors aggSkewKurt's exact-integer power sums (HUGEINT here,
+    // DECIMAL(38,0) there) and its fixed IEEE combine, term for term.
+    "agg_skew_kurt" ->
+      ("WITH c AS (SELECT l_returnflag, " +
+        "CAST(round(l_extendedprice * 100) AS HUGEINT) AS v FROM lineitem), " +
+        "s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(v) AS s1, " +
+        "SUM(v * v) AS s2, SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4 " +
+        "FROM c GROUP BY l_returnflag), " +
+        "m AS (SELECT l_returnflag, n, " +
+        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1, " +
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2, " +
+        "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3, " +
+        "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4 FROM s), " +
+        "w AS (SELECT *, m2 - m1 * m1 AS vr FROM m) " +
+        "SELECT l_returnflag, n, " +
+        "CAST((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / " +
+        "(vr * sqrt(vr)) AS REAL) AS skew, " +
+        "CAST((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 " +
+        "- 3.0 * m1 * m1 * m1 * m1) / (vr * vr) - 3.0 AS REAL) AS kurt " +
+        "FROM w ORDER BY l_returnflag"),
     "agg_argmax" ->
       ("SELECT c_mktsegment, c_custkey AS top_cust, c_acctbal AS top_bal FROM (" +
         "SELECT c_mktsegment, c_custkey, c_acctbal, ROW_NUMBER() OVER (" +

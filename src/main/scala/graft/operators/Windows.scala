@@ -182,7 +182,40 @@ object Windows {
         col("ewma").as("ewma_c128"))
       .orderBy("event_id")
 
+  /** RFM customer segmentation: recency (days since last order,
+    * relative to the corpus max date), frequency (order count) and
+    * monetary value (exact cents), each cut into global quartiles by
+    * ntile(4) with the custkey tiebreak (D3), concatenated to the
+    * classic 3-digit segment label. The quartiles run on the
+    * per-customer AGGREGATE frame — three orders of magnitude smaller
+    * than the fact table — so the global ntile windows sort customers,
+    * not orders; past single-node customer counts the same labels come
+    * from percentile boundaries instead. Max date is a 1-row broadcast
+    * (no driver round-trip). */
+  def winRfmSegment(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.orders(spark, sf)
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(round(o_totalprice * 100) AS DECIMAL(18,0))"))
+          .cast("long").as("m_cents"))
+    val mx = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+    per.crossJoin(broadcast(mx))
+      .withColumn("r_days", datediff(col("mx"), col("last_day")).cast("long"))
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(asc("r_days"), asc("o_custkey"))))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(desc("f"), asc("o_custkey"))))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(desc("m_cents"), asc("o_custkey"))))
+      .select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
+        concat(col("r_q").cast("string"), col("f_q").cast("string"),
+          col("m_q").cast("string")).as("rfm"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rfm_segment" -> winRfmSegment,
     "win_ewma" -> winEwma,
     "win_time_range" -> winTimeRange,
     "win_islands" -> winIslands,
@@ -197,6 +230,21 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_rfm_segment" ->
+      ("WITH per AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day, " +
+        "COUNT(*) AS f, " +
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS BIGINT) AS m_cents " +
+        "FROM orders GROUP BY o_custkey), " +
+        "mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders), " +
+        "r AS (SELECT o_custkey, CAST(mx - last_day AS BIGINT) AS r_days, " +
+        "f, m_cents FROM per, mx), " +
+        "q AS (SELECT o_custkey, r_days, f, m_cents, " +
+        "ntile(4) OVER (ORDER BY r_days ASC, o_custkey ASC) AS r_q, " +
+        "ntile(4) OVER (ORDER BY f DESC, o_custkey ASC) AS f_q, " +
+        "ntile(4) OVER (ORDER BY m_cents DESC, o_custkey ASC) AS m_q FROM r) " +
+        "SELECT o_custkey, r_days, f, m_cents, " +
+        "CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS rfm " +
+        "FROM q ORDER BY o_custkey"),
     "win_ewma" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, " +
         "CAST(round(value * 100) AS BIGINT) AS vc FROM events) " +

@@ -209,7 +209,75 @@ object Events {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Markov transition matrix over per-user event sequences: count of
+    * each (prev_type → next_type) adjacency plus the row-normalized
+    * transition probability — the building block of behavioral
+    * sequence models and next-event prediction baselines. One
+    * partitioned lead() window (single shuffle over the fact table),
+    * then a keyed count whose output is |types|² at most, independent
+    * of event volume; the probability divides two exact counts inside
+    * the tiny matrix. */
+  def evMarkovTransition(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts_us"), asc("event_id"))
+    Tables.eventsRaw(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy("prev_type")).cast("double"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent PRECEDING non-purchase event (the marketing-analytics
+    * staple). One partitioned window with a rows-preceding frame and
+    * ignore-nulls last() over a case-filtered column — the attributed
+    * row never leaves its partition, so the whole credit assignment is
+    * a single shuffle at any event volume. Purchases with no prior
+    * touch keep NULL credit (left semantics). */
+  def evAttribution(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts_us"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.eventsRaw(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("attr_type", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .withColumn("attr_id", last(
+        when(col("event_type") =!= "purchase", col("event_id")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("attr_type"), col("attr_id"))
+      .orderBy("purchase_id")
+  }
+
+  /** Rolling 7-day active users (WAU) per event day, decomposed to an
+    * equi-join: the range predicate `day BETWEEN d-6 AND d` becomes an
+    * explode of each (user, day) activity row to the ≤ 7 target days
+    * it contributes to, then a keyed distinct count — candidate volume
+    * is 7× the DISTINCT activity grain (users × days, not events),
+    * never a theta join. The oracle states the range join directly. */
+  def evRollingWau(spark: SparkSession, sf: String): DataFrame = {
+    val act = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts2")).as("day")).distinct()
+    val days = act.select(col("day").as("d")).distinct()
+    act.withColumn("d", explode(expr("sequence(day, date_add(day, 6))")))
+      .join(days, Seq("d"), "left_semi")
+      .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_markov_transition" -> evMarkovTransition,
+    "ev_attribution" -> evAttribution,
+    "ev_rolling_wau" -> evRollingWau,
     "ev_scd2" -> evScd2,
     "ev_next_pattern" -> evNextPattern,
     "ev_zscore_outlier" -> evZscoreOutlier,
@@ -225,6 +293,36 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_markov_transition" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "l AS (SELECT event_type AS prev_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) " +
+        "AS next_type FROM e), " +
+        "c AS (SELECT prev_type, next_type, COUNT(*) AS cnt FROM l " +
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, cnt, " +
+        "CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS p " +
+        "FROM c ORDER BY prev_type, next_type"),
+    "ev_attribution" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "a AS (SELECT user_id, event_id, event_type, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END " +
+        "IGNORE NULLS) OVER w AS attr_type, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_id END " +
+        "IGNORE NULLS) OVER w AS attr_id FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, event_id AS purchase_id, attr_type, attr_id " +
+        "FROM a WHERE event_type = 'purchase' ORDER BY purchase_id"),
+    "ev_rolling_wau" ->
+      ("WITH a AS (SELECT DISTINCT user_id, " +
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+        "d AS (SELECT DISTINCT day AS d FROM a) " +
+        "SELECT d.d, COUNT(DISTINCT a.user_id) AS wau FROM d " +
+        "JOIN a ON a.day BETWEEN d.d - 6 AND d.d " +
+        "GROUP BY d.d ORDER BY d.d"),
     "ev_scd2" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
         "event_type FROM events), " +
