@@ -64,6 +64,17 @@ object ScaleProbe {
         col("c_name"), col("c_nationkey"), col("c_mktsegment"))
       .write.parquet(s"$scaled/customer.parquet")
 
+    // orders ×100 with disjoint customer/order key spaces; dates
+    // shifted ±50 days per replica so the recency distribution (and
+    // the global RFM quartile sort) scales honestly.
+    Tables.orders(spark, base).crossJoin(reps(100))
+      .select((col("o_orderkey") + col("rep") * 1000000000L).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * 10000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        expr("timestampadd(DAY, rep - 50, o_orderdate)").as("o_orderdate"),
+        col("o_orderpriority"))
+      .write.parquet(s"$scaled/orders.parquet")
+
     // events ×100, keys/timestamps shifted; single file so the
     // streaming reader's pathGlobFilter matches like the corpus file.
     Tables.eventsRaw(spark, base).crossJoin(reps(100))
@@ -125,6 +136,17 @@ object ScaleProbe {
         (d => full(graft.streaming.StreamDemo.upsertStream(spark, d))),
       "ev_enrich_stream" ->
         (d => full(graft.streaming.StreamDemo.enrichStream(spark, d))),
+      "ev_markov_transition" ->
+        (d => full(graft.streaming.Events.evMarkovTransition(spark, d))),
+      "ev_attribution" ->
+        (d => full(graft.streaming.Events.evAttribution(spark, d))),
+      "ev_rolling_wau" ->
+        (d => full(graft.streaming.Events.evRollingWau(spark, d))),
+      "win_rfm_segment" ->
+        (d => full(graft.operators.Windows.winRfmSegment(spark, d))),
+      "llm_pmi_bigrams" ->
+        (d => full(graft.api.GraftOps.pmiBigrams(
+          graft.Tables.documents(spark, d), "text", 5L, 40))),
       // The custom heap top-k over the replicated events (top-3 per
       // user by value): per-partition state is O(users × 3) however
       // large the event volume — the property the operator exists for.
