@@ -108,6 +108,34 @@ class GoldenSuite extends SparkTestBase {
       Seq(6414L, 13521L, 13315L, 13978L, 4796L))
   }
 
+  test("continued-round-6 sf0.1 goldens: markov / attribution / wau / rfm / moments / pmi") {
+    // DuckDB-oracle-verified at sf0.1 this round (tools/check.py).
+    val mk = streaming.Events.evMarkovTransition(spark, sf1).collect()
+    assert(mk.length == 25)
+    assert(mk.head.getString(0) == "click" && mk.head.getString(1) == "click"
+      && mk.head.getLong(2) == 3800L)
+    assert(math.abs(mk.head.getDouble(3) - 0.194274) < 1e-6)
+    val at = streaming.Events.evAttribution(spark, sf1).collect()
+    assert(at.length == 20084)
+    assert(at.count(_.isNullAt(2)) == 368) // purchases with no prior touch
+    val wau = streaming.Events.evRollingWau(spark, sf1).collect()
+    assert(wau.length == 30 && wau.head.getLong(1) == 1338L
+      && wau.map(_.getLong(1)).max == 1500L)
+    val rfm = operators.Windows.winRfmSegment(spark, sf1).collect()
+    assert(rfm.length == 14999)
+    assert(rfm.count(_.getString(4) == "111") == 946)
+    assert(rfm.head.getLong(3) == 445432982L && rfm.head.getString(4) == "211")
+    val sk = operators.Aggregates.aggSkewKurt(spark, sf1).collect()
+    assert(sk.map(_.getString(0)).toSeq == Seq("A", "N", "R"))
+    assert(math.abs(sk.head.getFloat(2) - 0.0034372f) < 1e-6)
+    assert(math.abs(sk.head.getFloat(3) - (-1.2013837f)) < 1e-6)
+    val pmi = graft.api.GraftOps.pmiBigrams(
+      Tables.documents(spark, sf1), "text", 5L, 40).collect()
+    assert(pmi.length == 40)
+    assert(pmi.head.getString(0) == "dup" && pmi.head.getString(1) == "dup")
+    assert(math.abs(pmi.head.getFloat(5) - 3.0543351f) < 1e-6)
+  }
+
   test("round-6 sf0.1 golden: topk_limit top-10 order keys and head revenue") {
     // DuckDB-verified this round on the oracle SQL (cross-engine): the
     // Q3 top-10 by revenue with o_orderkey tiebreak. Pins the
