@@ -14,6 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SortSet.queries ++
+      Graph.queries ++
       Windows.queries ++ graft.functions.Scalars.queries ++
       graft.streaming.Events.queries ++ graft.functions.Udfs.queries ++
       graft.llm.Dedup.queries ++ graft.llm.Similarity.queries ++
@@ -26,6 +27,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SortSet.oracle ++
+      Graph.oracle ++
       Windows.oracle ++ graft.functions.Scalars.oracle ++
       graft.streaming.Events.oracle ++ graft.functions.Udfs.oracle ++
       graft.llm.Dedup.oracle ++ graft.llm.Similarity.oracle ++

@@ -402,6 +402,32 @@ object GraftOps {
       .filter(col("cnt") >= minCount)
       .orderBy("ngram")
 
+  /** Per-document token (Shannon) entropy — the vocabulary-diversity
+    * quality signal (low entropy ⇒ repetitive/boilerplate text).
+    * H = ln n − (Σ c·ln c)/n over per-document token counts c. The
+    * inner sum is accumulated as EXACT integers: each count contributes
+    * c · round(ln(c)·10⁶) µ-nat units, so the aggregate is
+    * order-independent (D2) and cross-engine stable — ln is only
+    * 1-ulp-accurate per engine, but the quantization boundary is ~10⁻⁹
+    * wide against a quantum of 1, so the rounded value is engine-equal
+    * for every count that fits in a double. The final H combines the
+    * two exact integers in one fixed IEEE expression, FLOAT-narrowed
+    * (D8). Two keyed aggregates — (doc, token) then doc — both
+    * map-side-partial shuffles at any corpus size. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("_graft_tok"))
+      .groupBy(col(idCol), col("_graft_tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+        sum(expr("c * CAST(round(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .as("s_micro"))
+      .select(col(idCol), col("n").as("n_tokens"), col("n_types"),
+        expr("CAST(LN(CAST(n AS DOUBLE)) - " +
+          "CAST(s_micro AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) " +
+          "AS FLOAT)").as("entropy"))
+      .orderBy(idCol)
+
   /** PMI collocation mining: top-k word bigrams by pointwise mutual
     * information, ln(P(xy) / (P(x)·P(y))) — the classic phrase /
     * multi-word-expression detector over a corpus. Built from three

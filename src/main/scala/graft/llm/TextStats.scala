@@ -141,6 +141,8 @@ object TextStats {
     "llm_ngram_counts" -> ngramCounts,
     "llm_pmi_bigrams" -> ((s, d) => graft.api.GraftOps.pmiBigrams(
       Tables.documents(s, d), "text", minCount = 5L, k = 40)),
+    "llm_token_entropy" -> ((s, d) => graft.api.GraftOps.tokenEntropy(
+      Tables.documents(s, d), "doc_id", "text")),
     "llm_tfidf" -> tfidf,
     "llm_text_stats" -> textStats,
     "llm_lang_filter" -> langFilter,
@@ -172,6 +174,20 @@ object TextStats {
         "+ CASE WHEN rep_milli > 80 THEN 2 ELSE 0 END " +
         "+ CASE WHEN stop_milli < 20 THEN 4 ELSE 0 END) = 0 AS keep " +
         "FROM s JOIN r ON s.doc_id = r.doc_id ORDER BY s.doc_id"),
+    // Mirrors GraftOps.tokenEntropy's µ-nat integer quantization: the
+    // per-count ln is rounded to an exact integer BEFORE the sum, so
+    // both engines aggregate identical integers in any order.
+    "llm_token_entropy" ->
+      ("WITH c AS (SELECT doc_id, tok, COUNT(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY doc_id, tok), " +
+        "d AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_types, " +
+        "SUM(c * CAST(round(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) " +
+        "AS s_micro FROM c GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_types, " +
+        "CAST(LN(CAST(n AS DOUBLE)) - CAST(s_micro AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * 1000000.0) AS REAL) AS entropy " +
+        "FROM d ORDER BY doc_id"),
     // Mirrors GraftOps.pmiBigrams: exact unigram/bigram/total counts,
     // PMI combined in the identical double expression, REAL-narrowed.
     "llm_pmi_bigrams" ->
