@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the co-purchase graph (SURVEY.md §2.10
@@ -25,10 +25,11 @@ object Graph {
 
   /** Undirected co-purchase edges (x < y by part id), deduplicated and
     * checkpointed to scratch parquet once per (session, sf) — the edge
-    * list has five lineage consumers in the census (degrees twice,
-    * orientation, wedge closure, edge count); without the checkpoint
-    * each would re-run the within-order self-join (same fit-once
-    * discipline as the dedup pair list / IVF index). */
+    * list has several lineage consumers (degrees, orientation, edge
+    * count in the census; the bidirectional list in every PageRank
+    * iteration); without the checkpoint each would re-run the
+    * within-order self-join (same fit-once discipline as the dedup
+    * pair list / IVF index). */
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
@@ -56,8 +57,7 @@ object Graph {
     val e0 = edges(spark, sf)
     val deg = e0.select(col("x").as("n")).unionAll(e0.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
-    // Orient x→y when π(x) < π(y), else y→x; carry both endpoint
-    // degrees so the wedge join can compare π without re-joining deg.
+    // Orient x→y when π(x) < π(y) under π = (degree, id), else y→x.
     val or = e0
       .join(deg.select(col("n").as("x"), col("dg").as("dx")), "x")
       .join(deg.select(col("n").as("y"), col("dg").as("dy")), "y")
@@ -67,26 +67,25 @@ object Graph {
           .otherwise(col("y")).as("src"),
         when(col("dx") < col("dy") ||
           (col("dx") === col("dy") && col("x") < col("y")), col("y"))
-          .otherwise(col("x")).as("dst"),
-        when(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")), col("dy"))
-          .otherwise(col("dx")).as("ddg"))
-    def piLt(d1: Column, n1: Column, d2: Column, n2: Column): Column =
-      d1 < d2 || (d1 === d2 && n1 < n2)
-    val wedges = or.select(col("src"), col("dst").as("v"), col("ddg").as("dv"))
-      .join(or.select(col("src"), col("dst").as("w"), col("ddg").as("dw")),
-        Seq("src"))
-      .filter(piLt(col("dv"), col("v"), col("dw"), col("w")))
-      .select(col("v"), col("w"))
-    // Semi join: each wedge row survives iff its closing edge exists;
-    // each triangle has exactly ONE π-increasing wedge, so the row
-    // count IS the triangle count (oriented edges are unique, so the
-    // semi can't duplicate, and distinct (v,w) wedges from different
-    // srcs are genuinely distinct triangles).
-    val tri = wedges
-      .join(or.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
-        "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+          .otherwise(col("x")).as("dst"))
+    // Edge-iterator over orientation-bounded adjacency arrays: for
+    // each ORIENTED edge (u, v), every common out-neighbor w closes
+    // the π-increasing triangle u<v<w exactly once, so
+    // T = Σ_(u,v) |N⁺(u) ∩ N⁺(v)|. Out-neighbor arrays are bounded by
+    // the π-out-degree (O(√m) — max 97 here vs raw max degree 222),
+    // so the collect is safe at any scale; the data moved is 2·m
+    // bounded arrays instead of the Σ outdeg² wedge stream (34×
+    // larger on this corpus — measured 3.9 s as a broadcast wedge
+    // semi-join vs this shape). array_intersect hash-builds the
+    // smaller side: O(|a| + |b|) per edge, whole-stage codegen'd.
+    val outadj = or.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nb"))
+    val tri = or.select(col("src"), col("dst"))
+      .join(outadj.select(col("src"), col("nb").as("nbu")), Seq("src"))
+      .join(outadj.select(col("src").as("dst"), col("nb").as("nbv")),
+        Seq("dst"))
+      .agg(sum(size(array_intersect(col("nbu"), col("nbv"))))
+        .cast("long").as("n_triangles"))
     val stats = e0.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(
         sum(expr("dg * (dg - 1)")).cast("long").as("wedges2")))
