@@ -317,6 +317,37 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Heavy hitters through the NATIVE Catalyst aggregate extension
+    * ([[graft.functions.SketchAggs.SpaceSavingTopK]], a
+    * TypedImperativeAggregate with O(k) state): document languages
+    * whose frequency exceeds n/(k+1), k = 2 (the only planted skew in
+    * this corpus — en ≈ 40% vs ~15% for the rest, so the 5-language
+    * domain genuinely overflows the 2-slot summary). Scored through
+    * the Misra–Gries guarantee (the agg_countmin/approx_distinct
+    * accuracy-contract discipline, since raw sketch counts legitimately
+    * vary with partition merge order): the output rows are the EXACT
+    * heavy hitters with exact counts, plus two contract booleans the
+    * oracle pins as literal TRUE — membership (every true heavy hitter
+    * is in the sketch) and the two-sided estimate bound
+    * true − n/(k+1) ≤ est ≤ true, checked in exact integers
+    * (9·est ≥ 9·cnt − n). */
+  def aggHeavyHitters(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.SketchAggs.register(spark)
+    val langs = Tables.documents(spark, sf).select(col("lang"))
+    val sk = langs.agg(expr("graft_spacesaving(lang, 2)").as("mg"),
+      count(lit(1)).as("n"))
+    langs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sk))
+      .filter(col("cnt") * 3 > col("n"))
+      .withColumn("est", element_at(col("mg"), col("lang")))
+      .select(col("lang"), col("cnt"),
+        col("est").isNotNull.as("in_sketch"),
+        coalesce(col("est") <= col("cnt") &&
+          col("est") * 3 >= col("cnt") * 3 - col("n"), lit(false))
+          .as("bound_ok"))
+      .orderBy("lang")
+  }
+
   /** Array aggregation: the per-group value LIST. collect_list's
     * element order is partition-arrival order — nondeterministic — so
     * the aggregate is wrapped in array_sort, making the array a pure
@@ -458,6 +489,7 @@ object Aggregates {
     "agg_collect" -> aggCollect,
     "agg_corr" -> aggCorr,
     "agg_skew_kurt" -> aggSkewKurt,
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_percentile" -> aggPercentile,
     "agg_condagg" -> aggCondAgg,
     "agg_q1_pricing" -> aggQ1Pricing,
@@ -475,6 +507,13 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // Accuracy-contract oracle (see aggHeavyHitters): the exact
+    // heavy-hitter set + the MG guarantee booleans as literal TRUE.
+    "agg_heavy_hitters" ->
+      ("WITH n AS (SELECT COUNT(*) AS n FROM documents), " +
+        "c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang) " +
+        "SELECT lang, cnt, TRUE AS in_sketch, TRUE AS bound_ok " +
+        "FROM c, n WHERE cnt * 3 > n ORDER BY lang"),
     // Mirrors aggSkewKurt's exact-integer power sums (HUGEINT here,
     // DECIMAL(38,0) there) and its fixed IEEE combine, term for term.
     "agg_skew_kurt" ->

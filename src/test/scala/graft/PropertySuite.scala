@@ -695,6 +695,34 @@ class PropertySuite extends SparkTestBase {
     assert(capped == brute, "capped banding must equal brute-force pairs")
   }
 
+  test("misra-gries native aggregate: guarantee holds under many-partition merge") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SketchAggs.register(spark)
+    // Adversarial mix: 2 true heavies (40% + 25%) over a 100-item cold
+    // tail, shuffled across 17 partitions so partial summaries merge in
+    // arbitrary order; k = 4 (far smaller than the 102-item domain).
+    val n = 20000
+    val rows = spark.range(n).selectExpr(
+      """CASE WHEN id % 20 < 8 THEN 'hot1'
+              WHEN id % 20 < 13 THEN 'hot2'
+              ELSE concat('cold', CAST(hash(id) % 100 AS STRING)) END AS item""")
+      .repartition(17)
+    val r = rows.agg(expr("graft_spacesaving(item, 4)").as("mg")).head()
+    val mg = r.getMap[String, Long](0)
+    val exact = rows.groupBy("item").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val thresh = n / 5.0 // n/(k+1)
+    for ((item, cnt) <- exact if cnt > thresh) {
+      assert(mg.contains(item), s"true heavy hitter $item missing from sketch")
+    }
+    for ((item, est) <- mg) {
+      val cnt = exact(item)
+      assert(est <= cnt, s"$item overestimated: $est > $cnt")
+      assert(est >= cnt - thresh, s"$item below MG bound: $est < $cnt - $thresh")
+    }
+    assert(mg.size <= 4, "summary exceeded k entries")
+  }
+
   test("count-min probe deserializes once per distinct sketch payload") {
     import org.apache.spark.util.sketch.CountMinSketch
     def bytes(seed: Int): Array[Byte] = {
