@@ -114,10 +114,17 @@ object Graph {
       .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
     val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
     val init = deg.select(col("u").as("n"), lit(1000000000000L).as("pr"))
+    // Each iteration: the rank vector (node-grain — 3 orders smaller
+    // than edges) joins degrees, is pre-divided once per NODE (not per
+    // edge), and broadcasts onto the edge scan, so the checkpointed
+    // edge list streams map-side and the only shuffle is the partial-
+    // agg combine of contributions. Past broadcastable node counts the
+    // same fold runs as a shuffle join — still one shuffle/iteration.
     val ranks = (1 to 3).foldLeft(init) { (pr, _) =>
-      pr.join(deg.withColumnRenamed("u", "n"), "n")
-        .join(bidir.withColumnRenamed("u", "n"), "n")
-        .select(col("v"), expr("(pr * 85) div (100 * dg)").as("contrib"))
+      bidir.join(broadcast(
+          pr.join(deg.withColumnRenamed("u", "n"), "n")
+            .select(col("n").as("u"),
+              expr("(pr * 85) div (100 * dg)").as("contrib"))), "u")
         .groupBy(col("v")).agg(sum(col("contrib")).as("c"))
         .select(col("v").as("n"), (col("c") + lit(150000000000L)).as("pr"))
     }
