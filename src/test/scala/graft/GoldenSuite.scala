@@ -136,6 +136,26 @@ class GoldenSuite extends SparkTestBase {
     assert(math.abs(pmi.head.getFloat(5) - 3.0543351f) < 1e-6)
   }
 
+  test("continued-round-6 sf0.1 goldens: graph census / pagerank / entropy / heavy hitters") {
+    // DuckDB-oracle-verified at sf0.1 this round (tools/check.py).
+    val tc = operators.Graph.graphTriangles(spark, sf1).head()
+    assert(tc.getLong(0) == 1196000L && tc.getLong(1) == 147816257L
+      && tc.getLong(2) == 1884488L)
+    assert(math.abs(tc.getFloat(3) - 0.0382466f) < 1e-6)
+    val pr = operators.Graph.graphPagerank(spark, sf1).collect()
+    assert(pr.length == 20)
+    assert(pr.head.getLong(0) == 8437L && pr.head.getLong(1) == 1727900644080L)
+    val en = graft.api.GraftOps.tokenEntropy(
+      Tables.documents(spark, sf1), "doc_id", "text").collect()
+    assert(en.length == 5000)
+    assert(en.head.getLong(1) == 54L && en.head.getLong(2) == 26L)
+    assert(math.abs(en.head.getFloat(3) - 3.1177456f) < 1e-6)
+    val hh = operators.Aggregates.aggHeavyHitters(spark, sf1).collect()
+    assert(hh.length == 1 && hh.head.getString(0) == "en"
+      && hh.head.getLong(1) == 2059L
+      && hh.head.getBoolean(2) && hh.head.getBoolean(3))
+  }
+
   test("round-6 sf0.1 golden: topk_limit top-10 order keys and head revenue") {
     // DuckDB-verified this round on the oracle SQL (cross-engine): the
     // Q3 top-10 by revenue with o_orderkey tiebreak. Pins the

@@ -122,6 +122,37 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("pmi bigrams: exchange reuse collapses each count shuffle (2 explodes, not 3)") {
+    // The vacuous IsNotNull on the shared bigram frame exists exactly
+    // so the totals branch canonicalizes with the join branch; this
+    // pins it. AQE finalizes reuse at execution, so run first.
+    val df = graft.api.GraftOps.pmiBigrams(
+      Tables.documents(spark, sf), "text", 5L, 40)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused")
+  }
+
+  test("heavy hitters aggregate runs with map-side partials") {
+    val p = plan(operators.Aggregates.aggHeavyHitters(spark, sf))
+    assert(p.contains("graft_spacesaving"), "native aggregate in the plan")
+    assert(p.contains("partial_graft_spacesaving") ||
+      p.contains("Partial") && p.contains("graft_spacesaving"),
+      "MG summary must combine map-side, shuffling O(k) summaries")
+  }
+
+  test("triangle census: intersection kernel, no wedge materialization, no window") {
+    val p = plan(operators.Graph.graphTriangles(spark, sf))
+    assert(p.contains("array_intersect"), "per-edge intersection kernel")
+    assert(!p.contains("Window"), "no window operator")
+    // BNLJ may appear only as the declared Cross of the 1-row stats
+    // aggregates, never as an Inner fallback of the adjacency joins.
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+      !p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"),
+      "adjacency joins must stay hash joins")
+  }
+
   test("custom top-k operator plans heap exec with no sort, no window") {
     val p = plan(operators.Windows.winTopkNative(spark, sf))
     assert(p.contains("TopKPerKey"), "custom exec must appear in the plan")
