@@ -74,7 +74,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The curation chain END TO END as one scored query — dedup →
+    * quality gate → sequence packing, the minimal real corpus build:
+    * keep-first exact dedup (min doc_id per text), a token-bound +
+    * stopword-floor gate on survivors, then 512-token packing per
+    * source over what's left, summarized per (source, pack). Every
+    * stage is a binding of the already-verified pieces; this entry
+    * pins that they COMPOSE (filters change the packing windows'
+    * inputs, so pack boundaries here differ from llm_seq_pack's).
+    * Same shuffle budget as the parts: one text-hash agg, one
+    * per-shard window, one keyed rollup. */
+  def e2eCuration(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf)
+    val keepers = GraftOps.exactDedup(d, "doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("keeper_id").as("doc_id"))
+    val gated = d.join(keepers, "doc_id")
+      .withColumn("_graft_toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("_graft_toks")).cast("long"))
+      .withColumn("stop_milli", expr(
+        "(cast(size(filter(_graft_toks, t -> t = 'the' OR t = 'a' OR " +
+          "t = 'of' OR t = 'and' OR t = 'in')) as bigint) * 1000) div n_tok"))
+      .filter(col("n_tok") >= 20L && col("n_tok") <= 2000L &&
+        col("stop_milli") >= 100L)
+      .select(col("source"), col("doc_id"), col("text"))
+    GraftOps.seqPack(gated, "source", "doc_id", "text", budget = 512L)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      .orderBy("source", "pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_e2e_curation" -> e2eCuration,
     "llm_fixed_sample" -> fixedSample,
     "llm_seq_pack" -> seqPack,
     "llm_pack_build" -> packBuild,
@@ -85,6 +116,25 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    // The composed chain: keep-first dedup → gate → pack → rollup,
+    // each stage the same SQL its standalone oracle uses.
+    "llm_e2e_curation" ->
+      ("WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "dd AS (SELECT d.* FROM documents d JOIN k USING (doc_id)), " +
+        "g0 AS (SELECT source, doc_id, text, string_split(text, ' ') AS ts FROM dd), " +
+        "g1 AS (SELECT source, doc_id, CAST(len(ts) AS BIGINT) AS n_tok, " +
+        "(CAST(len(list_filter(ts, t -> t = 'the' OR t = 'a' OR t = 'of' " +
+        "OR t = 'and' OR t = 'in')) AS BIGINT) * 1000) " +
+        "// CAST(len(ts) AS BIGINT) AS stop_milli FROM g0), " +
+        "g AS (SELECT source, doc_id, n_tok FROM g1 " +
+        "WHERE n_tok >= 20 AND n_tok <= 2000 AND stop_milli >= 100), " +
+        "p AS (SELECT source, doc_id, n_tok, " +
+        "CAST(coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "// 512 AS pack_id FROM g) " +
+        "SELECT source, pack_id, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS sum_tok FROM p " +
+        "GROUP BY source, pack_id ORDER BY source, pack_id"),
     "llm_fixed_sample" ->
       ("SELECT doc_id, n_chars FROM (" +
         "SELECT doc_id, n_chars FROM documents " +
