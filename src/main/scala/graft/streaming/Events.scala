@@ -274,7 +274,44 @@ object Events {
       .orderBy("d")
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning metric —
+    * via the classic SWEEP LINE: sessions (30-min-gap windows, [start,
+    * end) semantics) clip to the days they span, each clipped interval
+    * emits a +1/−1 delta at its endpoints, and the peak is the max
+    * running sum per day ordered by (time, delta, user) — ends process
+    * before starts at the same instant, so touching intervals do not
+    * overlap. Degenerate clips (sessions ending exactly at midnight)
+    * are dropped before the sweep. Scale: the sweep partitions by DAY
+    * (days are independent after clipping), so state per partition is
+    * that day's delta count — never a global ordering; timestamps stay
+    * at exact µs on both engines throughout. */
+  def evPeakConcurrency(spark: SparkSession, sf: String): DataFrame = {
+    val sess = Tables.events(spark, sf)
+      .groupBy(session_window(col("ts2"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), ntz(col("session_window.start")).as("s"),
+        ntz(col("session_window.end")).as("e"))
+    val clipped = sess
+      .withColumn("day", explode(expr(
+        "sequence(to_date(s), to_date(e - INTERVAL 1 MICROSECOND))")))
+      .withColumn("cs", greatest(col("s"), col("day").cast("timestamp_ntz")))
+      .withColumn("ce", least(col("e"),
+        expr("cast(day + INTERVAL 1 DAY as timestamp_ntz)")))
+      .filter(col("cs") < col("ce"))
+    val deltas = clipped.select(col("day"), col("cs").as("pt"),
+        lit(1L).as("delta"), col("user_id"))
+      .unionAll(clipped.select(col("day"), col("ce").as("pt"),
+        lit(-1L).as("delta"), col("user_id")))
+    val w = Window.partitionBy("day")
+      .orderBy(asc("pt"), asc("delta"), asc("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("load", sum(col("delta")).over(w))
+      .groupBy("day").agg(max(col("load")).as("peak"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_peak_concurrency" -> evPeakConcurrency,
     "ev_markov_transition" -> evMarkovTransition,
     "ev_attribution" -> evAttribution,
     "ev_rolling_wau" -> evRollingWau,
@@ -293,6 +330,25 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same session CTE as ev_session, then the identical clip + sweep.
+    "ev_peak_concurrency" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "l AS (SELECT user_id, t, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+        "OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "g AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l), " +
+        "sess AS (SELECT user_id, MIN(t) AS s, MAX(t) + INTERVAL 30 MINUTE AS e FROM g GROUP BY user_id, sid), " +
+        "dd AS (SELECT user_id, s, e, CAST(u.d AS DATE) AS day FROM sess, " +
+        "LATERAL (SELECT unnest(generate_series(CAST(CAST(s AS DATE) AS TIMESTAMP), " +
+        "CAST(CAST(e - INTERVAL 1 MICROSECOND AS DATE) AS TIMESTAMP), INTERVAL 1 DAY)) AS d) u), " +
+        "c AS (SELECT user_id, day, greatest(s, CAST(day AS TIMESTAMP)) AS cs, " +
+        "least(e, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS ce FROM dd), " +
+        "f AS (SELECT * FROM c WHERE cs < ce), " +
+        "del AS (SELECT day, cs AS pt, 1 AS delta, user_id FROM f " +
+        "UNION ALL SELECT day, ce, -1, user_id FROM f), " +
+        "sw AS (SELECT day, SUM(delta) OVER (PARTITION BY day " +
+        "ORDER BY pt, delta, user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load FROM del) " +
+        "SELECT day, CAST(MAX(load) AS BIGINT) AS peak FROM sw " +
+        "GROUP BY day ORDER BY day"),
     "ev_markov_transition" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
         "event_type FROM events), " +
