@@ -695,6 +695,29 @@ class PropertySuite extends SparkTestBase {
     assert(capped == brute, "capped banding must equal brute-force pairs")
   }
 
+  test("order-independence: FP-disciplined queries agree across partitionings") {
+    // The D2/D8 discipline claims every output is a pure function of
+    // the data, independent of partial-aggregation order. Re-running
+    // with a different shuffle-partition count permutes every partial
+    // merge; the collected results must be IDENTICAL — this is the
+    // in-repo version of what the cross-engine oracle checks, aimed at
+    // the queries whose outputs pass through quantized transcendentals
+    // (entropy, PMI, PageRank) or FLOAT-narrowed moment algebra.
+    val names = Seq("agg_skew_kurt", "agg_corr", "llm_pmi_bigrams",
+      "llm_token_entropy", "graph_pagerank", "ev_markov_transition",
+      "win_ewma")
+    def runWith(n: String, parts: String): Seq[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries(n)(spark, sf01).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    for (n <- names) {
+      assert(runWith(n, "7") == runWith(n, "23"),
+        s"$n output depends on the partitioning")
+    }
+  }
+
   test("misra-gries native aggregate: guarantee holds under many-partition merge") {
     import org.apache.spark.sql.functions._
     graft.functions.SketchAggs.register(spark)
