@@ -178,6 +178,35 @@ object Scans {
       .orderBy("doc_id")
   }
 
+  /** Small-file COMPACTION — the table-maintenance primitive every
+    * 100 TB lake runs nightly (streaming sinks and per-task writers
+    * fragment tables into footer-dominated small files; scan planning
+    * and NameNode/liststore pressure grow with file count, not bytes).
+    * The demo fragments the documents table into 64 files, compacts by
+    * repartitioning to a 4-file target (at scale: total_bytes ÷
+    * target_file_size partitions — a pure-shuffle rewrite, no driver
+    * funnel), and is SCORED on content preservation: exact row count /
+    * n_chars mass / doc_id mass must survive the rewrite (the oracle
+    * computes them from the original table), plus the file-count
+    * contract as literal booleans. */
+  def scanCompact(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.documents(spark, sf)
+    val frag = Tables.scratchDir("graft_compact_").resolve("frag").toString
+    val comp = Tables.scratchDir("graft_compact_").resolve("comp").toString
+    d.repartition(64).write.parquet(frag)
+    def files(p: String): Long = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet")).toLong
+    spark.read.parquet(frag).repartition(4).write.parquet(comp)
+    val (nb, na) = (files(frag), files(comp))
+    spark.read.parquet(comp)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .select(col("n_rows"), col("sum_chars"), col("sum_ids"),
+        lit(na < nb).as("fewer_files"),
+        lit(na <= 4L).as("met_target"))
+  }
+
   /** ORC round trip on the mixed-type part table (int64, string×3,
     * int32, double): Spark's second columnar format, written and read
     * back with the explicit original schema. Completes the format
@@ -247,12 +276,19 @@ object Scans {
     "scan_jsonl_roundtrip" -> scanJsonlRoundtrip,
     "scan_csv_roundtrip" -> scanCsvRoundtrip,
     "scan_orc_roundtrip" -> scanOrcRoundtrip,
+    "scan_compact" -> scanCompact,
     "scan_partitioned_prune" -> scanPartitionedPrune,
     "filter_pred" -> filterPred,
     "filter_expr" -> filterExpr
   )
 
   val oracle: Map[String, String] = Map(
+    // Content-preservation contract: the compacted copy must carry the
+    // original table's exact masses; file-count flags literal TRUE.
+    "scan_compact" ->
+      ("SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_ids, " +
+        "TRUE AS fewer_files, TRUE AS met_target FROM documents"),
     "scan_upsert_merge" ->
       ("WITH u AS (" +
         "SELECT o_orderkey, o_custkey, o_totalprice, CAST(1 AS BIGINT) AS gen " +
