@@ -214,7 +214,33 @@ object Windows {
       .orderBy("o_custkey")
   }
 
+  /** Running DISTINCT count per key — the window Spark (and SQL) have
+    * no native frame for (COUNT(DISTINCT) OVER is unsupported),
+    * decomposed into two ordinary windows: a first-seen flag
+    * (row_number() = 1 over (key, value)) then a running sum of flags
+    * over (key, time). Both windows shuffle on the same user key, so
+    * the decomposition costs ONE extra in-partition sort, never a new
+    * shuffle — the standard scalable form of "how many distinct
+    * event types has this user produced so far". */
+  def winRunningDistinct(spark: SparkSession, sf: String): DataFrame = {
+    val seen = Window.partitionBy("user_id", "event_type")
+      .orderBy(asc("ts_us"), asc("event_id"))
+    val run = Window.partitionBy("user_id")
+      .orderBy(asc("ts_us"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsRaw(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("first_seen",
+        (row_number().over(seen) === 1).cast("long"))
+      .withColumn("n_distinct_types", sum(col("first_seen")).over(run))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("n_distinct_types"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_running_distinct" -> winRunningDistinct,
     "win_rfm_segment" -> winRfmSegment,
     "win_ewma" -> winEwma,
     "win_time_range" -> winTimeRange,
@@ -230,6 +256,16 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_running_distinct" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "f AS (SELECT user_id, event_id, ts_us, event_type, " +
+        "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts_us, event_id) = 1 THEN 1 ELSE 0 END AS first_seen FROM e) " +
+        "SELECT user_id, event_id, ts_us, event_type, " +
+        "CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS n_distinct_types FROM f ORDER BY event_id"),
     "win_rfm_segment" ->
       ("WITH per AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day, " +
         "COUNT(*) AS f, " +
