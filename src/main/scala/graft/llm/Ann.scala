@@ -41,8 +41,11 @@ object Ann {
     * generator and the superstep component engine; the final keep is
     * one broadcast anti-join, so the corpus side never shuffles. */
   def cosDedupKeep(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = cosNearDup(spark, sf).select(col("x"), col("y"))
-    val comps = Dedup.componentsOf(spark, pairs)
+    // Converged labels come from the per-(session, sf) checkpoint —
+    // the superstep loop runs once even though this consumer shares
+    // the component engine with the text-dedup chain.
+    val comps = Dedup.componentsTable(spark, sf, "cos")(
+      cosNearDup(spark, sf).select(col("x"), col("y")))
     val dropped = comps.filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("vec_id"))
     Tables.embeddings(spark, sf).select(col("vec_id"))

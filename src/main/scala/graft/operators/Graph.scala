@@ -108,23 +108,43 @@ object Graph {
     * the floor-quantization error (≤ deg ULPs of 10⁻¹² rank) is far
     * below the 10⁻⁶ rank resolution anyone ranks by. Top-20 with id
     * tiebreak keeps the output bounded. */
-  def graphPagerank(spark: SparkSession, sf: String): DataFrame = {
+  def graphPagerank(spark: SparkSession, sf: String): DataFrame =
+    pagerankPlan(spark, sf, BroadcastNodeCap)
+
+  /** Broadcast the per-iteration rank vector only below this node
+    * count: 10 M nodes × ~16 bytes is ~160 MB — comfortably inside
+    * executor memory and far under the 8 GB broadcast hard cap.
+    * Beyond it a billion-node graph would OOM the driver, so the fold
+    * must degrade to a plain equi-join (AQE picks the strategy), not
+    * attempt the hint regardless. */
+  private[graft] val BroadcastNodeCap = 10000000L
+
+  /** The iteration fold, parameterized on the broadcast gate so
+    * PlanSuite can pin the plan on BOTH sides of the threshold. */
+  private[graft] def pagerankPlan(spark: SparkSession, sf: String,
+      broadcastNodeCap: Long): DataFrame = {
     val e0 = edges(spark, sf)
     val bidir = e0.select(col("x").as("u"), col("y").as("v"))
       .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
     val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
     val init = deg.select(col("u").as("n"), lit(1000000000000L).as("pr"))
+    // One count off the checkpointed edge file decides the strategy
+    // for all three iterations — metadata-cheap next to an iteration.
+    val nNodes = deg.count()
     // Each iteration: the rank vector (node-grain — 3 orders smaller
     // than edges) joins degrees, is pre-divided once per NODE (not per
-    // edge), and broadcasts onto the edge scan, so the checkpointed
-    // edge list streams map-side and the only shuffle is the partial-
-    // agg combine of contributions. Past broadcastable node counts the
-    // same fold runs as a shuffle join — still one shuffle/iteration.
+    // edge), and — when the node count clears the size gate —
+    // broadcasts onto the edge scan, so the checkpointed edge list
+    // streams map-side and the only shuffle is the partial-agg combine
+    // of contributions. Past the gate the hint is NOT applied: the
+    // same fold runs as a plain equi-join under AQE — still one
+    // shuffle per iteration, never a forced over-cap broadcast.
     val ranks = (1 to 3).foldLeft(init) { (pr, _) =>
-      bidir.join(broadcast(
-          pr.join(deg.withColumnRenamed("u", "n"), "n")
-            .select(col("n").as("u"),
-              expr("(pr * 85) div (100 * dg)").as("contrib"))), "u")
+      val contrib = pr.join(deg.withColumnRenamed("u", "n"), "n")
+        .select(col("n").as("u"),
+          expr("(pr * 85) div (100 * dg)").as("contrib"))
+      val gated = if (nNodes <= broadcastNodeCap) broadcast(contrib) else contrib
+      bidir.join(gated, "u")
         .groupBy(col("v")).agg(sum(col("contrib")).as("c"))
         .select(col("v").as("n"), (col("c") + lit(150000000000L)).as("pr"))
     }
