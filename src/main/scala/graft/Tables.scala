@@ -20,17 +20,29 @@ object Tables {
   // to the session that created it, and a cloned session (e.g. the
   // bloom query's conf-scoped `newSession()`) planning through a
   // main-session DataFrame would silently use the main session's SQL
-  // confs. Sessions per JVM are few; the map stays tiny.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // confs. The session key is WEAK (and the cached scans are held
+  // through a WeakReference, since a DataFrame strongly references its
+  // session) so a long-lived process that mints scoped clones can drop
+  // them: once a session is unreachable its footer cache is collected
+  // instead of pinned forever (r6 advisory). A collected entry just
+  // re-reads parquet footers on the next call.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String),
+        java.lang.ref.WeakReference[DataFrame]]]())
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Write timestamps as µs (not legacy INT96 nanos) so dumped results
     // carry the same physical type the DuckDB oracle produces.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    cache.getOrElseUpdate(
-      (spark, sfDir, name),
-      spark.read.parquet(s"$sfDir/$name.parquet"))
+    val perSession = cache.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty)
+    val key = (sfDir, name)
+    perSession.get(key).flatMap(r => Option(r.get)).getOrElse {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      perSession.update(key, new java.lang.ref.WeakReference(df))
+      df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")

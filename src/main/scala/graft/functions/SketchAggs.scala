@@ -37,14 +37,14 @@ object SketchAggs {
 
   type MgMap = mutable.HashMap[UTF8String, Long]
 
-  case class SpaceSavingTopK(
+  case class MisraGriesTopK(
       child: Expression,
       k: Int,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[MgMap] {
 
-    override def prettyName: String = "graft_spacesaving"
+    override def prettyName: String = "graft_misra_gries"
     override def dataType: DataType =
       MapType(StringType, LongType, valueContainsNull = false)
     override def nullable: Boolean = false
@@ -52,9 +52,9 @@ object SketchAggs {
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
       copy(child = newChildren.head)
-    override def withNewMutableAggBufferOffset(o: Int): SpaceSavingTopK =
+    override def withNewMutableAggBufferOffset(o: Int): MisraGriesTopK =
       copy(mutableAggBufferOffset = o)
-    override def withNewInputAggBufferOffset(o: Int): SpaceSavingTopK =
+    override def withNewInputAggBufferOffset(o: Int): MisraGriesTopK =
       copy(inputAggBufferOffset = o)
 
     override def createAggregationBuffer(): MgMap =
@@ -133,19 +133,19 @@ object SketchAggs {
     }
   }
 
-  /** Register `graft_spacesaving(item, k)` (k a literal int) as a SQL
+  /** Register `graft_misra_gries(item, k)` (k a literal int) as a SQL
     * temp function; analysis wraps the returned AggregateFunction in a
     * Complete AggregateExpression like any built-in aggregate. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_spacesaving",
-      exprs => SpaceSavingTopK(
+      "graft_misra_gries",
+      exprs => MisraGriesTopK(
         exprs(0),
         exprs(1).eval(null) match {
           case i: Int => i
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(
-            s"graft_spacesaving: k must be a literal int, got $other")
+            s"graft_misra_gries: k must be a literal int, got $other")
         }),
       "built-in")
   }

@@ -318,7 +318,7 @@ object Aggregates {
   }
 
   /** Heavy hitters through the NATIVE Catalyst aggregate extension
-    * ([[graft.functions.SketchAggs.SpaceSavingTopK]], a
+    * ([[graft.functions.SketchAggs.MisraGriesTopK]], a
     * TypedImperativeAggregate with O(k) state): document languages
     * whose frequency exceeds n/(k+1), k = 2 (the only planted skew in
     * this corpus — en ≈ 40% vs ~15% for the rest, so the 5-language
@@ -330,16 +330,20 @@ object Aggregates {
     * oracle pins as literal TRUE — membership (every true heavy hitter
     * is in the sketch) and the two-sided estimate bound
     * true − n/(k+1) ≤ est ≤ true, checked in exact integers
-    * (9·est ≥ 9·cnt − n). */
+    * (with k = 2: 3·est ≥ 3·cnt − n). */
   def aggHeavyHitters(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.SketchAggs.register(spark)
     val langs = Tables.documents(spark, sf).select(col("lang"))
-    val sk = langs.agg(expr("graft_spacesaving(lang, 2)").as("mg"),
+    val sk = langs.agg(expr("graft_misra_gries(lang, 2)").as("mg"),
       count(lit(1)).as("n"))
     langs.groupBy("lang").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(sk))
       .filter(col("cnt") * 3 > col("n"))
-      .withColumn("est", element_at(col("mg"), col("lang")))
+      // try_element_at, not element_at: under Spark 4 ANSI defaults a
+      // missing map key THROWS, which would turn a sketch regression
+      // into a query error instead of the in_sketch=false contract
+      // boolean the oracle compares.
+      .withColumn("est", expr("try_element_at(mg, lang)"))
       .select(col("lang"), col("cnt"),
         col("est").isNotNull.as("in_sketch"),
         coalesce(col("est") <= col("cnt") &&

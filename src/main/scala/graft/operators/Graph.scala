@@ -33,6 +33,23 @@ object Graph {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  /** Distinct-node count of the co-purchase graph, computed ONCE per
+    * (session, sf) off the checkpointed edge file and memoized. The
+    * count feeds only the broadcast-gate decision in [[pagerankPlan]];
+    * without the cache it would run a full degree aggregation job as a
+    * blocking driver action on every query construction — at 100 TB a
+    * real per-call job, not a plan decision. */
+  private val nodeCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private def nodeCount(spark: SparkSession, sf: String): Long =
+    nodeCountCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sf), {
+        val e0 = edges(spark, sf)
+        e0.select(col("x").as("n")).unionAll(e0.select(col("y").as("n")))
+          .distinct().count()
+      })
+
   private def edges(spark: SparkSession, sf: String): DataFrame = {
     val p = edgeCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, sf), {
@@ -128,9 +145,10 @@ object Graph {
       .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
     val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
     val init = deg.select(col("u").as("n"), lit(1000000000000L).as("pr"))
-    // One count off the checkpointed edge file decides the strategy
-    // for all three iterations — metadata-cheap next to an iteration.
-    val nNodes = deg.count()
+    // The gate decision reads the memoized per-(session, sf) node
+    // count — one aggregation job the FIRST time any PageRank query is
+    // built in this session, zero jobs after that.
+    val nNodes = nodeCount(spark, sf)
     // Each iteration: the rank vector (node-grain — 3 orders smaller
     // than edges) joins degrees, is pre-divided once per NODE (not per
     // edge), and — when the node count clears the size gate —

@@ -346,14 +346,24 @@ object Joins {
     * (scratch parquet, same pattern as the layout round-trips) and the
     * read-back is returned. PlanSuite pins `might_contain` on the
     * inner plan. */
+  /** One conf-scoped clone per application, memoized: repeated bench /
+    * verify invocations must not mint a fresh session (plus its Tables
+    * cache entries) per call — the r6 unbounded-growth advisory. */
+  private val scopedSessionCache =
+    scala.collection.concurrent.TrieMap.empty[String, SparkSession]
+
   def joinBloomPrune(spark: SparkSession, sf: String): DataFrame = {
     val out = Tables.scratchDir("graft_bloom_").resolve("res").toString
     // Cloned session: shares the SparkContext (and so the scratch
     // state) but owns its SQL conf — the bloom/broadcast overrides
     // can never leak into a query planned concurrently on the shared
     // session (r5 advisory).
-    val scoped = spark.newSession()
-    bloomConfs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    val scoped = scopedSessionCache.getOrElseUpdate(
+      spark.sparkContext.applicationId, {
+        val s = spark.newSession()
+        bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
+        s
+      })
     bloomJoinPlan(scoped, sf).write.mode("overwrite").parquet(out)
     spark.read.parquet(out).orderBy("l_returnflag")
   }

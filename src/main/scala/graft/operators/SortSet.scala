@@ -24,6 +24,27 @@ object SortSet {
         col("c_acctbal"))
       .orderBy(asc_nulls_first("seg"), desc("c_acctbal"), asc("c_custkey"))
 
+  /** Broadcast a Q3 side only below this row count: 10 M rows of the
+    * pruned 2-column dim (~16 bytes each) is ~160 MB — inside executor
+    * memory and far under the 8 GB broadcast hard cap. The dim here is
+    * ~19% of orders (two selective filters), so at large SF it WILL
+    * clear this cap and the hint must not be forced; the fold then
+    * runs as a plain shuffle join under AQE, which re-broadcasts at
+    * runtime only if the actual shuffled bytes fit. Same rationale as
+    * [[Graph.BroadcastNodeCap]]. */
+  private[graft] val BroadcastDimCap = 10000000L
+
+  /** Row counts feeding the broadcast gates, computed ONCE per
+    * (session, sf, tag) and memoized — a gate decision must never be a
+    * per-query-construction aggregation job (the PageRank lesson). */
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
+
+  private def cachedCount(spark: SparkSession, sf: String, tag: String)(
+      df: => DataFrame): Long =
+    rowCountCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sf, tag), df.count())
+
   /** Shared Q3-style revenue aggregate (ordering applied by callers).
     *
     * Join order matters here: lineitem is the FACT side and must be
@@ -34,22 +55,36 @@ object SortSet {
     * exact anti-pattern that OOMs at real scale where the estimate
     * would stop fitting only after the driver tried). Putting the
     * fact on the left and the doubly-filtered orders⨝customer dim
-    * side on the right gives Catalyst the correct small build side.
-    * The explicit `broadcast(dim)` hint is required: left to its own
-    * size estimates Catalyst still picked the 600k-row fact as the
-    * build side (pruned-scan estimate under the threshold), measured
-    * at +0.4 s over the hinted plan. The hint encodes the real
-    * invariant — two selective filters make the dim side the small
-    * one at any SF where a broadcast Q3 is sane; past that the query
-    * belongs on the shuffle-join path like join_bloom_prune. */
-  private def q3Revenue(spark: SparkSession, sf: String): DataFrame = {
+    * side on the right gives Catalyst the correct small build side;
+    * the broadcast hints are then applied ONLY below a measured row
+    * cap (left to its own size estimates Catalyst still picked the
+    * 600k-row fact as the build side — pruned-scan estimate under the
+    * threshold — measured at +0.4 s over the hinted plan). Past the
+    * cap neither side is force-broadcast: the dim is ~19% of orders,
+    * so an unconditional hint is the same driver-OOM cliff the
+    * PageRank gate closes, and the query degrades to the shuffle-join
+    * path like join_bloom_prune. */
+  private def q3Revenue(spark: SparkSession, sf: String): DataFrame =
+    q3RevenuePlan(spark, sf, BroadcastDimCap)
+
+  /** The join fold, parameterized on the broadcast gate so PlanSuite
+    * can pin the plan on BOTH sides of the threshold. */
+  private[graft] def q3RevenuePlan(spark: SparkSession, sf: String,
+      broadcastRowCap: Long): DataFrame = {
     val c = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, sf)
       .filter(col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
     val l = Tables.lineitem(spark, sf)
-    val dim = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val cGated =
+      if (cachedCount(spark, sf, "q3_cust")(c) <= broadcastRowCap) broadcast(c)
+      else c
+    val dim = o.join(cGated, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"))
-    l.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+    val dimGated =
+      if (cachedCount(spark, sf, "q3_dim")(dim) <= broadcastRowCap)
+        broadcast(dim)
+      else dim
+    l.join(dimGated, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
         .cast("double").as("revenue"))

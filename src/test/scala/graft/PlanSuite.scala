@@ -136,9 +136,9 @@ class PlanSuite extends SparkTestBase {
 
   test("heavy hitters aggregate runs with map-side partials") {
     val p = plan(operators.Aggregates.aggHeavyHitters(spark, sf))
-    assert(p.contains("graft_spacesaving"), "native aggregate in the plan")
-    assert(p.contains("partial_graft_spacesaving") ||
-      p.contains("Partial") && p.contains("graft_spacesaving"),
+    assert(p.contains("graft_misra_gries"), "native aggregate in the plan")
+    assert(p.contains("partial_graft_misra_gries") ||
+      p.contains("Partial") && p.contains("graft_misra_gries"),
       "MG summary must combine map-side, shuffling O(k) summaries")
   }
 
@@ -151,6 +151,45 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
       !p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"),
       "adjacency joins must stay hash joins")
+  }
+
+  test("pagerank broadcast gate: hinted below the cap, plain join above it") {
+    // Auto-broadcast off for the pin: at sf0.001 every side is tiny,
+    // so without this only the explicit gate hint separates the plans.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      // Below the cap (cap = MaxValue) the per-iteration contribution
+      // vector must broadcast onto the edge scan.
+      val under = plan(operators.Graph.pagerankPlan(spark, sf, Long.MaxValue))
+      assert(under.contains("BroadcastHashJoin"),
+        "under-cap iterations must broadcast the rank vector")
+      // Above the cap (cap = 0) the hint must NOT be applied: the fold
+      // degrades to a shuffle join picked by AQE, never a forced
+      // broadcast that would OOM a billion-node driver.
+      val over = plan(operators.Graph.pagerankPlan(spark, sf, 0L))
+      assert(!over.contains("BroadcastHashJoin"),
+        "over-cap iterations must not force a broadcast")
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+        "over-cap fold should plan a shuffle join")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("q3 broadcast gate: dim hinted below the cap, shuffle join above it") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val under = plan(operators.SortSet.q3RevenuePlan(spark, sf, Long.MaxValue))
+      assert(under.contains("BroadcastHashJoin"),
+        "under-cap q3 must broadcast the filtered dim side")
+      val over = plan(operators.SortSet.q3RevenuePlan(spark, sf, 0L))
+      assert(!over.contains("BroadcastHashJoin"),
+        "over-cap q3 must not force-broadcast a ~19%-of-orders dim")
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+        "over-cap q3 should degrade to a shuffle join")
+    } finally spark.conf.set(key, saved)
   }
 
   test("custom top-k operator plans heap exec with no sort, no window") {

@@ -730,7 +730,7 @@ class PropertySuite extends SparkTestBase {
               WHEN id % 20 < 13 THEN 'hot2'
               ELSE concat('cold', CAST(hash(id) % 100 AS STRING)) END AS item""")
       .repartition(17)
-    val r = rows.agg(expr("graft_spacesaving(item, 4)").as("mg")).head()
+    val r = rows.agg(expr("graft_misra_gries(item, 4)").as("mg")).head()
     val mg = r.getMap[String, Long](0)
     val exact = rows.groupBy("item").count().collect()
       .map(x => x.getString(0) -> x.getLong(1)).toMap
