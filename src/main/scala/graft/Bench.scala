@@ -73,6 +73,17 @@ object Bench {
     // i.e. pure machine contention. The min of two steady-state runs
     // (after the warm pass) is the contention-robust estimator: noise
     // only ever ADDS time, so min converges on the true cost.
+    // Run context makes contention-contaminated artifacts diagnosable
+    // without a judge rerun (r7: the driver artifact ran 1.40× over a
+    // clean rerun of the same binary — detectable only by rerunning).
+    // The 1-min system loadavg is sampled before and after the timed
+    // sweep; with local[32] on an otherwise-idle box it should sit
+    // near the worker count — a start value far above it means the
+    // box was already busy and the totals are inflated.
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
+    val perRun = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // A failed query must surface as -1, not as a bogus near-zero
@@ -83,20 +94,29 @@ object Bench {
           catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      perRun(name) = times
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val loadEnd = loadavg
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-run (not just min-of-2) times: a clean run shows the two
+    // within ~10% of each other; sustained box load shows BOTH runs
+    // uniformly inflated, which min-of-2 cannot defend against but
+    // this field makes visible.
+    val runsJson = perRun.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
     // Failures are excluded from the total (visible as -1 per-query).
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ctx = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,$ctx,"sf":"$sfDir"}""")
     // Truncation-proof summary LAST: the full line above is one giant
     // JSON object and both r2/r3 driver artifacts arrived with its head
     // (the total) cut off by tail capture. A short final line keeps the
     // scored number inside any tail window.
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"slowest":$slowest,$ctx,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // Optional args = probe names to run (default: all) — re-measuring
+    // one pipeline must not cost a full multi-minute sweep.
+    val only: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
     val base = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -162,6 +166,12 @@ object ScaleProbe {
         (d => full(graft.operators.Graph.graphTriangles(spark, d))),
       "graph_pagerank" ->
         (d => full(graft.operators.Graph.graphPagerank(spark, d))),
+      // PQ serving path at ×10 embeddings: the fit-once codebook build
+      // lands in the warm pass (same checkpoint discipline as IVF /
+      // the graph edge list), so the timed ratio isolates the ADC
+      // scan + shortlist re-rank — the per-query cost at scale.
+      "llm_ann_pq" ->
+        (d => full(graft.llm.Ann.annPq(spark, d))),
       // The custom heap top-k over the replicated events (top-3 per
       // user by value): per-partition state is O(users × 3) however
       // large the event volume — the property the operator exists for.
@@ -169,7 +179,8 @@ object ScaleProbe {
         (d => full(graft.api.GraftOps.topKPerKey(
           graft.Tables.events(spark, d)
             .select(col("user_id"), col("event_id"), col("value")),
-          Seq("user_id"), "value", "event_id", 3))))) {
+          Seq("user_id"), "value", "event_id", 3)))
+    ) if only(name)) {
       // Warm BOTH dirs: one-time costs (janino, shuffle pools, and any
       // per-(session, dir) index/edge checkpoint builds) must not land
       // in either timed run — the base warm call was already absorbing
@@ -200,10 +211,12 @@ object ScaleProbe {
           round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6).as("sim"))
         .filter(col("sim") >= 0.45).distinct().count()
     }
-    ivfPairs(base, 10): Unit
-    val tb = time("ivf_api base k=10")(ivfPairs(base, 10))
-    val ts = time("ivf_api x10 k=100")(ivfPairs(scaled, 100))
-    println(f"ivf_api ratio: ${ts / tb}%.1f x (x10 data, k x10)")
+    if (only("ivf_api")) {
+      ivfPairs(base, 10): Unit
+      val tb = time("ivf_api base k=10")(ivfPairs(base, 10))
+      val ts = time("ivf_api x10 k=100")(ivfPairs(scaled, 100))
+      println(f"ivf_api ratio: ${ts / tb}%.1f x (x10 data, k x10)")
+    }
     spark.stop()
   }
 }

@@ -280,6 +280,16 @@ class GoldenSuite extends SparkTestBase {
     assert(ngram == word, s"char-gram pairs $ngram != word-shingle pairs $word")
   }
 
+  test("pagerank top-20 at sf0.1 matches the DuckDB-verified golden") {
+    // Oracle-verified this round (tools/check.py): the exact µ-rank
+    // recurrence makes every value a deterministic BIGINT, so the pin
+    // is exact — top part, its rank mass, and the top-20 total.
+    val rows = operators.Graph.graphPagerank(spark, sf1).collect()
+    assert(rows.length == 20)
+    assert(rows.head.getLong(0) == 8437L && rows.head.getLong(1) == 1727900644080L)
+    assert(rows.map(_.getLong(1)).sum == 33296760501540L)
+  }
+
   test("approx_count_distinct within rsd bound of exact at both sfs") {
     for (d <- Seq(sf01, sf1)) {
       val rows = operators.Aggregates.aggApproxDistinct(spark, d).collect()

@@ -746,6 +746,22 @@ class PropertySuite extends SparkTestBase {
     assert(mg.size <= 4, "summary exceeded k entries")
   }
 
+  test("star contraction converges on a diameter-8 path within MaxRounds") {
+    // A path graph is the adversarial case for large-star/small-star:
+    // component minima propagate one hop per superstep at worst, so a
+    // long chain exercises the O(log n) round bound the engine claims.
+    // A disjoint 2-clique rides along to pin multi-component labeling.
+    import spark.implicits._
+    val path = (0L until 8L).map(i => (i, i + 1))
+    val pairs = (path :+ (100L, 101L)).toDF("x", "y")
+    val comp = llm.Dedup.componentsOf(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 8L).forall(comp(_) == 0L),
+      s"path vertices must all label to the minimum: $comp")
+    assert(comp(100L) == 100L && comp(101L) == 100L)
+    assert(comp.size == 11)
+  }
+
   test("count-min probe deserializes once per distinct sketch payload") {
     import org.apache.spark.util.sketch.CountMinSketch
     def bytes(seed: Int): Array[Byte] = {
