@@ -44,7 +44,8 @@ object Ann {
     // Converged labels come from the per-(session, sf) checkpoint —
     // the superstep loop runs once even though this consumer shares
     // the component engine with the text-dedup chain.
-    val comps = Dedup.componentsTable(spark, sf, "cos")(
+    val comps = Dedup.componentsTable(spark, sf, "cos",
+      materializePairs = true)(
       cosNearDup(spark, sf).select(col("x"), col("y")))
     val dropped = comps.filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("vec_id"))
@@ -201,21 +202,18 @@ object Ann {
     * llm_ann_ivf_probe alone) — is a plain file-scan leaf. This is also
     * the real-world shape: a fitted index assignment is persisted once
     * and queried many times. */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-  private val fitCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+  private val centroidCache = new graft.FitOnce[(String, String), String]
+  private val fitCache = new graft.FitOnce[(String, String, Int), String]
 
   /** The fitted centroid table (tiny), trained ONCE per (session, sf)
     * — probe-1 and probe-2 assignments share it instead of each
     * re-running the Lloyd rounds. */
   private def trainedCentroids(spark: SparkSession, sf: String): DataFrame = {
-    val path = centroidCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf), {
-        val p = Tables.scratchDir("graft_ivf_").resolve("centroids").toString
-        kmeansFit(vecFrame(spark, sf), KmeansK, KmeansIters).write.parquet(p)
-        p
-      })
+    val path = centroidCache((spark.sparkContext.applicationId, sf)) {
+      val p = Tables.scratchDir("graft_ivf_").resolve("centroids").toString
+      kmeansFit(vecFrame(spark, sf), KmeansK, KmeansIters).write.parquet(p)
+      p
+    }
     spark.read.parquet(path)
   }
 
@@ -223,15 +221,14 @@ object Ann {
   private def trainedAssignment(spark: SparkSession, sf: String,
       top: Int): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val path = fitCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf, top), {
-        val assigned = assign(vecFrame(spark, sf),
-            trainedCentroids(spark, sf), top)
-          .withColumn("nrm", sqrt(dot("embedding", "embedding")))
-        val p = Tables.scratchDir("graft_ivf_").resolve("assigned").toString
-        assigned.write.parquet(p)
-        p
-      })
+    val path = fitCache((spark.sparkContext.applicationId, sf, top)) {
+      val assigned = assign(vecFrame(spark, sf),
+          trainedCentroids(spark, sf), top)
+        .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+      val p = Tables.scratchDir("graft_ivf_").resolve("assigned").toString
+      assigned.write.parquet(p)
+      p
+    }
     spark.read.parquet(path)
   }
 
@@ -435,23 +432,21 @@ object Ann {
 
   /** Fit-once checkpoint of (codebooks, codes), per (session, sf) —
     * the same persisted-index discipline as [[trainedAssignment]]. */
-  private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+  private val pqCache = new graft.FitOnce[(String, String), (String, String)]
 
   private def pqIndex(spark: SparkSession, sf: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(spark)
-    val (bp, cp) = pqCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf), {
-        val dir = Tables.scratchDir("graft_pq_")
-        val books = dir.resolve("books").toString
-        val codes = dir.resolve("codes").toString
-        val sub = pqFrame(spark, sf)
-        pqFit(sub).write.parquet(books)
-        pqCodes(sub, spark.read.parquet(books))
-          .select(col("vec_id"), col("m"), col("cid"))
-          .write.parquet(codes)
-        (books, codes)
-      })
+    val (bp, cp) = pqCache((spark.sparkContext.applicationId, sf)) {
+      val dir = Tables.scratchDir("graft_pq_")
+      val books = dir.resolve("books").toString
+      val codes = dir.resolve("codes").toString
+      val sub = pqFrame(spark, sf)
+      pqFit(sub).write.parquet(books)
+      pqCodes(sub, spark.read.parquet(books))
+        .select(col("vec_id"), col("m"), col("cid"))
+        .write.parquet(codes)
+      (books, codes)
+    }
     (spark.read.parquet(bp), spark.read.parquet(cp))
   }
 

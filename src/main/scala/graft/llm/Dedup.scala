@@ -41,17 +41,15 @@ object Dedup {
     * document scans per lshJaccard (band side a, band side b, both
     * verify sides). With the leaf materialized each branch is a
     * 15 MB file scan. Scratch parquet, removed at JVM exit. */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+  private val sigCache = new graft.FitOnce[(String, String, String), String]
 
   private def sigTable(spark: SparkSession, sf: String, kind: String)(
       build: => DataFrame): DataFrame = {
-    val path = sigCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf, kind), {
-        val p = Tables.scratchDir("graft_sig_").resolve(kind).toString
-        build.write.parquet(p)
-        p
-      })
+    val path = sigCache((spark.sparkContext.applicationId, sf, kind)) {
+      val p = Tables.scratchDir("graft_sig_").resolve(kind).toString
+      build.write.parquet(p)
+      p
+    }
     spark.read.parquet(path)
   }
 
@@ -276,17 +274,15 @@ object Dedup {
     * downstream consumer (component labeling, the keep/drop decision,
     * audits) reads the file. llm_near_dedup itself stays an uncached
     * full computation — it IS the LSH benchmark entry. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val pairsCache = new graft.FitOnce[(String, String), String]
 
   private def nearDupPairsPath(spark: SparkSession, sf: String): String =
-    pairsCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf), {
-        graft.functions.VectorExprs.register(spark)
-        val p = Tables.scratchDir("graft_pairs_").resolve("pairs").toString
-        nearDedup(spark, sf).select(col("x"), col("y")).write.parquet(p)
-        p
-      })
+    pairsCache((spark.sparkContext.applicationId, sf)) {
+      graft.functions.VectorExprs.register(spark)
+      val p = Tables.scratchDir("graft_pairs_").resolve("pairs").toString
+      nearDedup(spark, sf).select(col("x"), col("y")).write.parquet(p)
+      p
+    }
 
   /** Converged component labels, checkpointed once per (session, sf,
     * pair-graph kind) — the same fit-once discipline as the edge list /
@@ -295,19 +291,24 @@ object Dedup {
     * consumers (components, keep, and the cosine-side keep in [[Ann]]).
     * Without the checkpoint each consumer re-runs the whole loop
     * (measured r6: ~+0.5 s each); with it, consumers are one file scan.
-    * `pairs` is by-name so the generator only runs on the filling call. */
-  private val compCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+    * `pairs` is by-name so the generator only runs on the filling call.
+    * `materializePairs` is the caller's explicit statement of whether
+    * its pair frame is already a file-scan leaf (false) or a live
+    * lineage the closure must checkpoint first (true) — the caller
+    * knows its own lineage; inferring it from the kind tag would
+    * silently couple the cache-key string to the materialization
+    * contract. */
+  private val compCache = new graft.FitOnce[(String, String, String), String]
 
   private[graft] def componentsTable(spark: SparkSession, sf: String,
-      kind: String)(pairs: => DataFrame): DataFrame = {
-    val p = compCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf, kind), {
-        val path = Tables.scratchDir("graft_comp_").resolve(kind).toString
-        componentsOf(spark, pairs, materialize = kind != "text")
-          .write.parquet(path)
-        path
-      })
+      kind: String, materializePairs: Boolean)(
+      pairs: => DataFrame): DataFrame = {
+    val p = compCache((spark.sparkContext.applicationId, sf, kind)) {
+      val path = Tables.scratchDir("graft_comp_").resolve(kind).toString
+      componentsOf(spark, pairs, materialize = materializePairs)
+        .write.parquet(path)
+      path
+    }
     // The file scan loses the label frame's ordering; re-assert the D1
     // orderBy for consumers that emit the labels directly.
     spark.read.parquet(p)
@@ -316,7 +317,7 @@ object Dedup {
   /** Text near-dup components off the checkpoint (pairs are already a
     * file-scan leaf, so the closure never re-materializes them). */
   private def textComponents(spark: SparkSession, sf: String): DataFrame =
-    componentsTable(spark, sf, "text")(
+    componentsTable(spark, sf, "text", materializePairs = false)(
       spark.read.parquet(nearDupPairsPath(spark, sf)))
 
   def dedupComponents(spark: SparkSession, sf: String): DataFrame =

@@ -30,8 +30,7 @@ object Graph {
     * iteration); without the checkpoint each would re-run the
     * within-order self-join (same fit-once discipline as the dedup
     * pair list / IVF index). */
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val edgeCache = new graft.FitOnce[(String, String), String]
 
   /** Distinct-node count of the co-purchase graph, computed ONCE per
     * (session, sf) off the checkpointed edge file and memoized. The
@@ -39,20 +38,17 @@ object Graph {
     * without the cache it would run a full degree aggregation job as a
     * blocking driver action on every query construction — at 100 TB a
     * real per-call job, not a plan decision. */
-  private val nodeCountCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private val nodeCountCache = new graft.FitOnce[(String, String), Long]
 
   private def nodeCount(spark: SparkSession, sf: String): Long =
-    nodeCountCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf), {
-        val e0 = edges(spark, sf)
-        e0.select(col("x").as("n")).unionAll(e0.select(col("y").as("n")))
-          .distinct().count()
-      })
+    nodeCountCache((spark.sparkContext.applicationId, sf)) {
+      val e0 = edges(spark, sf)
+      e0.select(col("x").as("n")).unionAll(e0.select(col("y").as("n")))
+        .distinct().count()
+    }
 
   private def edges(spark: SparkSession, sf: String): DataFrame = {
-    val p = edgeCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf), {
+    val p = edgeCache((spark.sparkContext.applicationId, sf)) {
         val path = Tables.scratchDir("graft_edges_").resolve("edges").toString
         val li = Tables.lineitem(spark, sf)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -63,7 +59,7 @@ object Graph {
           .distinct()
           .write.parquet(path)
         path
-      })
+      }
     spark.read.parquet(p)
   }
 

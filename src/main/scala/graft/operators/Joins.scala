@@ -251,10 +251,10 @@ object Joins {
     * (external-table path, in-memory catalog) — the write-once cost a
     * lakehouse pays at ingest so every later join is co-located. */
   private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+    new graft.FitOnce[(String, String), (String, String)]
 
   private def bucketedTables(spark: SparkSession, sf: String): (String, String) =
-    bucketCache.getOrElseUpdate((spark.sparkContext.applicationId, sf), {
+    bucketCache((spark.sparkContext.applicationId, sf)) {
       val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
       val (li, ord) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
       val dir = Tables.scratchDir("graft_bkt_")
@@ -269,7 +269,7 @@ object Joins {
         .option("path", dir.resolve(ord).toString)
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
       (li, ord)
-    })
+    }
 
   /** Co-located bucketed join — the flagship shuffle-avoidance
     * technique at 100 TB: both sides pre-bucketed by the join key (the
@@ -349,8 +349,7 @@ object Joins {
   /** One conf-scoped clone per application, memoized: repeated bench /
     * verify invocations must not mint a fresh session (plus its Tables
     * cache entries) per call — the r6 unbounded-growth advisory. */
-  private val scopedSessionCache =
-    scala.collection.concurrent.TrieMap.empty[String, SparkSession]
+  private val scopedSessionCache = new graft.FitOnce[String, SparkSession]
 
   def joinBloomPrune(spark: SparkSession, sf: String): DataFrame = {
     val out = Tables.scratchDir("graft_bloom_").resolve("res").toString
@@ -358,12 +357,11 @@ object Joins {
     // state) but owns its SQL conf — the bloom/broadcast overrides
     // can never leak into a query planned concurrently on the shared
     // session (r5 advisory).
-    val scoped = scopedSessionCache.getOrElseUpdate(
-      spark.sparkContext.applicationId, {
-        val s = spark.newSession()
-        bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
-        s
-      })
+    val scoped = scopedSessionCache(spark.sparkContext.applicationId) {
+      val s = spark.newSession()
+      bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      s
+    }
     bloomJoinPlan(scoped, sf).write.mode("overwrite").parquet(out)
     spark.read.parquet(out).orderBy("l_returnflag")
   }
@@ -392,18 +390,17 @@ object Joins {
       .orderBy("n_name")
   }
 
-  private val dppCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val dppCache = new graft.FitOnce[(String, String), String]
 
   private def dppSupplierDir(spark: SparkSession, sf: String): String =
-    dppCache.getOrElseUpdate((spark.sparkContext.applicationId, sf), {
+    dppCache((spark.sparkContext.applicationId, sf)) {
       val path = Tables.scratchDir("graft_dpp_").resolve("supplier").toString
       graft.sources.Sinks.writePartitioned(
         Tables.supplier(spark, sf)
           .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey")),
         path, Seq("s_nationkey"))
       path
-    })
+    }
 
   /** NOT IN with a nullable probe key — the three-valued-logic corner
     * every SQL engine must get right: a NULL probe key can never

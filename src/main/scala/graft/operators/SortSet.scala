@@ -38,12 +38,11 @@ object SortSet {
     * (session, sf, tag) and memoized — a gate decision must never be a
     * per-query-construction aggregation job (the PageRank lesson). */
   private val rowCountCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
+    new graft.FitOnce[(String, String, String), Long]
 
   private def cachedCount(spark: SparkSession, sf: String, tag: String)(
       df: => DataFrame): Long =
-    rowCountCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sf, tag), df.count())
+    rowCountCache((spark.sparkContext.applicationId, sf, tag))(df.count())
 
   /** Shared Q3-style revenue aggregate (ordering applied by callers).
     *

@@ -380,13 +380,12 @@ object StreamDemo {
     * latest event), which the batch oracle reproduces in one window.
     * At 100 TB the per-batch merge cost is one keyed shuffle of
     * (state ∪ batch) — the same price a MERGE INTO pays. */
-  private val upsertSrcCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val upsertSrcCache = new graft.FitOnce[(String, String), String]
 
   /** The 8-file CDC source layout, written once per session+sf (the
     * stream itself is the thing under test, not the re-layout). */
   private def upsertSrc(spark: SparkSession, sf: String): String =
-    upsertSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, sf), {
+    upsertSrcCache((spark.sparkContext.applicationId, sf)) {
       val src = graft.Tables.scratchDir("graft_ev_upsrc_")
         .resolve("src").toString
       // µs-truncated epoch key: DuckDB reads the ns parquet timestamp
@@ -397,7 +396,7 @@ object StreamDemo {
           expr("ts div 1000").as("ts_us"), col("value"))
         .repartition(8).write.mode("overwrite").parquet(src)
       src
-    })
+    }
 
   def upsertStream(spark: SparkSession, sf: String): DataFrame = {
     val dir = graft.Tables.scratchDir("graft_ev_upsert_")
