@@ -32,19 +32,39 @@ object Graph {
     * pair list / IVF index). */
   private val edgeCache = new graft.FitOnce[(String, String), String]
 
+  /** Node-grain degree table (u, dg) of the bidirectional graph,
+    * checkpointed to scratch parquet once per (session, sf). The
+    * degree aggregation feeds PageRank's init + every iteration's
+    * per-node pre-divide (3 subtrees per invocation — lineage re-runs
+    * the full-edge-list groupBy in each without this) and the
+    * orientation + wedge census in [[graphTriangles]] (3 more
+    * subtrees). One aggregation job at first use; afterwards every
+    * consumer is a scan of a node-grain file. */
+  private val degCache = new graft.FitOnce[(String, String), String]
+
+  private def degrees(spark: SparkSession, sf: String): DataFrame = {
+    val p = degCache((spark.sparkContext.applicationId, sf)) {
+      val path = Tables.scratchDir("graft_deg_").resolve("deg").toString
+      val e0 = edges(spark, sf)
+      e0.select(col("x").as("u")).unionAll(e0.select(col("y").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+        .write.parquet(path)
+      path
+    }
+    spark.read.parquet(p)
+  }
+
   /** Distinct-node count of the co-purchase graph, computed ONCE per
-    * (session, sf) off the checkpointed edge file and memoized. The
-    * count feeds only the broadcast-gate decision in [[pagerankPlan]];
-    * without the cache it would run a full degree aggregation job as a
-    * blocking driver action on every query construction — at 100 TB a
-    * real per-call job, not a plan decision. */
+    * (session, sf) and memoized. The count feeds only the
+    * broadcast-gate decision in [[pagerankPlan]]; it is a rowcount
+    * over the node-grain degree checkpoint (parquet footer counts —
+    * no data scan), so even the first call is metadata-cheap once the
+    * degree table exists. */
   private val nodeCountCache = new graft.FitOnce[(String, String), Long]
 
   private def nodeCount(spark: SparkSession, sf: String): Long =
     nodeCountCache((spark.sparkContext.applicationId, sf)) {
-      val e0 = edges(spark, sf)
-      e0.select(col("x").as("n")).unionAll(e0.select(col("y").as("n")))
-        .distinct().count()
+      degrees(spark, sf).count()
     }
 
   private def edges(spark: SparkSession, sf: String): DataFrame = {
@@ -68,8 +88,7 @@ object Graph {
     * in one fixed IEEE expression (D8). */
   def graphTriangles(spark: SparkSession, sf: String): DataFrame = {
     val e0 = edges(spark, sf)
-    val deg = e0.select(col("x").as("n")).unionAll(e0.select(col("y").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val deg = degrees(spark, sf).select(col("u").as("n"), col("dg"))
     // Orient x→y when π(x) < π(y) under π = (degree, id), else y→x.
     val or = e0
       .join(deg.select(col("n").as("x"), col("dg").as("dx")), "x")
@@ -139,11 +158,12 @@ object Graph {
     val e0 = edges(spark, sf)
     val bidir = e0.select(col("x").as("u"), col("y").as("v"))
       .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
-    val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
+    val deg = degrees(spark, sf)
     val init = deg.select(col("u").as("n"), lit(1000000000000L).as("pr"))
     // The gate decision reads the memoized per-(session, sf) node
-    // count — one aggregation job the FIRST time any PageRank query is
-    // built in this session, zero jobs after that.
+    // count — a parquet-footer rowcount of the degree checkpoint the
+    // FIRST time any PageRank query is built in this session, zero
+    // jobs after that.
     val nNodes = nodeCount(spark, sf)
     // Each iteration: the rank vector (node-grain — 3 orders smaller
     // than edges) joins degrees, is pre-divided once per NODE (not per
