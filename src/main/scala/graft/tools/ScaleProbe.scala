@@ -166,6 +166,19 @@ object ScaleProbe {
         (d => full(graft.operators.Graph.graphTriangles(spark, d))),
       "graph_pagerank" ->
         (d => full(graft.operators.Graph.graphPagerank(spark, d))),
+      // The q3 broadcast gate at ×100 orders. The filtered
+      // orders⨝customer dim is 13,658 rows at sf0.1 → ~1.37 M scaled:
+      // still UNDER BroadcastDimCap (10 M), so this entry times the
+      // hinted-broadcast plan growing with the fact side. The paired
+      // `_nobcast` entry forces the over-cap path (cap = 0: plain
+      // shuffle join under AQE) on the same data — the graceful
+      // degradation the gate exists for, measured rather than only
+      // plan-pinned (PlanSuite pins both plans' shapes).
+      "topk_limit" ->
+        (d => full(graft.operators.SortSet.topkLimit(spark, d))),
+      "topk_limit_nobcast" ->
+        (d => full(graft.operators.SortSet.q3RevenuePlan(spark, d, 0L)
+          .orderBy(desc("revenue"), asc("o_orderkey")).limit(10))),
       // PQ serving path at ×10 embeddings: the fit-once codebook build
       // lands in the warm pass (same checkpoint discipline as IVF /
       // the graph edge list), so the timed ratio isolates the ADC

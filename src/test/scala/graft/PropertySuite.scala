@@ -171,7 +171,10 @@ class PropertySuite extends SparkTestBase {
   test("minhash bands are exactly the FNV fold of the raw slots") {
     // llm_near_dedup candidates (bands) and llm_minhash_est (slots)
     // must stay two views of ONE sketch — if the expressions drift the
-    // estimate no longer describes the candidate generation.
+    // estimate no longer describes the candidate generation. Also the
+    // correctness ground of llm_ngram_jaccard's ingest-time slots: its
+    // candidates come from graft_bands_from_slots over the persisted
+    // char8 slot table, claimed bit-identical to graft_minhash_bands.
     graft.functions.VectorExprs.register(spark)
     val rows = Tables.documents(spark, sf).limit(20)
       .select(
