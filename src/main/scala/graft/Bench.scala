@@ -82,22 +82,46 @@ object Bench {
     // box was already busy and the totals are inflated.
     def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Cumulative guest steal time (jiffies, /proc/stat col 8): this
+    // box shows BURSTY hypervisor steal — multi-second whole-VM
+    // stalls that inflate whichever queries they land on in BOTH
+    // timed runs (measured r8: topk_limit 0.58 s in one sweep,
+    // 11.4/16.8 s in a sweep 20 min later, same binary, loadavg
+    // ~2.7 the whole time — loadavg can't see steal). The start/end
+    // delta makes a steal-contaminated artifact diagnosable.
+    def stealJiffies: Long = try {
+      scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+"))
+        .filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
     val loadStart = loadavg
+    val stealStart = stealJiffies
     val perRun = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // A failed query must surface as -1, not as a bogus near-zero
       // "fast" timing that silently shrinks the scored total.
-      val times = (1 to 2).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      val two = Seq(run(), run())
+      // Steal-burst defense: a transient whole-VM stall inflates a
+      // run by seconds. When the two steady-state runs disagree by
+      // >50% (one of them likely ate a stall), a third run gives min
+      // a stall-free sample at bounded cost (worst case +1 run per
+      // query). Sustained load still shows as all runs uniformly
+      // inflated — visible in the per-run field, not defensible here.
+      val times =
+        if (two.forall(_ >= 0) && two.max > two.min * 1.5) two :+ run()
+        else two
       perRun(name) = times
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val loadEnd = loadavg
+    val stealEnd = stealJiffies
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-run (not just min-of-2) times: a clean run shows the two
@@ -108,7 +132,8 @@ object Bench {
       s"\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
     // Failures are excluded from the total (visible as -1 per-query).
     val total = results.values.filter(_ >= 0).sum
-    val ctx = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus"""
+    val ctx = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""steal_jiffies":${stealEnd - stealStart},"cpus":$cpus"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,$ctx,"sf":"$sfDir"}""")
     // Truncation-proof summary LAST: the full line above is one giant
     // JSON object and both r2/r3 driver artifacts arrived with its head
