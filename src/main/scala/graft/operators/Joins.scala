@@ -40,18 +40,39 @@ object Joins {
       .orderBy("p_brand")
   }
 
-  /** TPC-H-Q5-style 6-table chain with region filter; dims broadcast,
-    * facts shuffle on join keys only. */
-  def join5WayQ5(spark: SparkSession, sf: String): DataFrame = {
+  /** TPC-H-Q5-style 6-table chain with region filter, under the
+    * fact-stream discipline (same as [[SortSet.q3RevenuePlan]]):
+    * lineitem is the FACT and must be the streamed probe, never a
+    * broadcast build. The r1–r7 shape (`o⨝c⨝l`) let Catalyst hash the
+    * pruned 600 k-row lineitem scan as the build side of every probe
+    * — under the auto-broadcast estimate at sf0.1, and exactly the
+    * relation that stops fitting first at real SF. Here the fact is
+    * the left/streamed side throughout and the SF-scaling sides
+    * (customer, the orders⨝customer dim, supplier — all ∝ SF) carry
+    * the broadcast hint only below the measured row cap; nation (25)
+    * and region (5) are fixed-size and stay unconditional. Past the
+    * cap the fold degrades to the shuffle join AQE picks — PlanSuite
+    * pins both sides of the gate and that no BroadcastExchange ever
+    * contains the lineitem scan. */
+  def join5WayQ5(spark: SparkSession, sf: String): DataFrame =
+    join5WayQ5Plan(spark, sf, SortSet.BroadcastDimCap)
+
+  /** The join fold, parameterized on the broadcast gate so PlanSuite
+    * can pin the plan on BOTH sides of the threshold. */
+  private[graft] def join5WayQ5Plan(spark: SparkSession, sf: String,
+      broadcastRowCap: Long): DataFrame = {
     val c = Tables.customer(spark, sf)
     val o = Tables.orders(spark, sf)
     val l = Tables.lineitem(spark, sf)
     val s = Tables.supplier(spark, sf)
     val n = Tables.nation(spark, sf)
     val r = Tables.region(spark, sf).filter(col("r_name") === "ASIA")
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .join(l, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey")
+    def gate(tag: String)(df: DataFrame): DataFrame =
+      Gates.gatedBroadcast(spark, sf, tag, broadcastRowCap)(df)
+    val dim = o.join(gate("q5_cust")(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    l.join(gate("q5_dim")(dim), col("l_orderkey") === col("o_orderkey"))
+      .join(gate("q5_supp")(s), col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

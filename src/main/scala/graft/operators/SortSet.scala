@@ -34,16 +34,6 @@ object SortSet {
     * [[Graph.BroadcastNodeCap]]. */
   private[graft] val BroadcastDimCap = 10000000L
 
-  /** Row counts feeding the broadcast gates, computed ONCE per
-    * (session, sf, tag) and memoized — a gate decision must never be a
-    * per-query-construction aggregation job (the PageRank lesson). */
-  private val rowCountCache =
-    new graft.FitOnce[(String, String, String), Long]
-
-  private def cachedCount(spark: SparkSession, sf: String, tag: String)(
-      df: => DataFrame): Long =
-    rowCountCache((spark.sparkContext.applicationId, sf, tag))(df.count())
-
   /** Shared Q3-style revenue aggregate (ordering applied by callers).
     *
     * Join order matters here: lineitem is the FACT side and must be
@@ -74,15 +64,10 @@ object SortSet {
     val o = Tables.orders(spark, sf)
       .filter(col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
     val l = Tables.lineitem(spark, sf)
-    val cGated =
-      if (cachedCount(spark, sf, "q3_cust")(c) <= broadcastRowCap) broadcast(c)
-      else c
+    val cGated = Gates.gatedBroadcast(spark, sf, "q3_cust", broadcastRowCap)(c)
     val dim = o.join(cGated, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"))
-    val dimGated =
-      if (cachedCount(spark, sf, "q3_dim")(dim) <= broadcastRowCap)
-        broadcast(dim)
-      else dim
+    val dimGated = Gates.gatedBroadcast(spark, sf, "q3_dim", broadcastRowCap)(dim)
     l.join(dimGated, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))

@@ -40,6 +40,36 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join_5way_q5 fact-stream discipline + broadcast gate on both sides") {
+    // AQE off so the pre-execution tree is traversable; auto-broadcast
+    // off so only the explicit gate hints separate the plans.
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Under the cap: dims broadcast, and NO BroadcastExchange subtree
+      // may contain the lineitem scan — the fact streams at any SF,
+      // never builds the hashed relation (it is the relation that
+      // stops fitting first).
+      val under = operators.Joins.join5WayQ5Plan(spark, sf, Long.MaxValue)
+        .queryExecution.executedPlan
+      val bexs = under.collect {
+        case e if e.nodeName.contains("BroadcastExchange") => e }
+      assert(bexs.nonEmpty, "under-cap q5 must broadcast its dims")
+      assert(!bexs.exists(_.toString.contains("lineitem")),
+        "the fact table must stream, never be a broadcast build side")
+      // Over the cap: only the fixed-size nation/region hints remain;
+      // every SF-scaling join degrades to a shuffle join.
+      val over = plan(operators.Joins.join5WayQ5Plan(spark, sf, 0L))
+      assert(over.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin") == 2,
+        "over-cap q5 must broadcast exactly nation + region")
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+        "over-cap q5 must degrade the fact join to a shuffle join")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("topk_limit fuses into TakeOrderedAndProject (no global sort)") {
     val p = plan(operators.SortSet.topkLimit(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
