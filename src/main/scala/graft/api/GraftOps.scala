@@ -752,7 +752,12 @@ object GraftOps {
     * cleared of division and sqrt — (n·v − Σv)² > 9·(n·Σv² − (Σv)²) —
     * evaluated in DECIMAL(38,0), so it is integer-exact on any
     * engine. One keyed stats aggregate broadcast back onto the linear
-    * scan + one conditional aggregate: two shuffles at any scale. */
+    * scan + one conditional aggregate: two shuffles at any scale.
+    *
+    * Caller contract: the stats broadcast is per-KEY grain, so
+    * `keyCol` must have bounded cardinality (event types, status
+    * codes — not user ids). For unbounded keys drop the hint and let
+    * the re-join shuffle: both sides are already keyed by `keyCol`. */
   def zscoreOutliers(df: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")

@@ -49,8 +49,13 @@ object Ann {
       cosNearDup(spark, sf).select(col("x"), col("y")))
     val dropped = comps.filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("vec_id"))
+    // Gated like the text-dedup keep: the dropped set scales with the
+    // corpus's near-duplicate mass, so past the cap the keep degrades
+    // to a shuffled anti-join instead of a forced broadcast.
     Tables.embeddings(spark, sf).select(col("vec_id"))
-      .join(broadcast(dropped), Seq("vec_id"), "left_anti")
+      .join(graft.operators.Gates.gatedBroadcast(spark, sf, "dedup_dropped_cos",
+          graft.operators.Gates.BroadcastRowCap)(dropped),
+        Seq("vec_id"), "left_anti")
       .orderBy("vec_id")
   }
 

@@ -371,8 +371,15 @@ object Dedup {
     val comps = textComponents(spark, sf)
     val dropped = comps.filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
+    // The dropped set scales with the corpus's duplicate mass (could
+    // approach |corpus| on a crawl), so the anti-join hint is gated
+    // like every SF-scaling broadcast; past the cap the keep runs as
+    // a shuffled anti-join. Count is a scan of the per-session
+    // component checkpoint, memoized.
     Tables.documents(spark, sf).select(col("doc_id"))
-      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .join(graft.operators.Gates.gatedBroadcast(spark, sf, "dedup_dropped_text",
+          graft.operators.Gates.BroadcastRowCap)(dropped),
+        Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

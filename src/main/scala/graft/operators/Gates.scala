@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Gates {
 
+  /** Broadcast an SF-scaling side only below this row count: 10 M
+    * rows of a pruned 2-column frame (~16 bytes each) is ~160 MB —
+    * inside executor memory and far under the 8 GB broadcast hard
+    * cap. Shared by every gated hint so the whole library degrades at
+    * one documented size. */
+  private[graft] val BroadcastRowCap = 10000000L
+
   /** Row counts feeding the gate decisions, computed ONCE per
     * (session, sf, tag) and memoized. */
   private val rowCountCache =

@@ -30,11 +30,19 @@ object Joins {
   }
 
   /** Explicit broadcast of the part dimension: no shuffle of lineitem,
-    * map-side hash join at any fact-table scale. */
-  def joinBroadcast(spark: SparkSession, sf: String): DataFrame = {
+    * map-side hash join at any fact-table scale. part itself scales
+    * with SF (≈ SF × 20 k rows), so like every SF-scaling side the
+    * hint applies only below the measured row cap ([[Gates]]); past it
+    * the join degrades to the shuffle join AQE picks. */
+  def joinBroadcast(spark: SparkSession, sf: String): DataFrame =
+    joinBroadcastPlan(spark, sf, Gates.BroadcastRowCap)
+
+  private[graft] def joinBroadcastPlan(spark: SparkSession, sf: String,
+      broadcastRowCap: Long): DataFrame = {
     val l = Tables.lineitem(spark, sf)
     val p = Tables.part(spark, sf)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    val pGated = Gates.gatedBroadcast(spark, sf, "part_dim", broadcastRowCap)(p)
+    l.join(pGated, l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("p_brand")
@@ -439,7 +447,12 @@ object Joins {
       "SELECT l_returnflag, COUNT(*) AS n_kept " +
         "FROM (SELECT l_returnflag, NULLIF(l_suppkey % 100, 7) AS k " +
         "FROM lineitem) " +
-        "WHERE k NOT IN (SELECT s_suppkey % 100 FROM supplier " +
+        // DISTINCT is semantics-free under NOT IN (set membership) but
+        // load-bearing at scale: Spark has no shuffle null-aware anti
+        // join — the IN-set MUST broadcast — so the build side is
+        // reduced to its value domain (≤ 100 values here at any SF)
+        // before the exchange instead of shipping every supplier row.
+        "WHERE k NOT IN (SELECT DISTINCT s_suppkey % 100 FROM supplier " +
         "WHERE s_acctbal < 0) " +
         "GROUP BY l_returnflag ORDER BY l_returnflag")
   }
@@ -519,7 +532,7 @@ object Joins {
       ("SELECT l_returnflag, COUNT(*) AS n_kept " +
         "FROM (SELECT l_returnflag, NULLIF(l_suppkey % 100, 7) AS k " +
         "FROM lineitem) " +
-        "WHERE k NOT IN (SELECT s_suppkey % 100 FROM supplier " +
+        "WHERE k NOT IN (SELECT DISTINCT s_suppkey % 100 FROM supplier " +
         "WHERE s_acctbal < 0) " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "join_bloom_prune" ->

@@ -24,15 +24,12 @@ object SortSet {
         col("c_acctbal"))
       .orderBy(asc_nulls_first("seg"), desc("c_acctbal"), asc("c_custkey"))
 
-  /** Broadcast a Q3 side only below this row count: 10 M rows of the
-    * pruned 2-column dim (~16 bytes each) is ~160 MB — inside executor
-    * memory and far under the 8 GB broadcast hard cap. The dim here is
-    * ~19% of orders (two selective filters), so at large SF it WILL
-    * clear this cap and the hint must not be forced; the fold then
-    * runs as a plain shuffle join under AQE, which re-broadcasts at
-    * runtime only if the actual shuffled bytes fit. Same rationale as
-    * [[Graph.BroadcastNodeCap]]. */
-  private[graft] val BroadcastDimCap = 10000000L
+  /** The Q3 dim is ~19% of orders (two selective filters), so at
+    * large SF it WILL clear [[Gates.BroadcastRowCap]] and the hint
+    * must not be forced; the fold then runs as a plain shuffle join
+    * under AQE, which re-broadcasts at runtime only if the actual
+    * shuffled bytes fit. Same rationale as [[Graph.BroadcastNodeCap]]. */
+  private[graft] val BroadcastDimCap = Gates.BroadcastRowCap
 
   /** Shared Q3-style revenue aggregate (ordering applied by callers).
     *

@@ -344,8 +344,15 @@ object StreamDemo {
     * join of joinBucketed instead. */
   def enrichStream(spark: SparkSession, sf: String): DataFrame = {
     val schema = graft.Tables.eventsRaw(spark, sf).schema
-    val dim = graft.Tables.customer(spark, sf)
-      .select(col("c_custkey"), col("c_mktsegment"))
+    // customer scales with SF, so the stream-static enrichment hint is
+    // gated like every batch-side SF-scaling broadcast; past the cap
+    // the stream-static join runs as the per-microbatch shuffle join
+    // Spark plans without the hint (the count is a memoized footer
+    // read, no job in the hot path).
+    val dim = graft.operators.Gates.gatedBroadcast(spark, sf, "enrich_cust",
+      graft.operators.Gates.BroadcastRowCap)(
+      graft.Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment")))
     val dir = graft.Tables.scratchDir("graft_ev_enrich_")
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
@@ -354,7 +361,7 @@ object StreamDemo {
         .option("pathGlobFilter", "events.parquet").parquet(sf)
         .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts2", "10 minutes")
-        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(window(col("ts2"), "1 hour"), col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"),
           sum(graft.Tables.dec(col("value"))).cast("double").as("sum_val"))

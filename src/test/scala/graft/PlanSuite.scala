@@ -32,6 +32,15 @@ class PlanSuite extends SparkTestBase {
     val p = plan(operators.Joins.joinBroadcast(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
+    // part scales with SF: over the cap the hint must not be forced.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val over = plan(operators.Joins.joinBroadcastPlan(spark, sf, 0L))
+      assert(!over.contains("BroadcastHashJoin"),
+        "over-cap part must not be force-broadcast")
+    } finally spark.conf.set(key, saved)
   }
 
   test("join_5way_q5 broadcasts all dimension tables") {
@@ -150,6 +159,57 @@ class PlanSuite extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
       assert(!p.contains("CollectLimit"), s"$name plans a CollectLimit")
     }
+  }
+
+  test("tripwire: every forced broadcast is reduced, fixed-size, or gate-pinned") {
+    // With auto-broadcast off, the only BroadcastExchange nodes left
+    // are the ones our hints FORCE — each must be safe at any SF:
+    // (a) aggregate-reduced below the exchange (bounded-grain frames:
+    //     global stats, daily counts, per-type tops; per-key grains
+    //     are a caller contract, see GraftOps.zscoreOutliers),
+    // (b) scanning only fixed-size tables (nation 25 / region 5) or
+    //     fit-once scratch artifacts (codebooks, centroids — bounded
+    //     by construction), or
+    // (c) a measured-row-cap gate (Gates) whose over-cap degradation
+    //     is pinned by its own PlanSuite test — those queries are
+    //     allowlisted here, and ONLY those.
+    // A new query that force-broadcasts a raw SF-scaling side fails
+    // this test long before it fails on a cluster.
+    val gated = Set("join_5way_q5", "topk_limit", "topk_offset",
+      "join_broadcast", "llm_dedup_keep", "llm_cos_dedup_keep",
+      "graph_pagerank")
+    // (d) point-bounded: the broadcast side is a literal point/range
+    //     predicate on the unique key (a ≤ k-row query/probe side),
+    //     bounded at any SF by the predicate, not by data size.
+    val pointBounded = Set("llm_knn_query", "llm_ann_pq")
+    val streaming = Set("ev_tumbling_stream", "ev_append_stream",
+      "ev_session_stream", "ev_custom_session_stream", "ev_join_stream",
+      "ev_dedup_stream", "ev_enrich_stream", "ev_upsert_stream")
+    val sfScaling = Seq("lineitem", "orders", "customer", "supplier",
+      "part.parquet", "events", "documents", "embeddings")
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((name, fn) <- SparkEntry.queries
+           if !streaming(name) && !gated(name) && !pointBounded(name)) {
+        val exec = fn(spark, sf).queryExecution.executedPlan
+        val bexs = exec.collect {
+          case e if e.nodeName.contains("BroadcastExchange") => e }
+        for (b <- bexs) {
+          val s = b.toString
+          val reduced = s.contains("HashAggregate") ||
+            s.contains("ObjectHashAggregate") || s.contains("SortAggregate")
+          if (!reduced && sfScaling.exists(s.contains))
+            offenders += s"$name:\n$s"
+        }
+      }
+      assert(offenders.isEmpty,
+        "forced broadcasts of non-reduced SF-scaling sides:\n" +
+          offenders.mkString("\n"))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("pmi bigrams: exchange reuse collapses each count shuffle (2 explodes, not 3)") {
