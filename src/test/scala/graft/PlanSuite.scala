@@ -212,6 +212,66 @@ class PlanSuite extends SparkTestBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("tripwire: warm query construction launches zero Spark jobs") {
+    // The r7 defect class: graph_pagerank ran a full deg.count()
+    // aggregation at DataFrame-CONSTRUCTION time on every invocation
+    // (gate decision as an eager job). Constructing a query must be
+    // plan-only once per-session artifacts are warm — at 100 TB an
+    // eager job per construction is a cluster-wide stall per call.
+    // Declared exceptions, each the documented semantics of the query:
+    //  - streaming entries EXECUTE the stream when called;
+    //  - the source/sink round-trip + maintenance demos write files
+    //    (the write IS the demo: csv/jsonl/text/orc round-trips,
+    //    compaction, upsert-merge, schema evolution, corrupt-read).
+    val streaming = Set("ev_tumbling_stream", "ev_append_stream",
+      "ev_session_stream", "ev_custom_session_stream", "ev_join_stream",
+      "ev_dedup_stream", "ev_enrich_stream", "ev_upsert_stream")
+    val writeDemos = Set("scan_text_roundtrip", "scan_csv_roundtrip",
+      "scan_jsonl_roundtrip", "scan_orc_roundtrip", "scan_compact",
+      "scan_upsert_merge", "scan_schema_evolution",
+      "scan_corrupt_tolerant",
+      // Eager-materialize demos: the result is computed under a
+      // conf-scoped plan (runtime bloom / DPP layout) and read back —
+      // execution at construction is the declared semantics.
+      "join_bloom_prune", "join_dpp_prune")
+    val audited = SparkEntry.queries.filter { case (n, _) =>
+      !streaming(n) && !writeDemos(n) }
+    // Warm pass fills every per-(session, sf) artifact (checkpoints,
+    // gate counts, signature tables) outside the audited window.
+    for ((_, fn) <- audited) fn(spark, sf)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        // Metadata-plane jobs are allowed: a fresh `spark.read.parquet`
+        // of a checkpoint runs a footer/schema-read job whose every
+        // stage is named "parquet at <site>" (file-format inference),
+        // milliseconds of driver-coordinated IO. COMPUTE jobs (counts,
+        // collects, writes) carry action-site stage names and are the
+        // defect this tripwire exists for.
+        val metadataOnly = js.stageInfos.nonEmpty && js.stageInfos
+          .forall(si => Seq("parquet at ", "orc at ", "json at ",
+            "csv at ", "text at ").exists(si.name.startsWith))
+        if (g != null && g.startsWith("graft_ctor_") && !metadataOnly)
+          jobs.merge(g.stripPrefix("graft_ctor_"), 1, Integer.sum(_, _))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for ((name, fn) <- audited) {
+        spark.sparkContext.setJobGroup(s"graft_ctor_$name", name)
+        try fn(spark, sf) finally spark.sparkContext.clearJobGroup()
+      }
+      Thread.sleep(3000) // listener bus drain (events post async)
+      val offenders = scala.jdk.CollectionConverters
+        .MapHasAsScala(jobs).asScala.toMap
+      assert(offenders.isEmpty,
+        s"construction-time Spark jobs (eager work in a query path): $offenders")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pmi bigrams: exchange reuse collapses each count shuffle (2 explodes, not 3)") {
     // The vacuous IsNotNull on the shared bigram frame exists exactly
     // so the totals branch canonicalizes with the join branch; this
