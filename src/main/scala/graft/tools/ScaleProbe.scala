@@ -90,6 +90,14 @@ object ScaleProbe {
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .write.parquet(s"$scaled/lineitem.parquet")
 
+    // Unreplicated dims copied ×1 so multi-table probes (q5) resolve:
+    // supplier/nation/region keys are shared across replicas by
+    // construction (lineitem keeps l_suppkey, customer keeps
+    // c_nationkey), so a ×1 dim is the consistent join target.
+    for (t <- Seq("supplier", "nation", "region", "part"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("ignore").parquet(s"$scaled/$t.parquet")
+
     // events ×100, keys/timestamps shifted; single file so the
     // streaming reader's pathGlobFilter matches like the corpus file.
     Tables.eventsRaw(spark, base).crossJoin(reps(100))
@@ -176,6 +184,16 @@ object ScaleProbe {
       // plan-pinned (PlanSuite pins both plans' shapes).
       "topk_limit" ->
         (d => full(graft.operators.SortSet.topkLimit(spark, d))),
+      // q5 after the fact-stream restructure. Unlike q3's filtered
+      // dim, q5's orders⨝customer dim is unfiltered: 150 k rows at
+      // sf0.1 → 15 M at ×100, PAST BroadcastRowCap — the scaled run
+      // crosses the gate naturally (dim + supplier hints withheld,
+      // shuffle join under AQE) while the base run stays on the
+      // hinted broadcast plan. lineitem ×20 ⨝ orders ×100 matches on
+      // the 20 shared replica key spaces, so output revenue scales
+      // exactly ×20.
+      "join_5way_q5" ->
+        (d => full(graft.operators.Joins.join5WayQ5(spark, d))),
       "topk_limit_nobcast" ->
         (d => full(graft.operators.SortSet.q3RevenuePlan(spark, d, 0L)
           .orderBy(desc("revenue"), asc("o_orderkey")).limit(10))),
