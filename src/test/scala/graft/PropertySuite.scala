@@ -786,4 +786,31 @@ class PropertySuite extends SparkTestBase {
     assert(probe.deserCount == 2, "new payload must re-deserialize")
     assert(est >= 1L, "estimate must never undercount")
   }
+
+  test("FitOnce runs a contended fill exactly once and blocks racers on it") {
+    // The cache guards superstep loops, k-means trains and gate
+    // counts: two concurrent first callers must not both pay the fill
+    // (the duplicated cost is exactly what the cache exists to avoid,
+    // and the r7 TrieMap.getOrElseUpdate version did duplicate it).
+    val cache = new FitOnce[String, Int]
+    val fills = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            start.await()
+            cache("k") { fills.incrementAndGet(); Thread.sleep(50); 42 }
+          }
+        })
+      }
+      start.countDown()
+      assert(tasks.map(_.get()).toSet == Set(42),
+        "every racer must observe the single fill's value")
+      assert(fills.get() == 1, s"fill ran ${fills.get()} times, not once")
+      // Distinct keys still fill independently.
+      assert(cache("k2") { 7 } == 7 && fills.get() == 1)
+    } finally pool.shutdown()
+  }
 }
