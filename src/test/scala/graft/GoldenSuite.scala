@@ -290,6 +290,20 @@ class GoldenSuite extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == 33296760501540L)
   }
 
+  test("q5 at sf0.1 matches the DuckDB-verified golden after the fact-stream restructure") {
+    // Revenue per ASIA nation, DuckDB-verified against the blessed
+    // oracle SQL this round. Exact-decimal sums cast to double at the
+    // end (D7/D11), so the pin is reproducible to the last ulp; it
+    // freezes the r8 join reorder (fact streams, gated dim builds)
+    // at bench scale, beyond the sf0.01 oracle gate.
+    val rows = operators.Joins.join5WayQ5(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(
+      "NATION_7" -> 55823733.9357, "NATION_17" -> 52341318.5366,
+      "NATION_12" -> 46379781.2935, "NATION_2" -> 43896702.7253,
+      "NATION_22" -> 43700962.2633), s"q5 drifted: ${rows.toSeq}")
+  }
+
   test("approx_count_distinct within rsd bound of exact at both sfs") {
     for (d <- Seq(sf01, sf1)) {
       val rows = operators.Aggregates.aggApproxDistinct(spark, d).collect()
