@@ -304,6 +304,26 @@ class GoldenSuite extends SparkTestBase {
       "NATION_22" -> 43700962.2633), s"q5 drifted: ${rows.toSeq}")
   }
 
+  test("q3 top-k at sf0.1 matches the DuckDB-verified golden after the gate change") {
+    // Same protection as the q5 pin, for the other restructured fold:
+    // top-10 order keys + revenues from the blessed oracle SQL, and
+    // topk_offset = rows 6-15 of the identical ordering (the overlap
+    // of the two pins audits the pagination contract directly).
+    val limit = operators.SortSet.topkLimit(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(limit.toSeq == Seq(
+      37019L -> 919319.2189, 148150L -> 789255.224, 2522L -> 731983.3608,
+      80692L -> 729472.7886, 21757L -> 727906.7402, 116882L -> 721695.4729,
+      6400L -> 713594.5863, 100430L -> 704623.7338, 66293L -> 700565.1636,
+      40009L -> 692753.3069), s"topk_limit drifted: ${limit.toSeq}")
+    val offset = operators.SortSet.topkOffset(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(offset.take(5).toSeq == limit.drop(5).toSeq,
+      "page 2 must overlap page 1 on rows 6-10 of the same ordering")
+    assert(offset.last == (108931L -> 662405.8685),
+      s"topk_offset tail drifted: ${offset.toSeq}")
+  }
+
   test("approx_count_distinct within rsd bound of exact at both sfs") {
     for (d <- Seq(sf01, sf1)) {
       val rows = operators.Aggregates.aggApproxDistinct(spark, d).collect()
