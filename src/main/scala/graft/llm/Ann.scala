@@ -54,7 +54,7 @@ object Ann {
     // to a shuffled anti-join instead of a forced broadcast.
     Tables.embeddings(spark, sf).select(col("vec_id"))
       .join(graft.operators.Gates.gatedBroadcast(spark, sf, "dedup_dropped_cos",
-          graft.operators.Gates.BroadcastRowCap)(dropped),
+          graft.operators.Gates.BroadcastByteCap)(dropped),
         Seq("vec_id"), "left_anti")
       .orderBy("vec_id")
   }

@@ -378,7 +378,7 @@ object Dedup {
     // component checkpoint, memoized.
     Tables.documents(spark, sf).select(col("doc_id"))
       .join(graft.operators.Gates.gatedBroadcast(spark, sf, "dedup_dropped_text",
-          graft.operators.Gates.BroadcastRowCap)(dropped),
+          graft.operators.Gates.BroadcastByteCap)(dropped),
         Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }

@@ -145,7 +145,10 @@ object Graph {
 
   /** Broadcast the per-iteration rank vector only below this node
     * count: 10 M nodes × ~16 bytes is ~160 MB — comfortably inside
-    * executor memory and far under the 8 GB broadcast hard cap.
+    * executor memory and far under the 8 GB broadcast hard cap. A ROW
+    * cap is byte-consistent here (unlike [[Gates.BroadcastByteCap]]'s
+    * measured-bytes gate) because the gated frame is always the fixed
+    * 2×long node-grain vector — 16 B/row by construction.
     * Beyond it a billion-node graph would OOM the driver, so the fold
     * must degrade to a plain equi-join (AQE picks the strategy), not
     * attempt the hint regardless. */

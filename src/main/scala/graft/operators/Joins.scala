@@ -32,16 +32,18 @@ object Joins {
   /** Explicit broadcast of the part dimension: no shuffle of lineitem,
     * map-side hash join at any fact-table scale. part itself scales
     * with SF (≈ SF × 20 k rows), so like every SF-scaling side the
-    * hint applies only below the measured row cap ([[Gates]]); past it
-    * the join degrades to the shuffle join AQE picks. */
+    * hint applies only below the measured BYTE cap ([[Gates]] — part
+    * carries two string columns, so a row cap tuned for 2-column dims
+    * would admit ~6× the bytes here); past it the join degrades to the
+    * shuffle join AQE picks. */
   def joinBroadcast(spark: SparkSession, sf: String): DataFrame =
-    joinBroadcastPlan(spark, sf, Gates.BroadcastRowCap)
+    joinBroadcastPlan(spark, sf, Gates.BroadcastByteCap)
 
   private[graft] def joinBroadcastPlan(spark: SparkSession, sf: String,
-      broadcastRowCap: Long): DataFrame = {
+      broadcastByteCap: Long): DataFrame = {
     val l = Tables.lineitem(spark, sf)
     val p = Tables.part(spark, sf)
-    val pGated = Gates.gatedBroadcast(spark, sf, "part_dim", broadcastRowCap)(p)
+    val pGated = Gates.gatedBroadcast(spark, sf, "part_dim", broadcastByteCap)(p)
     l.join(pGated, l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("cnt"))
@@ -57,7 +59,7 @@ object Joins {
     * relation that stops fitting first at real SF. Here the fact is
     * the left/streamed side throughout and the SF-scaling sides
     * (customer, the orders⨝customer dim, supplier — all ∝ SF) carry
-    * the broadcast hint only below the measured row cap; nation (25)
+    * the broadcast hint only below the measured byte cap; nation (25)
     * and region (5) are fixed-size and stay unconditional. Past the
     * cap the fold degrades to the shuffle join AQE picks — PlanSuite
     * pins both sides of the gate and that no BroadcastExchange ever
@@ -68,7 +70,7 @@ object Joins {
   /** The join fold, parameterized on the broadcast gate so PlanSuite
     * can pin the plan on BOTH sides of the threshold. */
   private[graft] def join5WayQ5Plan(spark: SparkSession, sf: String,
-      broadcastRowCap: Long): DataFrame = {
+      broadcastByteCap: Long): DataFrame = {
     val c = Tables.customer(spark, sf)
     val o = Tables.orders(spark, sf)
     val l = Tables.lineitem(spark, sf)
@@ -76,7 +78,7 @@ object Joins {
     val n = Tables.nation(spark, sf)
     val r = Tables.region(spark, sf).filter(col("r_name") === "ASIA")
     def gate(tag: String)(df: DataFrame): DataFrame =
-      Gates.gatedBroadcast(spark, sf, tag, broadcastRowCap)(df)
+      Gates.gatedBroadcast(spark, sf, tag, broadcastByteCap)(df)
     val dim = o.join(gate("q5_cust")(c), o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     l.join(gate("q5_dim")(dim), col("l_orderkey") === col("o_orderkey"))

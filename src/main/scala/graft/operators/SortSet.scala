@@ -25,11 +25,11 @@ object SortSet {
       .orderBy(asc_nulls_first("seg"), desc("c_acctbal"), asc("c_custkey"))
 
   /** The Q3 dim is ~19% of orders (two selective filters), so at
-    * large SF it WILL clear [[Gates.BroadcastRowCap]] and the hint
+    * large SF it WILL clear [[Gates.BroadcastByteCap]] and the hint
     * must not be forced; the fold then runs as a plain shuffle join
     * under AQE, which re-broadcasts at runtime only if the actual
     * shuffled bytes fit. Same rationale as [[Graph.BroadcastNodeCap]]. */
-  private[graft] val BroadcastDimCap = Gates.BroadcastRowCap
+  private[graft] val BroadcastDimCap = Gates.BroadcastByteCap
 
   /** Shared Q3-style revenue aggregate (ordering applied by callers).
     *
@@ -56,15 +56,15 @@ object SortSet {
   /** The join fold, parameterized on the broadcast gate so PlanSuite
     * can pin the plan on BOTH sides of the threshold. */
   private[graft] def q3RevenuePlan(spark: SparkSession, sf: String,
-      broadcastRowCap: Long): DataFrame = {
+      broadcastByteCap: Long): DataFrame = {
     val c = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, sf)
       .filter(col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
     val l = Tables.lineitem(spark, sf)
-    val cGated = Gates.gatedBroadcast(spark, sf, "q3_cust", broadcastRowCap)(c)
+    val cGated = Gates.gatedBroadcast(spark, sf, "q3_cust", broadcastByteCap)(c)
     val dim = o.join(cGated, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"))
-    val dimGated = Gates.gatedBroadcast(spark, sf, "q3_dim", broadcastRowCap)(dim)
+    val dimGated = Gates.gatedBroadcast(spark, sf, "q3_dim", broadcastByteCap)(dim)
     l.join(dimGated, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))

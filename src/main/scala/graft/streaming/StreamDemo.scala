@@ -350,7 +350,7 @@ object StreamDemo {
     // Spark plans without the hint (the count is a memoized footer
     // read, no job in the hot path).
     val dim = graft.operators.Gates.gatedBroadcast(spark, sf, "enrich_cust",
-      graft.operators.Gates.BroadcastRowCap)(
+      graft.operators.Gates.BroadcastByteCap)(
       graft.Tables.customer(spark, sf)
         .select(col("c_custkey"), col("c_mktsegment")))
     val dir = graft.Tables.scratchDir("graft_ev_enrich_")

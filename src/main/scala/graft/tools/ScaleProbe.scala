@@ -175,8 +175,9 @@ object ScaleProbe {
       "graph_pagerank" ->
         (d => full(graft.operators.Graph.graphPagerank(spark, d))),
       // The q3 broadcast gate at ×100 orders. The filtered
-      // orders⨝customer dim is 13,658 rows at sf0.1 → ~1.37 M scaled:
-      // still UNDER BroadcastDimCap (10 M), so this entry times the
+      // orders⨝customer dim is 13,658 rows at sf0.1 → ~1.37 M scaled
+      // (~22 MB at 16 B/row): still UNDER BroadcastDimCap (256 MB
+      // measured bytes), so this entry times the
       // hinted-broadcast plan growing with the fact side. The paired
       // `_nobcast` entry forces the over-cap path (cap = 0: plain
       // shuffle join under AQE) on the same data — the graceful
@@ -186,7 +187,8 @@ object ScaleProbe {
         (d => full(graft.operators.SortSet.topkLimit(spark, d))),
       // q5 after the fact-stream restructure. Unlike q3's filtered
       // dim, q5's orders⨝customer dim is unfiltered: 150 k rows at
-      // sf0.1 → 15 M at ×100, PAST BroadcastRowCap — the scaled run
+      // sf0.1 → 15 M at ×100 (~240 MB measured + supplier's wider
+      // rows past theirs), around Gates.BroadcastByteCap — the scaled run
       // crosses the gate naturally (dim + supplier hints withheld,
       // shuffle join under AQE) while the base run stays on the
       // hinted broadcast plan. lineitem ×20 ⨝ orders ×100 matches on
