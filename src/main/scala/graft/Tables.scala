@@ -55,23 +55,52 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS,false) — Spark 4 throws
-    * PARQUET_TYPE_ILLEGAL without the legacy flag. Read as raw
-    * nanoseconds (long) and truncate to microseconds with integer
-    * division (`div`, not `/`, which would go through double and lose
-    * precision above 2^53). The truncation matches DuckDB's own
-    * CAST(ts AS TIMESTAMP) ns→µs behavior. `ts2` is TIMESTAMP_NTZ.
+  /** events.ts has shipped as two physical types across corpus
+    * generations: INT64 TIMESTAMP(NANOS,false) — which Spark 4 only
+    * reads as a raw ns long behind the legacy flag — and a plain µs
+    * timestamp. Both are normalized HERE to the one logical contract
+    * every batch query codes against: `ts` = epoch NANOSECONDS as a
+    * long, `ts2` = the µs-truncated TIMESTAMP_NTZ. The ns→µs truncation
+    * uses integer division (`div`, not `/`, which would go through
+    * double and lose precision above 2^53) and matches DuckDB's own
+    * CAST(ts AS TIMESTAMP) behavior; the µs→ns widening is exact
+    * (×1000 stays below 2^63 until year 2262), so `epoch_ns(ts)`
+    * oracles keep matching regardless of the file's physical type.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d)
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = eventsRaw(s, d)
+    raw
+      .withColumn("ts", tsNsExpr(raw.schema))
       // timestamp_micros() yields zoned TimestampType; cast to NTZ (D6 —
       // identity under the pinned UTC session) so outputs stay naive
       // like every other corpus timestamp.
       .withColumn("ts2", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
 
-  /** The raw events scan (ts still a nanosecond long) — also the
+  /** Epoch-ns long from whichever physical type the events file
+    * carries: the legacy INT64(NANOS) long passes through untouched; a
+    * real timestamp (zoned or NTZ — identical instants under the pinned
+    * UTC session) widens exactly via unix_micros × 1000. */
+  def tsNsExpr(schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
+
+  /** Epoch-µs long, same adaptation — the streaming-side helper:
+    * `readStream` re-reads the RAW file schema (the batch-side `ts`
+    * normalization above never applies), so streaming transforms adapt
+    * against the file schema they were handed. */
+  def tsUsExpr(schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  /** The raw events scan (ts in its file-native type: ns long on the
+    * legacy corpus, µs timestamp on the current one) — also the
     * session-cached schema source for the streaming reader, which needs
-    * the file schema without the derived ts2 column. */
+    * the file schema without the derived/normalized columns. */
   def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

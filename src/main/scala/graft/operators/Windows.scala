@@ -154,7 +154,7 @@ object Windows {
   def winTimeRange(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("epoch_s")
       .rangeBetween(-3600L, 0L)
-    Tables.eventsRaw(spark, sf)
+    Tables.events(spark, sf)
       .withColumn("epoch_s", expr("ts div 1000000000"))
       .select(col("event_id"), col("user_id"), col("epoch_s"),
         count(lit(1)).over(w).as("cnt_1h"),
@@ -174,7 +174,7 @@ object Windows {
     * Thin binding of [[graft.api.GraftOps.ewma]]. */
   def winEwma(spark: SparkSession, sf: String): DataFrame =
     graft.api.GraftOps.ewma(
-      Tables.eventsRaw(spark, sf)
+      Tables.events(spark, sf)
         .select(col("event_id"), col("user_id"), col("ts"),
           expr("CAST(round(value * 100) AS BIGINT)").as("vc")),
       "user_id", Seq("ts", "event_id"), "vc", depth = 8)
@@ -228,7 +228,7 @@ object Windows {
     val run = Window.partitionBy("user_id")
       .orderBy(asc("ts_us"), asc("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.eventsRaw(spark, sf)
+    Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("ts_us"), col("event_type"))
       .withColumn("first_seen",

@@ -154,7 +154,7 @@ object Events {
     * binding of [[graft.api.GraftOps.zscoreOutliers]]. */
   def evZscoreOutlier(spark: SparkSession, sf: String): DataFrame =
     graft.api.GraftOps.zscoreOutliers(
-      Tables.eventsRaw(spark, sf)
+      Tables.events(spark, sf)
         .select(col("event_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("vc")),
       "event_type", "vc")
@@ -171,7 +171,7 @@ object Events {
   def evNextPattern(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(asc("ts_us"), asc("event_id"))
-    Tables.eventsRaw(spark, sf)
+    Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
@@ -197,7 +197,7 @@ object Events {
   def evScd2(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    Tables.eventsRaw(spark, sf)
+    Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("ts_us"), col("event_type"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
@@ -220,7 +220,7 @@ object Events {
   def evMarkovTransition(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(asc("ts_us"), asc("event_id"))
-    Tables.eventsRaw(spark, sf)
+    Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("ts_us"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
@@ -243,7 +243,7 @@ object Events {
     val w = Window.partitionBy("user_id")
       .orderBy(asc("ts_us"), asc("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.eventsRaw(spark, sf)
+    Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("ts_us"), col("event_type"))
       .withColumn("attr_type", last(

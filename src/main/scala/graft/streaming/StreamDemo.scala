@@ -53,7 +53,7 @@ object StreamDemo {
       val q = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf)
         .withColumn("ts2",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          timestamp_micros(graft.Tables.tsUsExpr(schema)).cast("timestamp_ntz"))
         .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(ntz(col("window.start")).as("hour_start"),
@@ -91,7 +91,7 @@ object StreamDemo {
       .option("pathGlobFilter", "events.parquet").parquet(sf)
       // Watermarks require zoned TimestampType; identical values under
       // the pinned UTC session, and the output re-casts to NTZ (D9).
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
       .withWatermark("ts2", "10 minutes")
       .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -134,7 +134,7 @@ object StreamDemo {
     withStateParts(spark) {
       val q = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf)
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark("ts2", "10 minutes")
         .groupBy(session_window(col("ts2"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("cnt"))
@@ -224,12 +224,12 @@ object StreamDemo {
     withStateParts(spark) {
       val src = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf)
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark("ts2", "10 minutes")
         // The watermark-attached column must survive into the stateful
         // operator's input; µs arithmetic rides alongside as a long.
-        .select(col("user_id").cast("long"), expr("ts div 1000").as("us"),
-          col("ts2"))
+        .select(col("user_id").cast("long"),
+          graft.Tables.tsUsExpr(schema).as("us"), col("ts2"))
         .as[(Long, Long, java.sql.Timestamp)]
       val q = src.groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(),
@@ -267,7 +267,7 @@ object StreamDemo {
     def side(tpe: String, pre: String): DataFrame =
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf)
-        .withColumn(s"${pre}_ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn(s"${pre}_ts", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark(s"${pre}_ts", "10 minutes")
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pre}_user"),
@@ -315,7 +315,7 @@ object StreamDemo {
     def src(): DataFrame =
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf)
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark("ts2", "10 minutes")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts2"))
@@ -359,7 +359,7 @@ object StreamDemo {
     withStateParts(spark) {
       val q = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf)
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark("ts2", "10 minutes")
         .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(window(col("ts2"), "1 hour"), col("c_mktsegment"))
@@ -395,12 +395,13 @@ object StreamDemo {
     upsertSrcCache((spark.sparkContext.applicationId, sf)) {
       val src = graft.Tables.scratchDir("graft_ev_upsrc_")
         .resolve("src").toString
-      // µs-truncated epoch key: DuckDB reads the ns parquet timestamp
-      // at µs precision, so the merge order key must live at µs on
-      // both engines (event_id breaks residual ties).
-      graft.Tables.eventsRaw(spark, sf)
+      // µs-truncated epoch key: DuckDB reads the parquet timestamp at
+      // µs precision, so the merge order key must live at µs on both
+      // engines (event_id breaks residual ties).
+      val raw = graft.Tables.eventsRaw(spark, sf)
+      raw
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("value"))
+          graft.Tables.tsUsExpr(raw.schema).as("ts_us"), col("value"))
         .repartition(8).write.mode("overwrite").parquet(src)
       src
     }

@@ -100,7 +100,7 @@ object ScaleProbe {
 
     // events ×100, keys/timestamps shifted; single file so the
     // streaming reader's pathGlobFilter matches like the corpus file.
-    Tables.eventsRaw(spark, base).crossJoin(reps(100))
+    Tables.events(spark, base).crossJoin(reps(100))
       .select((col("event_id") + col("rep") * 1000000000L).as("event_id"),
         (col("ts") + col("rep").cast("long") * 16000000000000000L).as("ts"),
         (col("user_id") + col("rep") * 10000000L).as("user_id"),
