@@ -67,21 +67,40 @@ object Joins {
   def join5WayQ5(spark: SparkSession, sf: String): DataFrame =
     join5WayQ5Plan(spark, sf, SortSet.BroadcastDimCap)
 
+  /** The orders⨝customer Q5 dim (o_orderkey, c_nationkey),
+    * checkpointed to scratch parquet once per (session, sf) — same
+    * fit-once discipline (and same rationale) as [[SortSet.q3Dim]]:
+    * the subtree is a pure function of (session, sf), rebuilt on
+    * every invocation otherwise. Built with the default gate — the
+    * cap changes plan shape, never rows. */
+  private val q5DimCache = new graft.FitOnce[(String, String), String]
+
+  private def q5Dim(spark: SparkSession, sf: String): DataFrame = {
+    val p = q5DimCache((spark.sparkContext.applicationId, sf)) {
+      val path = Tables.scratchDir("graft_q5dim_").resolve("dim").toString
+      val c = Tables.customer(spark, sf)
+      val o = Tables.orders(spark, sf)
+      val cGated = Gates.gatedBroadcast(spark, sf, "q5_cust",
+        SortSet.BroadcastDimCap)(c)
+      o.join(cGated, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+        .write.parquet(path)
+      path
+    }
+    spark.read.parquet(p)
+  }
+
   /** The join fold, parameterized on the broadcast gate so PlanSuite
     * can pin the plan on BOTH sides of the threshold. */
   private[graft] def join5WayQ5Plan(spark: SparkSession, sf: String,
       broadcastByteCap: Long): DataFrame = {
-    val c = Tables.customer(spark, sf)
-    val o = Tables.orders(spark, sf)
     val l = Tables.lineitem(spark, sf)
     val s = Tables.supplier(spark, sf)
     val n = Tables.nation(spark, sf)
     val r = Tables.region(spark, sf).filter(col("r_name") === "ASIA")
     def gate(tag: String)(df: DataFrame): DataFrame =
       Gates.gatedBroadcast(spark, sf, tag, broadcastByteCap)(df)
-    val dim = o.join(gate("q5_cust")(c), o("o_custkey") === c("c_custkey"))
-      .select(col("o_orderkey"), col("c_nationkey"))
-    l.join(gate("q5_dim")(dim), col("l_orderkey") === col("o_orderkey"))
+    l.join(gate("q5_dim")(q5Dim(spark, sf)), col("l_orderkey") === col("o_orderkey"))
       .join(gate("q5_supp")(s), col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
