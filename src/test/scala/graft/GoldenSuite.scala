@@ -156,6 +156,27 @@ class GoldenSuite extends SparkTestBase {
       && hh.head.getBoolean(2) && hh.head.getBoolean(3))
   }
 
+  test("round-10 sf0.1 golden: graph_pagerank full top-20 (exact µ-rank units)") {
+    // DuckDB-verified this round by running the graph_pagerank oracle
+    // SQL directly at sf0.1 — the only heavy iterative query that had
+    // no full sf0.1 golden (r6–r8 advice). Integer µ-rank discipline
+    // means EXACT equality, all 20 (part, pr_micro) rows in order.
+    val got = operators.Graph.graphPagerank(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Seq(
+      (8437L, 1727900644080L), (3965L, 1719394908919L),
+      (5610L, 1717828431571L), (16661L, 1699774084663L),
+      (8845L, 1696878746524L), (1249L, 1696074285350L),
+      (18001L, 1692964863561L), (19511L, 1682289995986L),
+      (11635L, 1670687530410L), (6656L, 1656075041392L),
+      (12312L, 1648246883862L), (15805L, 1647868940191L),
+      (9715L, 1647572287238L), (9128L, 1640702679195L),
+      (1430L, 1636175974978L), (14246L, 1635887628225L),
+      (9627L, 1627658182124L), (16108L, 1627267060182L),
+      (7935L, 1613106723511L), (17247L, 1612405609578L))
+    assert(got == want)
+  }
+
   test("round-6 sf0.1 golden: topk_limit top-10 order keys and head revenue") {
     // DuckDB-verified this round on the oracle SQL (cross-engine): the
     // Q3 top-10 by revenue with o_orderkey tiebreak. Pins the
