@@ -205,6 +205,13 @@ object ScaleProbe {
       // scan + shortlist re-rank — the per-query cost at scale.
       "llm_ann_pq" ->
         (d => full(graft.llm.Ann.annPq(spark, d))),
+      // Multi-probe IVF recall path at ×10 embeddings: the trained
+      // quantizer + assignment land in the warm pass (fit-once
+      // checkpoint), so the timed ratio isolates the rn≤2 probe
+      // expansion + per-cell pair search + distinct — the serving
+      // cost that must stay ∝ data at constant cell size.
+      "llm_ann_ivf_probe" ->
+        (d => full(graft.llm.Ann.annIvfProbe(spark, d))),
       // The custom heap top-k over the replicated events (top-3 per
       // user by value): per-partition state is O(users × 3) however
       // large the event volume — the property the operator exists for.
