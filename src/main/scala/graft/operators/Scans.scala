@@ -33,8 +33,10 @@ object Scans {
         col("c_mktsegment"))
       .orderBy("c_custkey")
 
-  /** Read the NANOS-timestamp events table (landmine P1): raw ns longs
-    * truncated to µs — same truncation DuckDB applies in CAST. */
+  /** Read the events table through the type-normalizing loader
+    * (landmine P1: the file's physical timestamp type drifts across
+    * corpus generations — ns long originally, µs timestamp since r9;
+    * ts2 is the µs NTZ both engines agree on either way). */
   def scanEventsNs(spark: SparkSession, sf: String): DataFrame =
     Tables.events(spark, sf)
       .select(col("event_id"), col("ts2"), col("user_id"),
