@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus schema-drift canaries (round-10 lesson). The driver
+  * regenerated the testdata between rounds 8 and 9 and changed
+  * events.ts from INT64 TIMESTAMP(NANOS) to a plain µs timestamp;
+  * every events-based query — 36 of 167 — then failed ANALYSIS with a
+  * cryptic `ts div 1000` type mismatch, and the round's scored
+  * correctness silently dropped to 131 keys. These tests exist so the
+  * NEXT drift fails loudly, in a named test, at the table it drifted
+  * on — and so the loader's normalization is pinned on BOTH physical
+  * generations even while the corpus only ships one of them.
+  */
+class SchemaDriftSuite extends SparkTestBase {
+
+  /** Columns the queries genuinely depend on, with the types the
+    * LOADER contract guarantees (not the file's physical types — the
+    * events loader normalizes those; see Tables.events). A corpus
+    * regeneration that breaks any of these should fail here, naming
+    * the table and column, before 30-odd queries fail downstream. */
+  test("corpus canary: every table satisfies the loader contract schema") {
+    val want: Seq[(String, org.apache.spark.sql.DataFrame, Map[String, DataType])] = Seq(
+      ("lineitem", Tables.lineitem(spark, sf), Map(
+        "l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+        "l_returnflag" -> StringType, "l_shipdate" -> TimestampNTZType)),
+      ("orders", Tables.orders(spark, sf), Map(
+        "o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType)),
+      ("customer", Tables.customer(spark, sf), Map(
+        "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+        "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType)),
+      ("supplier", Tables.supplier(spark, sf), Map(
+        "s_suppkey" -> LongType, "s_nationkey" -> IntegerType)),
+      ("part", Tables.part(spark, sf), Map(
+        "p_partkey" -> LongType, "p_brand" -> StringType)),
+      ("nation", Tables.nation(spark, sf), Map(
+        "n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType)),
+      ("region", Tables.region(spark, sf), Map(
+        "r_regionkey" -> IntegerType, "r_name" -> StringType)),
+      ("documents", Tables.documents(spark, sf), Map(
+        "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+        "source" -> StringType, "n_chars" -> LongType)),
+      ("embeddings", Tables.embeddings(spark, sf), Map(
+        "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+        "label" -> IntegerType)),
+      // The normalized contract, not the file: ts MUST come out as the
+      // epoch-ns long and ts2 as µs NTZ whatever the file carries.
+      ("events (normalized)", Tables.events(spark, sf), Map(
+        "event_id" -> LongType, "ts" -> LongType,
+        "ts2" -> TimestampNTZType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType,
+        "props" -> StringType)))
+    for ((name, df, cols) <- want; (c, t) <- cols) {
+      val f = df.schema.find(_.name == c)
+      assert(f.isDefined, s"$name: column $c disappeared from the corpus")
+      assert(f.get.dataType == t,
+        s"$name.$c drifted: expected $t, file now yields ${f.get.dataType}")
+    }
+  }
+
+  /** The raw events file may legally carry EITHER physical generation;
+    * anything else is new drift the loader does not know about. */
+  test("corpus canary: events.ts physical type is a known generation") {
+    val t = Tables.eventsRaw(spark, sf).schema("ts").dataType
+    assert(t == LongType || t == TimestampType || t == TimestampNTZType,
+      s"events.ts drifted to unhandled physical type $t — extend Tables.tsNsExpr/tsUsExpr")
+  }
+
+  /** Pin the loader on BOTH generations with the same rows: write a
+    * legacy-shaped twin of the current events table (ts as the raw
+    * epoch-ns long the NANOS generation yielded under nanosAsLong) and
+    * assert Tables.events normalizes both files to identical
+    * (event_id, ts, ts2) triples. The legacy branch would otherwise be
+    * dead code on the current corpus — until the corpus flips back. */
+  test("events loader normalizes the ns-long and µs-timestamp generations identically") {
+    val dir = Tables.scratchDir("graft_evgen_").toString
+    // Tables.events(sf).ts IS the normalized epoch-ns long — writing it
+    // back as a LongType `ts` column reproduces the legacy file shape.
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val legacy = Tables.events(spark, dir)
+      .select("event_id", "ts", "ts2").orderBy("event_id").collect()
+    val current = Tables.events(spark, sf)
+      .select("event_id", "ts", "ts2").orderBy("event_id").collect()
+    assert(legacy.length == current.length && legacy.length > 0)
+    assert(legacy.sameElements(current),
+      "the two physical generations must normalize to identical (ts, ts2)")
+  }
+}
