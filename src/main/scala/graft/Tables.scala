@@ -80,11 +80,21 @@ object Tables {
   /** Epoch-ns long from whichever physical type the events file
     * carries: the legacy INT64(NANOS) long passes through untouched; a
     * real timestamp (zoned or NTZ — identical instants under the pinned
-    * UTC session) widens exactly via unix_micros × 1000. */
+    * UTC session) widens exactly via unix_micros × 1000.
+    *
+    * The KNOWN generations are matched explicitly; anything else (a
+    * string ts, an int64-MILLIS long that would otherwise be mis-read
+    * as ns, …) throws at load so a third corpus drift fails loudly in
+    * Verify/Bench too — not only in the SchemaDriftSuite canary. */
   def tsNsExpr(schema: org.apache.spark.sql.types.StructType): Column =
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => col("ts")
-      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts drifted to unhandled physical type $other — " +
+        "extend Tables.tsNsExpr/tsUsExpr for the new corpus generation")
     }
 
   /** Epoch-µs long, same adaptation — the streaming-side helper:
@@ -94,7 +104,12 @@ object Tables {
   def tsUsExpr(schema: org.apache.spark.sql.types.StructType): Column =
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => unix_micros(col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"events.ts drifted to unhandled physical type $other — " +
+        "extend Tables.tsNsExpr/tsUsExpr for the new corpus generation")
     }
 
   /** The raw events scan (ts in its file-native type: ns long on the

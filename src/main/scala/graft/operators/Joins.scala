@@ -75,16 +75,23 @@ object Joins {
     * cap changes plan shape, never rows. */
   private val q5DimCache = new graft.FitOnce[(String, String), String]
 
+  /** The dim BUILD's join plan (pre-checkpoint), parameterized on the
+    * broadcast gate — same PlanSuite-visibility rationale as
+    * [[SortSet.q3DimPlan]]: timed runs only scan the checkpoint, so the
+    * `q5_cust` gate is pinned through this function instead. */
+  private[graft] def q5DimPlan(spark: SparkSession, sf: String,
+      broadcastByteCap: Long): DataFrame = {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val cGated = Gates.gatedBroadcast(spark, sf, "q5_cust", broadcastByteCap)(c)
+    o.join(cGated, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+  }
+
   private def q5Dim(spark: SparkSession, sf: String): DataFrame = {
     val p = q5DimCache((spark.sparkContext.applicationId, sf)) {
       val path = Tables.scratchDir("graft_q5dim_").resolve("dim").toString
-      val c = Tables.customer(spark, sf)
-      val o = Tables.orders(spark, sf)
-      val cGated = Gates.gatedBroadcast(spark, sf, "q5_cust",
-        SortSet.BroadcastDimCap)(c)
-      o.join(cGated, o("o_custkey") === c("c_custkey"))
-        .select(col("o_orderkey"), col("c_nationkey"))
-        .write.parquet(path)
+      q5DimPlan(spark, sf, SortSet.BroadcastDimCap).write.parquet(path)
       path
     }
     spark.read.parquet(p)

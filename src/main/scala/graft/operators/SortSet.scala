@@ -44,17 +44,29 @@ object SortSet {
     * only the read-back. */
   private val q3DimCache = new graft.FitOnce[(String, String), String]
 
+  /** The dim BUILD's join plan (pre-checkpoint), parameterized on the
+    * broadcast gate so PlanSuite can pin the `q3_cust` gate on both
+    * sides of the threshold even though the checkpointed build below
+    * always runs with the default cap. Bench note: because the build is
+    * fit-once per (session, sf), timed bench passes of topk_limit /
+    * topk_offset exercise the post-checkpoint dim SCAN, not this join
+    * — this plan function (and its PlanSuite case) is where the build's
+    * own gate stays covered. */
+  private[graft] def q3DimPlan(spark: SparkSession, sf: String,
+      broadcastByteCap: Long): DataFrame = {
+    val c = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
+    val cGated = Gates.gatedBroadcast(spark, sf, "q3_cust", broadcastByteCap)(c)
+    o.join(cGated, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+  }
+
   private def q3Dim(spark: SparkSession, sf: String): DataFrame = {
     val p = q3DimCache((spark.sparkContext.applicationId, sf)) {
       val path = Tables.scratchDir("graft_q3dim_").resolve("dim").toString
-      val c = Tables.customer(spark, sf)
-        .filter(col("c_mktsegment") === "BUILDING")
-      val o = Tables.orders(spark, sf)
-        .filter(col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
-      val cGated = Gates.gatedBroadcast(spark, sf, "q3_cust", BroadcastDimCap)(c)
-      o.join(cGated, o("o_custkey") === c("c_custkey"))
-        .select(col("o_orderkey"), col("o_orderdate"))
-        .write.parquet(path)
+      q3DimPlan(spark, sf, BroadcastDimCap).write.parquet(path)
       path
     }
     spark.read.parquet(p)

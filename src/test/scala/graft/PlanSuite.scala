@@ -370,6 +370,32 @@ class PlanSuite extends SparkTestBase {
     } finally spark.conf.set(key, saved)
   }
 
+  test("q3/q5 dim BUILD gate: customer hinted below the cap, shuffle join above it") {
+    // The checkpointed dims are built fit-once per (session, sf) with
+    // the default cap, so q3RevenuePlan/join5WayQ5Plan's cap parameter
+    // never reaches the q3_cust/q5_cust gates in the tests above. The
+    // pre-checkpoint build plans are exposed separately so the build's
+    // own gate stays pinned on both sides of the threshold.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      Seq[(String, Long => org.apache.spark.sql.DataFrame)](
+        "q3_cust" -> (cap => operators.SortSet.q3DimPlan(spark, sf, cap)),
+        "q5_cust" -> (cap => operators.Joins.q5DimPlan(spark, sf, cap))
+      ).foreach { case (gate, build) =>
+        val under = plan(build(Long.MaxValue))
+        assert(under.contains("BroadcastHashJoin"),
+          s"under-cap dim build must broadcast customer ($gate)")
+        val over = plan(build(0L))
+        assert(!over.contains("BroadcastHashJoin"),
+          s"over-cap dim build must not force-broadcast the SF-scaling customer ($gate)")
+        assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+          s"over-cap dim build should degrade to a shuffle join ($gate)")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("custom top-k operator plans heap exec with no sort, no window") {
     val p = plan(operators.Windows.winTopkNative(spark, sf))
     assert(p.contains("TopKPerKey"), "custom exec must appear in the plan")

@@ -55,9 +55,16 @@ class QuerySuite extends SparkTestBase {
     // (shared cells like `join_left / join_full` list several);
     // `sink_parquet` is declared 0-LoC — exercised implicitly by every
     // Verify dump — and is the single allowed survey-only key.
-    val text = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
-    val sec = text.substring(text.indexOf("## §2."), text.indexOf("## §3."))
+    val survey = java.nio.file.Paths.get("SURVEY.md").toAbsolutePath
+    assert(java.nio.file.Files.exists(survey),
+      s"SURVEY.md not found at $survey — run tests from the repo root")
+    val text = new String(java.nio.file.Files.readAllBytes(survey), "UTF-8")
+    val s2 = text.indexOf("## §2.")
+    val s3 = text.indexOf("## §3.")
+    assert(s2 >= 0 && s3 > s2,
+      s"SURVEY.md §2/§3 heading markers not found (s2=$s2, s3=$s3) — " +
+        "update the markers here if the headings were reworded")
+    val sec = text.substring(s2, s3)
     val cell = "(?m)^\\|\\s*`([a-z][a-z0-9_ /]*)`".r
     val declared = cell.findAllMatchIn(sec)
       .flatMap(_.group(1).split("[/\\s]+")).filter(_.nonEmpty).toSet

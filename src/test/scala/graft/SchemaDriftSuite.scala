@@ -62,6 +62,62 @@ class SchemaDriftSuite extends SparkTestBase {
     }
   }
 
+  /** Value-level drift canary (r11; VERDICT r10 #1). The schema
+    * canaries above catch TYPE drift, but a same-schema corpus
+    * regeneration (new rows) would silently invalidate every sf0.1
+    * golden and flip oracle hashes at judging time — the r9 failure
+    * class one level down. Pin one row count plus one order-independent
+    * per-column checksum (`bit_xor(xxhash64(col))` — XOR needs no sum
+    * that could overflow under ANSI, and ignores row order) per table
+    * at sf0.001.
+    *
+    * ON FAILURE: the corpus was regenerated with new VALUES. Re-run the
+    * sf0.1 goldens (GoldenSuite) and the oracle gate, then re-pin these
+    * constants from the actuals this test prints. */
+  test("corpus canary: table content matches the pinned sf0.001 generation") {
+    def sig(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): (Long, Seq[(String, Long)]) = {
+      val aggs = count(lit(1)).as("n") +:
+        cols.map(c => expr(s"bit_xor(xxhash64($c))").as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (row.getLong(0), cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) })
+    }
+    val tables: Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])] = Seq(
+      ("lineitem", Tables.lineitem(spark, sf),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_shipdate")),
+      ("orders", Tables.orders(spark, sf),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
+      ("customer", Tables.customer(spark, sf),
+        Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")),
+      ("supplier", Tables.supplier(spark, sf), Seq("s_suppkey", "s_acctbal")),
+      ("part", Tables.part(spark, sf), Seq("p_partkey", "p_retailprice")),
+      ("nation", Tables.nation(spark, sf), Seq("n_nationkey", "n_name")),
+      ("region", Tables.region(spark, sf), Seq("r_regionkey", "r_name")),
+      ("documents", Tables.documents(spark, sf),
+        Seq("doc_id", "text", "lang", "n_chars")),
+      ("embeddings", Tables.embeddings(spark, sf), Seq("vec_id", "label")),
+      ("events", Tables.events(spark, sf),
+        Seq("event_id", "ts", "user_id", "event_type", "value")))
+    val actual = tables.map { case (name, df, cols) => name -> sig(df, cols) }
+    val pinned: Map[String, (Long, Seq[(String, Long)])] = ContentCanary.pinned
+    val repin = actual.map { case (n, (cnt, cs)) =>
+      s"""    "$n" -> (${cnt}L, Seq(${cs.map { case (c, v) => s""""$c" -> ${v}L""" }.mkString(", ")}))"""
+    }.mkString(",\n")
+    actual.foreach { case (name, (cnt, cs)) =>
+      val exp = pinned.get(name)
+      assert(exp.isDefined, s"$name: no pinned content signature — re-pin:\n$repin")
+      assert(exp.get._1 == cnt,
+        s"$name: row count drifted ${exp.get._1} -> $cnt — corpus regenerated; " +
+          s"re-verify goldens then re-pin:\n$repin")
+      val expCols = exp.get._2.toMap
+      cs.foreach { case (c, v) =>
+        assert(expCols.get(c).contains(v),
+          s"$name.$c content checksum drifted ${expCols.get(c)} -> $v — corpus " +
+            s"regenerated; re-verify goldens then re-pin:\n$repin")
+      }
+    }
+  }
+
   /** The raw events file may legally carry EITHER physical generation;
     * anything else is new drift the loader does not know about. */
   test("corpus canary: events.ts physical type is a known generation") {
