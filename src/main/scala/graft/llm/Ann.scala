@@ -94,7 +94,7 @@ object Ann {
       .orderBy("x", "y")
   }
 
-  /** Lloyd iterations for the trained IVF quantizer ([[KmeansK]] cells,
+  /** Lloyd iterations for the trained IVF quantizer ([[kmeansK]] cells,
     * [[KmeansIters]] assignment+update rounds, then a final
     * assignment). K and the probe count are tuned like any real ANN
     * index — against a measured recall SLO (single-probe ≥ 0.6,
@@ -121,7 +121,27 @@ object Ann {
     * all shuffle-parallel, no driver-side loop. Init is a hash-sampled
     * k-subset (below) — a distributed top-k, no collect — and the
     * iteration count stays fixed, so the plan shape is scale-free. */
-  private val KmeansK = 10
+  /** k ∝ n, enacted (r10 verdict #7): cells scale with the corpus so
+    * occupancy stays ~[[KmeansCell]] vectors and the within-cell pair
+    * search stays constant-cost per cell at any SF — the documented
+    * at-scale discipline (NOTES: fixed k=10 read 22.8× at ×10 data;
+    * the k×10 API row reads 2.2–2.4×). [[KmeansCell]] = 200 is the
+    * REALIZED occupancy of the tuned base configuration (k=10 at the
+    * sf0.1 corpus's 2000 vectors), so at every scored SF the formula
+    * reproduces k = 10 exactly — behavior there is unchanged — and a
+    * ×10 corpus trains k = 100, the same occupancy-preserving point
+    * the ivf_api probe row prices. n is the memoized
+    * [[Gates.cachedCount]] footer count — no job in the hot path
+    * after the first gate fill — and the DuckDB oracle derives the
+    * SAME k from `greatest(floor, count(*) // cell)` so both engines
+    * train identical indexes at any corpus size. */
+  private val KmeansKFloor = 10
+  private val KmeansCell = 200
+  private def kmeansK(spark: SparkSession, sf: String): Int = {
+    val n = graft.operators.Gates.cachedCount(spark, sf, "ivf_n")(
+      Tables.embeddings(spark, sf))
+    math.max(KmeansKFloor, (n / KmeansCell).toInt)
+  }
   private val KmeansIters = 2
 
   /** Rounded cosine between the double-cast embedding `ed` and a
@@ -162,7 +182,8 @@ object Ann {
 
   /** IVF-style approximate near-dup: the second standard ANN shape
     * next to LSH. The coarse quantizer is TRAINED — deterministic
-    * k-means (k=10, 2 Lloyd iterations, hash-sampled init), see
+    * k-means (k = max(10, n/1000) cells, 2 Lloyd iterations,
+    * hash-sampled init), see
     * [[assign]]/[[update]] — then the quadratic pair search runs only
     * within cells via an equi-join on the cell id. Final pair
     * similarities use the original float embeddings through the same
@@ -216,7 +237,8 @@ object Ann {
   private def trainedCentroids(spark: SparkSession, sf: String): DataFrame = {
     val path = centroidCache((spark.sparkContext.applicationId, sf)) {
       val p = Tables.scratchDir("graft_ivf_").resolve("centroids").toString
-      kmeansFit(vecFrame(spark, sf), KmeansK, KmeansIters).write.parquet(p)
+      kmeansFit(vecFrame(spark, sf), kmeansK(spark, sf), KmeansIters)
+        .write.parquet(p)
       p
     }
     spark.read.parquet(path)
@@ -319,7 +341,8 @@ object Ann {
     sb ++= "WITH e AS (SELECT vec_id, embedding, " +
       "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings), "
     sb ++= s"c0 AS (SELECT vec_id AS cid, ed AS ce FROM e " +
-      s"ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT $KmeansK), "
+      s"ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id " +
+      s"LIMIT greatest($KmeansKFloor, (SELECT count(*) FROM embeddings) // $KmeansCell)), "
     for (i <- 1 to KmeansIters) {
       sb ++= assignCte(s"a$i", s"c${i - 1}", 1)
       sb ++= s"u$i AS (SELECT cell, d, " +
