@@ -8,6 +8,22 @@ package graft
   * diff.
   */
 object ContentCanary {
+
+  /** Row counts of the LARGER scale factors (footer reads — cheap),
+    * pinned alongside the sf0.001 checksums: the driver may
+    * regenerate one SF without the others, and the sf0.1 counts are
+    * what the GoldenSuite goldens and BASELINE ratios assume. */
+  val pinnedCounts: Map[String, Map[String, Long]] = Map(
+    "/root/testdata/sf0.01" -> Map(
+      "lineitem" -> 60000L, "orders" -> 15000L, "customer" -> 1500L,
+      "supplier" -> 100L, "part" -> 2000L, "nation" -> 25L,
+      "region" -> 5L, "documents" -> 500L, "embeddings" -> 500L,
+      "events" -> 10000L),
+    "/root/testdata/sf0.1" -> Map(
+      "lineitem" -> 600000L, "orders" -> 150000L, "customer" -> 15000L,
+      "supplier" -> 1000L, "part" -> 20000L, "nation" -> 25L,
+      "region" -> 5L, "documents" -> 5000L, "embeddings" -> 2000L,
+      "events" -> 100000L))
   // Pinned 2026-08-13 (round 11) against the round-10/11 corpus
   // generation. l_returnflag XORs to 0 because each of its 3 distinct
   // values happens to appear an even number of times — legal; the

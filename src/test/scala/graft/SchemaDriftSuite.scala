@@ -118,6 +118,18 @@ class SchemaDriftSuite extends SparkTestBase {
     }
   }
 
+  /** The sf0.01/sf0.1 generations can drift independently of sf0.001
+    * (the driver regenerates per round); their row counts are what the
+    * sf0.1 goldens and the oracle gate assume. Footer reads only. */
+  test("corpus canary: sf0.01/sf0.1 row counts match the pinned generation") {
+    for ((dir, tables) <- ContentCanary.pinnedCounts; (t, want) <- tables) {
+      val got = spark.read.parquet(s"$dir/$t.parquet").count()
+      assert(got == want,
+        s"$dir/$t row count drifted $want -> $got — corpus regenerated; " +
+          "re-verify goldens/oracle then re-pin ContentCanary.pinnedCounts")
+    }
+  }
+
   /** The raw events file may legally carry EITHER physical generation;
     * anything else is new drift the loader does not know about. */
   test("corpus canary: events.ts physical type is a known generation") {
