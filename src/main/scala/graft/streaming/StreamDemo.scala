@@ -96,7 +96,16 @@ object StreamDemo {
     val name = s"graft_ev_stream_${counter.incrementAndGet()}"
     // FileStreamSource wants a directory; restrict the sf dir to the
     // events file via pathGlobFilter.
-    withStateParts(spark) {
+    //
+    // No-flush is legal for COMPLETE mode too (not only emit-in-batch
+    // append shapes): every microbatch re-emits the full aggregation
+    // state, so the trailing no-data batch would only repeat the
+    // result the last data batch already wrote to the sink — there is
+    // no watermark-gated emission to lose. (This query also cannot
+    // join the checkpoint-reuse path: a memory sink is not durable,
+    // so a restarted query with committed offsets would leave the
+    // sink's temp view empty — it re-streams the backlog by design.)
+    withStatePartsNoFlush(spark) {
       val q = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf)
         .withColumn("ts2",
