@@ -28,6 +28,10 @@ object Bench {
       // the default). Same knob a long-lived production session serving
       // a wide query mix would set.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Same session TZ as Verify: timestamp-literal filters must
+      // select the same rows here as in the scored correctness run,
+      // or a non-UTC box would time different work.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
