@@ -145,13 +145,7 @@ class SchemaDriftSuite extends SparkTestBase {
     * (event_id, ts, ts2) triples. The legacy branch would otherwise be
     * dead code on the current corpus — until the corpus flips back. */
   test("events loader normalizes the ns-long and µs-timestamp generations identically") {
-    val dir = Tables.scratchDir("graft_evgen_").toString
-    // Tables.events(sf).ts IS the normalized epoch-ns long — writing it
-    // back as a LongType `ts` column reproduces the legacy file shape.
-    Tables.events(spark, sf)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .write.parquet(s"$dir/events.parquet")
+    val dir = legacyTwinDir
     val legacy = Tables.events(spark, dir)
       .select("event_id", "ts", "ts2").orderBy("event_id").collect()
     val current = Tables.events(spark, sf)
@@ -159,5 +153,45 @@ class SchemaDriftSuite extends SparkTestBase {
     assert(legacy.length == current.length && legacy.length > 0)
     assert(legacy.sameElements(current),
       "the two physical generations must normalize to identical (ts, ts2)")
+  }
+
+  /** The STREAMING side adapts through the schema-dispatched
+    * [[Tables.tsUsExpr]] — a separate code path from the batch loader
+    * (readStream re-reads the raw file schema), whose LongType branch
+    * is dead code on the current corpus. Run a real streaming query
+    * over the legacy twin and assert row-identical output, so a corpus
+    * flip back to ns-longs cannot silently break the 8-query streaming
+    * family the way the µs flip broke batch in round 9. */
+  test("streaming adapts both events physical generations identically") {
+    val q = SparkEntry.queries("ev_tumbling_stream")
+    val legacy = q(spark, legacyTwinDir).collect()
+    val current = q(spark, sf).collect()
+    assert(legacy.length == current.length && legacy.length > 0,
+      s"row count differs across generations (${legacy.length} vs ${current.length})")
+    assert(legacy.sameElements(current),
+      "streaming output must be identical on both physical generations")
+  }
+
+  /** A legacy-shaped twin of the current events table, written once
+    * per suite run: Tables.events(sf).ts IS the normalized epoch-ns
+    * long — writing it back as a LongType `ts` column reproduces the
+    * INT64(NANOS)-under-nanosAsLong file shape byte-for-byte at the
+    * logical level. */
+  private lazy val legacyTwinDir: String = {
+    val root = Tables.scratchDir("graft_evgen_")
+    // A single FILE named events.parquet, like the corpus layout — the
+    // streaming source's pathGlobFilter matches file names, so a
+    // directory-shaped write (part-*.parquet inside) would stream zero
+    // files and vacuously "pass" nothing.
+    val tmp = root.resolve("tmp").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part file written under $tmp"))
+    java.nio.file.Files.move(part.toPath, root.resolve("events.parquet"))
+    root.toString
   }
 }
