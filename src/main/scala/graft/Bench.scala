@@ -223,7 +223,20 @@ object Bench {
       else (stealEnd - stealStart).toString
     val ctx = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""steal_jiffies":$stealDelta,"cpus":$cpus"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"steals":$stealsJson,"retimed":$retimedJson,"suspect":$suspectJson,$ctx,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"steals":$stealsJson,"retimed":$retimedJson,"suspect":$suspectJson,$ctx,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Also persist the summary as a FILE: the driver's stdout capture
+    // has truncated this line twice (r2/r3) and r11 arrived with
+    // "parsed": null — a file read can't be cut by a tail window.
+    // Best-effort: a write failure must never kill the timed run.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_summary.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] summary file write failed (continuing): ${e.getMessage}")
+    }
     // Truncation-proof summary LAST: the full line above is one giant
     // JSON object and both r2/r3 driver artifacts arrived with its head
     // (the total) cut off by tail capture. A short final line keeps the

@@ -182,7 +182,9 @@ object Ann {
 
   /** IVF-style approximate near-dup: the second standard ANN shape
     * next to LSH. The coarse quantizer is TRAINED — deterministic
-    * k-means (k = max(10, n/1000) cells, 2 Lloyd iterations,
+    * k-means (k = max([[KmeansKFloor]], n/[[KmeansCell]]) cells —
+    * the same formula [[kmeansK]] and the oracle SQL use — 2 Lloyd
+    * iterations,
     * hash-sampled init), see
     * [[assign]]/[[update]] — then the quadratic pair search runs only
     * within cells via an equi-join on the cell id. Final pair

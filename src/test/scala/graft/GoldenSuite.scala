@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * BASELINE.md (sf0.1) and this session's DuckDB probes (sf0.01).
   */
 class GoldenSuite extends SparkTestBase {
-  private val sf1 = "/root/testdata/sf0.1"
+  private val sf1 = sfSibling("sf0.1")
 
   test("q1 group (A,F) matches the cross-engine golden at sf0.1") {
     // DuckDB-verified for this query's exact shape (shipdate filter):

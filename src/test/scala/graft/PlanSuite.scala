@@ -553,4 +553,58 @@ class PlanSuite extends SparkTestBase {
       assert(llm.TextHash.simhashNearDup(s, sf).count() >= 0) // SimHash62
     } finally s.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  /** The rfm gate's above-cap tier must really have shed the global
+    * sort: no window operator anywhere in the plan (the exact tier has
+    * three single-partition ntile windows), and the measures that ARE
+    * path-independent — custkey, recency, frequency, monetary — must
+    * agree row-for-row with the exact tier. Labels may legally differ
+    * at tie runs (ntile splits ties across buckets; boundary
+    * comparison keeps them together), so the label assertion is
+    * shape-level: three digits, each 1–4. */
+  test("win_rfm_segment above-cap tier drops every window (no global sort)") {
+    val big = operators.Windows.winRfmSegmentAt(spark, sf, big = true)
+    val p = plan(big)
+    assert(!p.contains("Window"),
+      "percentile tier still contains a window operator:\n" + p)
+    val exact = operators.Windows.winRfmSegmentAt(spark, sf, big = false)
+      .collect()
+    val got = big.collect()
+    assert(got.length == exact.length && got.length > 0)
+    got.zip(exact).foreach { case (g, e) =>
+      assert((0 to 3).forall(i => g.get(i) == e.get(i)),
+        s"path-independent measures drifted: $g vs $e")
+      assert(g.getString(4).matches("[1-4]{3}"),
+        s"malformed rfm label: ${g.getString(4)}")
+    }
+  }
+
+  /** The r11 34.5 s sweep depends on the generated-class cache being
+    * sized to the 167-query workload in BOTH mains: dropping it from
+    * Bench silently re-opens the ~15 s janino-recompile regression,
+    * and a Bench/Verify skew would time a different engine config than
+    * is scored. `codegen.cache.maxEntries` is a STATIC conf (readable
+    * only at session build), so this pins the source of truth — the
+    * literal `.config(...)` call in each main — rather than a live
+    * session conf. */
+  test("Bench and Verify both pin the same codegen cache size") {
+    val key = "spark.sql.codegen.cache.maxEntries"
+    val re = ("""\.config\("""" + java.util.regex.Pattern.quote(key) +
+      """",\s*"(\d+)"\)""").r
+    def pinned(file: String): Option[String] = {
+      val p = java.nio.file.Paths.get("src", "main", "scala", "graft", file)
+      assert(java.nio.file.Files.exists(p),
+        s"$p not found — run tests from the repo root")
+      val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      re.findFirstMatchIn(src).map(_.group(1))
+    }
+    val bench = pinned("Bench.scala")
+    val verify = pinned("Verify.scala")
+    assert(bench.isDefined, s"Bench.scala no longer sets $key — " +
+      "the 167-query sweep will re-pay janino compilation on every timed pass")
+    assert(verify.isDefined, s"Verify.scala no longer sets $key — " +
+      "correctness would run a different engine config than the bench times")
+    assert(bench == verify,
+      s"Bench ($bench) and Verify ($verify) disagree on $key")
+  }
 }

@@ -7,8 +7,14 @@ import org.scalatest.BeforeAndAfterAll
 /** Shared local session for all specs (sf0.001 unless noted). */
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
-  val sf = "/root/testdata/sf0.001"
-  val sf01 = "/root/testdata/sf0.01"
+  /** Smoke-scale corpus dir; overridable so the suite runs on any
+    * checkout layout. Sibling SF dirs are DERIVED from it (never
+    * hardcoded elsewhere) — see [[sfSibling]]. */
+  val sf = sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+  /** Resolve a sibling scale-factor dir (e.g. "sf0.01") next to [[sf]]. */
+  def sfSibling(name: String): String =
+    java.nio.file.Paths.get(sf).toAbsolutePath.getParent.resolve(name).toString
+  lazy val sf01 = sfSibling("sf0.01")
 }
 
 object SparkTestBase {

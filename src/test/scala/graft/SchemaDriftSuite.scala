@@ -122,7 +122,8 @@ class SchemaDriftSuite extends SparkTestBase {
     * (the driver regenerates per round); their row counts are what the
     * sf0.1 goldens and the oracle gate assume. Footer reads only. */
   test("corpus canary: sf0.01/sf0.1 row counts match the pinned generation") {
-    for ((dir, tables) <- ContentCanary.pinnedCounts; (t, want) <- tables) {
+    for ((sfName, tables) <- ContentCanary.pinnedCounts; (t, want) <- tables) {
+      val dir = sfSibling(sfName)
       val got = spark.read.parquet(s"$dir/$t.parquet").count()
       assert(got == want,
         s"$dir/$t row count drifted $want -> $got — corpus regenerated; " +

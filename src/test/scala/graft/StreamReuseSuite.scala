@@ -28,4 +28,33 @@ class StreamReuseSuite extends SparkTestBase {
         s"$name: rows drifted across invocations of the reused checkpoint")
     }
   }
+
+  /** The upsert state write is not atomic with the checkpoint commit:
+    * a crash mid-write leaves a torn state{g+1} with no _SUCCESS
+    * marker. Resume must skip it (adopting it as the merge base would
+    * corrupt every later generation) and keep returning the committed
+    * state. This plants exactly that wreckage and re-invokes. */
+  test("upsert resume skips a torn (uncommitted) state generation") {
+    val fn = SparkEntry.queries("ev_upsert_stream")
+    val first = fn(spark, sf).collect()
+    val root = streaming.StreamDemo.streamRoot(spark, sf, "ev_upsert")
+    val gens = root.toFile.listFiles()
+      .filter(_.getName.startsWith("state"))
+      .map(_.getName.stripPrefix("state").toInt)
+    assert(gens.nonEmpty, "upsert left no state generation on disk")
+    val torn = root.resolve(s"state${gens.max + 1}")
+    java.nio.file.Files.createDirectories(torn)
+    // Garbage part file, deliberately NO _SUCCESS — a mid-write crash.
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52, 0x31))
+    try {
+      val second = fn(spark, sf).collect()
+      assert(first.length == second.length && first.sameElements(second),
+        "torn state generation was adopted as the resume base")
+    } finally {
+      java.nio.file.Files.deleteIfExists(torn.resolve("part-00000.parquet"))
+      java.nio.file.Files.deleteIfExists(torn)
+      ()
+    }
+  }
 }
