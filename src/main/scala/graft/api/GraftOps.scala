@@ -31,12 +31,19 @@ object GraftOps {
   // ------------------------------------------------------------------
 
   /** Exact text dedup: one row per distinct text with the minimum id
-    * as keeper and the duplicate count. One hash-shuffle on the text
-    * key with map-side partials. */
+    * as keeper and the duplicate count. The digest is the grouping
+    * key, computed BEFORE the aggregate, so the hash-shuffle (and its
+    * map-side partials) carries a 32-char digest + id per distinct
+    * text rather than full document bodies — at corpus scale the
+    * difference between shuffling kilobyte documents and shuffling
+    * 48-byte rows. (Grouping by digest, not text, is the standard
+    * content-addressing move; an md5 collision merging two distinct
+    * documents is the accepted 2^-64-scale risk every
+    * content-addressed store takes.) */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.select(md5(col(textCol)).as("h"), col(idCol))
+      .groupBy(col("h"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_cnt"))
-      .select(md5(col(textCol)).as("h"), col("keeper_id"), col("dup_cnt"))
       .orderBy("keeper_id")
 
   /** Rolling 31-bit polynomial hash of a string SQL expression —

@@ -446,7 +446,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "llm_exact_dedup" ->
-      "SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keeper_id",
+      "SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY keeper_id",
     // Exact all-pairs Jaccard — the LSH result provably equals it on
     // this corpus (see nearDedup scaladoc).
     "llm_near_dedup" -> nearDupOracleSql,
