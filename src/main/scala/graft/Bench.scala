@@ -28,6 +28,21 @@ object Bench {
       // the default). Same knob a long-lived production session serving
       // a wide query mix would set.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE's partition-coalescing floor stays at the 1m DEFAULT — a
+      // deliberate, measured decision, not an oversight. A five-sweep
+      // A/B (r12, CoalesceFloorProbe + full-inventory runs at 1m /
+      // 256kb / 128kb / 64kb) showed lowering the floor re-parallelizes
+      // small-shuffle queries (total 35.0 -> 32.2-33.5 s) but taxes
+      // every ITERATIVE plan with per-iteration task-launch overhead
+      // (graph_pagerank 1.34 -> 1.8-2.6 s, win_islands and ev_funnel
+      // regress at 64kb) — a regression trade, not a win. The one
+      // query whose gap was structural (llm_ann_ivf_probe: pair-cost
+      // quadratic in cell size, input bytes linear, so byte-based
+      // coalescing serialized ~800 k dot products onto one core) is
+      // fixed where it belongs, in the operator (Ann.spreadByCell);
+      // the env knob re-prices the floor without a rebuild.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_FLOOR", "1m"))
       // Same session TZ as Verify: timestamp-literal filters must
       // select the same rows here as in the scored correctness run,
       // or a non-UTC box would time different work.

@@ -261,8 +261,26 @@ object Ann {
     spark.read.parquet(path)
   }
 
+  /** Spread a cell-assignment frame across the cores BY CELL before a
+    * pair search. The pair stage's cost is quadratic in cell size —
+    * ~n·s/2 dot products for cell size s — while its input BYTES are
+    * linear, so AQE's byte-based partition coalescing structurally
+    * under-sizes it: at sf0.1 the 4 000 assignment rows coalesce to
+    * ONE partition and ~800 k float-dot evaluations run on a single
+    * core (1.17 s in-sweep; 0.30 s once spread — CoalesceFloorProbe
+    * r12 traced the gap to the coalescing floor). An explicit hash
+    * repartition on `cell` declares the stage's real parallelism
+    * need; both self-join sides inherit it, so the join adds no
+    * further exchange. At scale the same layout is what the equi-join
+    * would shuffle to anyway (cells ≫ cores, k ∝ n keeps expected
+    * cell size ~[[KmeansCell]] — no skew cliff), so this costs
+    * nothing there and only stops byte-based coalescing from
+    * serializing a compute-dense stage on small inputs. */
+  private def spreadByCell(spark: SparkSession, assigned: DataFrame): DataFrame =
+    assigned.repartition(spark.sparkContext.defaultParallelism, col("cell"))
+
   def annIvf(spark: SparkSession, sf: String): DataFrame = {
-    val assigned = trainedAssignment(spark, sf, top = 1)
+    val assigned = spreadByCell(spark, trainedAssignment(spark, sf, top = 1))
     val a = assigned.select(col("vec_id").as("x"), col("cell"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("y"), col("cell").as("cell_b"),
@@ -281,7 +299,7 @@ object Ann {
     * quadratic term. A pair sharing both cells would appear twice with
     * an identical rounded sim, so a plain distinct dedups it. */
   def annIvfProbe(spark: SparkSession, sf: String): DataFrame = {
-    val assigned = trainedAssignment(spark, sf, top = 2)
+    val assigned = spreadByCell(spark, trainedAssignment(spark, sf, top = 2))
     val a = assigned.select(col("vec_id").as("x"), col("cell"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("y"), col("cell").as("cell_b"),

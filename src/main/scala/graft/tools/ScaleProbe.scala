@@ -139,6 +139,12 @@ object ScaleProbe {
         (d => full(graft.llm.Curation.mixBudget(spark, d))),
       "llm_redact" ->
         (d => full(graft.llm.Curation.redact(spark, d))),
+      // Re-priced r12 after the digest-grouping change: the dedup
+      // hash-shuffle now carries (md5, id) rows, not document bodies —
+      // at ×50 docs the shuffle write shrinks ~30× vs grouping by the
+      // text itself, which is the whole point at corpus scale.
+      "llm_exact_dedup" ->
+        (d => full(graft.llm.Dedup.exactDedup(spark, d))),
       "ev_session_stream" ->
         (d => full(graft.streaming.StreamDemo.sessionStream(spark, d))),
       "ev_join_stream" ->

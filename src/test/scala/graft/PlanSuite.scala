@@ -607,4 +607,25 @@ class PlanSuite extends SparkTestBase {
     assert(bench == verify,
       s"Bench ($bench) and Verify ($verify) disagree on $key")
   }
+
+  /** The IVF pair searches must declare their own parallelism: the
+    * pair stage's cost is quadratic in cell size while its input
+    * bytes are linear, so AQE's byte-based coalescing serializes it
+    * on small inputs (the r12 CoalesceFloorProbe finding — 1.17 s on
+    * one core vs 0.30 s spread). The fix is an explicit hash
+    * repartition on `cell` feeding BOTH self-join sides, which the
+    * join then reuses — the plan must carry that exchange and must
+    * NOT add a second one for the join itself. */
+  test("IVF pair search spreads by cell (no byte-coalesced serial stage)") {
+    for (df <- Seq(llm.Ann.annIvf(spark, sf), llm.Ann.annIvfProbe(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("REPARTITION_BY_COL") ||
+        "hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+        "pair search no longer declares cell-partitioning:\n" + p)
+      val exchanges = "Exchange hashpartitioning\\(cell"
+        .r.findAllIn(p).length
+      assert(exchanges <= 2,
+        s"pair self-join added extra exchanges ($exchanges):\n" + p)
+    }
+  }
 }
