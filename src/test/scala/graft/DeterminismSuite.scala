@@ -1,0 +1,53 @@
+package graft
+
+/** Partition-count invariance certificate. The oracle gate only ever
+  * runs at 4 shuffle partitions (Verify, local[4]) while the timed
+  * sweep runs at 32 (Bench, local[32]) — so a result that depends on
+  * partitioning (an under-specified tie-break, an arrival-order
+  * window, a per-partition id) would pass the gate and silently time
+  * DIFFERENT answers than were scored. The determinism rules (D1–D11)
+  * exist to make that impossible; this suite pins them behaviorally:
+  * a representative batch query per family re-runs in a sibling
+  * session (`newSession` — same SparkContext, separate SQLConf) with
+  * a prime shuffle-partition count and must collect the EXACT same
+  * rows in the EXACT same order (the driver's compare is
+  * order-sensitive). Streaming entries are excluded: their
+  * checkpoints are keyed per application, so a sibling session
+  * trivially replays the same committed output. */
+class DeterminismSuite extends SparkTestBase {
+
+  private val sample = Seq(
+    "agg_q1_pricing",     // decimal-exact aggregate
+    "agg_argmax",         // struct-max tie-break
+    "win_rfm_segment",    // global ntile with custkey tiebreak (D3)
+    "win_topk_per_group", // custom heap exec vs window semantics
+    "topk_limit",         // TakeOrderedAndProject under AQE
+    "join_5way_q5",       // multi-join + agg
+    "join_salted_skew",   // salted two-phase agg must re-merge cleanly
+    "ev_session",         // session_window assembly
+    "ev_dedup",           // keep-first row_number dedup
+    "llm_exact_dedup",    // digest-keyed dedup keeper choice
+    "llm_near_dedup",     // LSH banding + exact-Jaccard verify
+    "llm_ann_ivf",        // k-means fit + cell pair search
+    "llm_langid",         // top-20 marker extraction tie-breaks
+    "llm_seq_pack",       // partitioned cumsum packing
+    "set_except_all",     // multiset semantics
+    "fn_hash")            // hash family raw values
+
+  test("results are shuffle-partition-count invariant (Verify@4 vs Bench@32)") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "13")
+    graft.functions.VectorExprs.register(alt)
+    for (name <- sample) {
+      val base = SparkEntry.queries(name)(spark, sf).collect()
+      val other = SparkEntry.queries(name)(alt, sf).collect()
+      assert(base.length == other.length,
+        s"$name: row count differs at 13 shuffle partitions " +
+          s"(${base.length} vs ${other.length})")
+      base.zip(other).zipWithIndex.foreach { case ((b, o), i) =>
+        assert(b == o,
+          s"$name: row $i differs at 13 shuffle partitions:\n  4p: $b\n 13p: $o")
+      }
+    }
+  }
+}
