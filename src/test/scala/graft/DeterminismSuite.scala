@@ -34,20 +34,34 @@ class DeterminismSuite extends SparkTestBase {
     "set_except_all",     // multiset semantics
     "fn_hash")            // hash family raw values
 
-  test("results are shuffle-partition-count invariant (Verify@4 vs Bench@32)") {
-    val alt = spark.newSession()
-    alt.conf.set("spark.sql.shuffle.partitions", "13")
+  private def assertSameRows(label: String, alt: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.VectorExprs.register(alt)
     for (name <- sample) {
       val base = SparkEntry.queries(name)(spark, sf).collect()
       val other = SparkEntry.queries(name)(alt, sf).collect()
       assert(base.length == other.length,
-        s"$name: row count differs at 13 shuffle partitions " +
+        s"$name: row count differs under $label " +
           s"(${base.length} vs ${other.length})")
       base.zip(other).zipWithIndex.foreach { case ((b, o), i) =>
         assert(b == o,
-          s"$name: row $i differs at 13 shuffle partitions:\n  4p: $b\n 13p: $o")
+          s"$name: row $i differs under $label:\n base: $b\n  alt: $o")
       }
     }
+  }
+
+  test("results are shuffle-partition-count invariant (Verify@4 vs Bench@32)") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "13")
+    assertSameRows("13 shuffle partitions", alt)
+  }
+
+  /** Bench exposes SPARK_GRAFT_AQE=false to price AQE's re-planning
+    * cost — that knob must be able to change TIMING only. Runtime
+    * re-planning (coalesced exchanges, switched join strategies) must
+    * never reach row values or order. */
+  test("results are AQE-invariant (the bench AQE knob changes timing only)") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.adaptive.enabled", "false")
+    assertSameRows("AQE off", alt)
   }
 }
