@@ -258,7 +258,15 @@ object GraftOps {
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // The vacuous tf >= 1 filter (a count is always >= 1) forces the
+    // DF branch's inner (doc_id, term) aggregate to keep producing tf,
+    // so its partial-agg + exchange subtree stays canonically equal to
+    // the TF branch's and the corpus explode runs ONCE (ReusedExchange;
+    // without it column pruning turns the inner agg into a bare
+    // distinct and re-explodes the corpus — the r6 pmi_bigrams
+    // shared-root discipline, pruning flavor).
+    val dfreq = tf.filter(col("tf") >= 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("_graft_n"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
     tf.join(dfreq, "term").crossJoin(broadcast(n))

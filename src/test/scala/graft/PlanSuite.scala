@@ -312,6 +312,34 @@ class PlanSuite extends SparkTestBase {
     assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused")
   }
 
+  test("tfidf: DF branch reuses the TF exchange (1 corpus explode, not 2)") {
+    // The vacuous tf >= 1 filter on the DF branch keeps its inner
+    // (doc_id, term) aggregate producing tf, so the partial-agg +
+    // exchange subtree canonicalizes with the TF branch's; without it
+    // column pruning turns the inner agg into a bare distinct and the
+    // corpus is exploded twice. AQE finalizes reuse at execution.
+    val df = graft.api.GraftOps.tfidfTopTerms(
+      Tables.documents(spark, sf), "doc_id", "text", 5)
+    df.collect()
+    var gens = 0; var reused = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          reused += 1; return
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan); return
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan); return
+        case _: org.apache.spark.sql.execution.GenerateExec => gens += 1
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(reused >= 1, s"expected >=1 ReusedExchange, got $reused")
+    assert(gens == 1, s"expected exactly 1 live corpus explode, got $gens")
+  }
+
   test("heavy hitters aggregate runs with map-side partials") {
     val p = plan(operators.Aggregates.aggHeavyHitters(spark, sf))
     assert(p.contains("graft_misra_gries"), "native aggregate in the plan")
