@@ -102,16 +102,36 @@ object GraftOps {
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       bandBucketCap: Int = 512): DataFrame = {
     val sh = simhash(df, idCol, textCol)
+    // The band repartition is the single shared root: every consumer
+    // below (the bucket count, both sides of each candidate
+    // self-join) reuses this ONE exchange, so the corpus is scanned
+    // and fingerprinted once instead of once per branch (live corpus
+    // scans 3 -> 1 measured; without it AQE broadcasts the small
+    // sides and each branch re-derives the explode from the scan).
+    // The shared-root null filters keep per-branch pushdown from
+    // breaking canonical equality (the pmi_bigrams discipline).
+    // Deliberately NO pinned partition count (unlike Ann.spreadByCell,
+    // whose pair stage is quadratic in cell size): per-bucket pair
+    // work here is bounded by bandBucketCap, so AQE's byte-based
+    // sizing of this exchange stays within a 512x compute
+    // amplification; pinning 32 partitions on the sf0.1 shuffle
+    // instead stormed the shuffle-file machinery (64 map tasks x 32
+    // reduce files of open/mmap/unmap measured 6-17 CPU-s against
+    // ~0.1 CPU-s of candidate probes).
     val bands = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
       posexplode(array(
         expr("sh_lo % 65536"), expr("sh_lo div 65536"),
         expr("sh_hi % 65536"), expr("sh_hi div 65536")))
         .as(Seq("b_idx", "b_val")))
-    // One keyed count per (band, value) — compact partials, the same
-    // shuffle key the candidate join uses anyway.
-    val withN = bands.join(
-      bands.groupBy("b_idx", "b_val").agg(count(lit(1)).as("_graft_bn")),
-      Seq("b_idx", "b_val"))
+      .filter(col("doc_id").isNotNull && col("b_val").isNotNull)
+      .repartition(col("b_idx"), col("b_val"))
+    // Bucket size as a window count over the shared partitioning: no
+    // separate count lineage (a join-with-aggregate branch gets its
+    // columns pruned, which forks the scan again), no extra exchange —
+    // the window's (b_idx, b_val) requirement is satisfied by the
+    // repartition above.
+    val withN = bands.withColumn("_graft_bn",
+      count(lit(1)).over(Window.partitionBy("b_idx", "b_val")))
     def pairUp(c: DataFrame, keys: Seq[String]): DataFrame =
       c.as("a").join(c.as("b"),
           keys.map(k => col(s"a.$k") === col(s"b.$k"))

@@ -340,6 +340,38 @@ class PlanSuite extends SparkTestBase {
     assert(gens == 1, s"expected exactly 1 live corpus explode, got $gens")
   }
 
+  test("simhash neardup: one shared band exchange, one corpus fingerprint pass") {
+    // The REPARTITION_BY_COL band shuffle is the shared root for the
+    // bucket-count window and both candidate self-join sides; without
+    // it each branch re-derives scan+simhash+explode (3 corpus passes).
+    // Deliberately not REPARTITION_BY_NUM: pinning the partition count
+    // on this small shuffle stormed the shuffle-file machinery (6-17
+    // CPU-s of open/mmap/unmap against ~0.1 CPU-s of candidate work).
+    val df = graft.api.GraftOps.simhashNearDup(
+      Tables.documents(spark, sf), "doc_id", "text")
+    df.collect()
+    var scans = 0; var reused = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          reused += 1; return
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan); return
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan); return
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => scans += 1
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(scans == 1, s"expected exactly 1 live corpus scan, got $scans")
+    assert(reused >= 1, s"expected >=1 ReusedExchange, got $reused")
+    val pinned = df.queryExecution.executedPlan.toString
+    assert(!pinned.contains("REPARTITION_BY_NUM"),
+      "band exchange must stay AQE-coalescible (REPARTITION_BY_COL)")
+  }
+
   test("heavy hitters aggregate runs with map-side partials") {
     val p = plan(operators.Aggregates.aggHeavyHitters(spark, sf))
     assert(p.contains("graft_misra_gries"), "native aggregate in the plan")
