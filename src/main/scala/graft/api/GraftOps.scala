@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * All operators preserve the repo's scale discipline: keyed shuffles
   * and broadcasts only, no driver-side collections, no cartesian
   * products, deterministic outputs (see SURVEY §7.4 / NOTES.md).
-  * Callers must invoke [[graft.functions.VectorExprs.register]] once
-  * per session before the sketch/vector operators (the bound queries
-  * do this themselves).
+  * Every sketch/vector operator registers the native
+  * [[graft.functions.VectorExprs]] expressions on its input's session
+  * itself (registration is idempotent) — no setup call is required.
   *
   * Internal helper columns are prefixed `_graft_` and dropped before
   * returning, so inputs carrying ordinary names like `rn`, `cnt`, `h`
@@ -170,17 +170,21 @@ object GraftOps {
   /** Hashed word-n-gram shingle sets (`doc_id`, `hs`) — the input
     * shape of the MinHash-LSH pipeline. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
     df.withColumn("hs", expr(s"graft_wordshingle_hashes($textCol, $n)"))
       .filter(size(col("hs")) > 0)
       .select(col(idCol).as("doc_id"), col("hs"))
+  }
 
   /** Hashed character-n-gram sets (`doc_id`, `hs`). */
   def charGrams(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
     df.filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc_id"),
         expr(s"graft_chargram_hashes($textCol, $n)").as("hs"))
+  }
 
   /** MinHash-LSH near-duplicate pairs over hashed shingle sets
     * (`doc_id`, `hs`): banded candidate generation, exact-Jaccard
@@ -195,7 +199,10 @@ object GraftOps {
     * O(log n) rounds for ANY cluster diameter (no round count to
     * tune); each superstep is checkpointed to a scratch dir. */
   def dedupComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
-    graft.llm.Dedup.componentsOf(spark, pairs)
+    // keep only the edge columns: a pair frame carrying extras (e.g.
+    // simhashNearDup's `ham`) would otherwise die in analysis with an
+    // arity mismatch on the internal toDF("x", "y")
+    graft.llm.Dedup.componentsOf(spark, pairs.select(col("x"), col("y")))
 
   /** Within-document n-gram repetition ratio — the Gopher/Falcon-style
     * quality signal (heavily repetitive documents are low-value
@@ -321,12 +328,14 @@ object GraftOps {
   /** The packed broadcast side for the cosine kernels: the whole
     * (id, norm, vector) table in ONE row. Broadcastable to ~1M
     * vectors; beyond that use [[lshBuckets]]. */
-  def packVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def packVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
     df.select(struct(col(idCol).cast("long").as("vec_id"),
         sqrt(expr(s"graft_dot($vecCol, $vecCol)")).as("nrm"),
         col(vecCol).as("embedding")).as("v"))
       .agg(collect_list(col("v")).as("_graft_vs"))
       .withColumn("_graft_j", lit(0))
+  }
 
   /** Exact per-row top-k cosine partners: (x, y, sim) rows, each input
     * row scanning the packed broadcast once — no n² materialization. */
@@ -350,8 +359,10 @@ object GraftOps {
 
   /** Random-hyperplane LSH bucket ids — the beyond-broadcast scale
     * path: equi-join on the bucket, pair-search within buckets. */
-  def lshBuckets(df: DataFrame, vecCol: String): DataFrame =
+  def lshBuckets(df: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
     df.withColumn("bucket", expr(s"graft_rademacher_bucket($vecCol)"))
+  }
 
   // ------------------------------------------------------------------
   // IVF index (fit once / assign many)

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Degenerate-input contracts for the public GraftOps surface: empty
+  * corpora, single rows, and all-identical rows. Two properties hold
+  * everywhere: (1) the schema of an operator's output is a function of
+  * the operator, never of the data — an empty input yields the same
+  * columns a populated one does; (2) documented degenerate semantics
+  * (no pairs from one doc, keeper = min id, zero-vector quantization,
+  * k > n sampling) hold exactly. Every operator here registers its own
+  * native expressions, so each call runs on a bare session with no
+  * setup — the r12 probe found four vector operators that threw
+  * UNRESOLVED_ROUTINE instead.
+  */
+class EdgeCaseSuite extends SparkTestBase {
+  import graft.api.GraftOps
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+  private val evSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("etype", StringType),
+    StructField("ts", LongType), StructField("day", DateType),
+    StructField("v", LongType)))
+
+  private def mk(schema: StructType, rows: Row*): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  private def emptyOf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private val emptyDocs = emptyOf(docSchema)
+  private val oneDoc = mk(docSchema, Row(7L, "en", "the quick brown fox"))
+  private val identDocs = mk(docSchema,
+    (1L to 5L).map(i => Row(i, "en", "same text every time here")): _*)
+  private val emptyVecs = emptyOf(vecSchema)
+  private val someVecs = mk(vecSchema,
+    Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(1.0f, 0.0f)),
+    Row(3L, Seq(0.0f, 1.0f)))
+  private val emptyEvents = emptyOf(evSchema)
+
+  /** Empty in → zero rows out, same schema as the populated run. */
+  private def stable(name: String)(op: DataFrame => DataFrame,
+      empty: DataFrame, populated: DataFrame): Unit = {
+    val e = op(empty)
+    assert(e.count() == 0, s"$name: empty input must yield zero rows")
+    assert(e.schema == op(populated).schema,
+      s"$name: schema must not depend on the data")
+  }
+
+  test("text operators are schema-stable under an empty corpus") {
+    stable("exactDedup")(GraftOps.exactDedup(_, "doc_id", "text"),
+      emptyDocs, oneDoc)
+    stable("fingerprintDedup")(GraftOps.fingerprintDedup(_, "doc_id", "text"),
+      emptyDocs, oneDoc)
+    stable("simhash")(GraftOps.simhash(_, "doc_id", "text"),
+      emptyDocs, oneDoc)
+    stable("simhashNearDup")(GraftOps.simhashNearDup(_, "doc_id", "text"),
+      emptyDocs, identDocs)
+    stable("tfidfTopTerms")(GraftOps.tfidfTopTerms(_, "doc_id", "text", 3),
+      emptyDocs, oneDoc)
+    stable("repetitionRatio")(GraftOps.repetitionRatio(_, "doc_id", "text", 2),
+      emptyDocs, oneDoc)
+    stable("normalize")(GraftOps.normalize(_, "doc_id", "text"),
+      emptyDocs, oneDoc)
+    stable("tokenChunks")(GraftOps.tokenChunks(_, "doc_id", "text", 2, 2),
+      emptyDocs, oneDoc)
+    stable("qualityGate")(GraftOps.qualityGate(_, "doc_id", "text",
+      1L, 100L, 900L, 0L, Seq("the")), emptyDocs, oneDoc)
+    stable("ngramCounts")(GraftOps.ngramCounts(_, "text", 2, 1L),
+      emptyDocs, oneDoc)
+    stable("tokenEntropy")(GraftOps.tokenEntropy(_, "doc_id", "text"),
+      emptyDocs, oneDoc)
+    stable("pmiBigrams")(GraftOps.pmiBigrams(_, "text", 1L, 5),
+      emptyDocs, identDocs)
+    stable("redact")(GraftOps.redact(_, "doc_id", "text", "fox", "<X>"),
+      emptyDocs, oneDoc)
+    stable("wordShingles")(GraftOps.wordShingles(_, "doc_id", "text", 2),
+      emptyDocs, oneDoc)
+    stable("charGrams")(GraftOps.charGrams(_, "doc_id", "text", 3),
+      emptyDocs, oneDoc)
+    stable("langId-shape normalizeThenDedup")(
+      d => GraftOps.exactDedup(GraftOps.normalize(d, "doc_id", "text"),
+        "doc_id", "norm_text"), emptyDocs, oneDoc)
+  }
+
+  test("curation operators are schema-stable under an empty corpus") {
+    stable("seqPack")(GraftOps.seqPack(_, "lang", "doc_id", "text", 8L),
+      emptyDocs, identDocs)
+    stable("packTexts")(GraftOps.packTexts(_, "lang", "doc_id", "text", 8L),
+      emptyDocs, identDocs)
+    stable("mixBudget")(GraftOps.mixBudget(_, "lang", "doc_id", "text", 8L),
+      emptyDocs, identDocs)
+    stable("weightedSample")(
+      d => GraftOps.weightedSample(d.withColumn("w",
+        org.apache.spark.sql.functions.lit(50L)), "doc_id", "w", 100L),
+      emptyDocs, identDocs)
+    stable("fixedSample")(GraftOps.fixedSample(_, "doc_id", 3),
+      emptyDocs, identDocs)
+    stable("stratifiedSample")(GraftOps.stratifiedSample(_, "lang", "doc_id", 2),
+      emptyDocs, identDocs)
+  }
+
+  test("vector operators are schema-stable under an empty table") {
+    stable("cosineTopK")(GraftOps.cosineTopK(_, "vec_id", "embedding", 2),
+      emptyVecs, someVecs)
+    stable("cosineNearDup")(GraftOps.cosineNearDup(_, "vec_id", "embedding", 0.9),
+      emptyVecs, someVecs)
+    stable("lshBuckets")(GraftOps.lshBuckets(_, "embedding"),
+      emptyVecs, someVecs)
+    stable("quantizeInt8")(GraftOps.quantizeInt8(_, "vec_id", "embedding"),
+      emptyVecs, someVecs)
+    // fit on an empty table is zero centroids, not an error
+    assert(GraftOps.ivfFit(emptyVecs, "vec_id", "embedding", 3, 1).count() == 0)
+  }
+
+  test("event operators are schema-stable under an empty stream") {
+    val popEvents = mk(evSchema,
+      Row(1L, "view", 10L, java.sql.Date.valueOf("2026-01-01"), 5L),
+      Row(1L, "buy", 20L, java.sql.Date.valueOf("2026-01-02"), 6L))
+    stable("latestWins")(GraftOps.latestWins(_, "user_id", "ts"),
+      emptyEvents, popEvents)
+    stable("rateLimit")(
+      GraftOps.rateLimit(_, Seq("user_id"), Seq("ts"), 1, "rk"),
+      emptyEvents, popEvents)
+    stable("islands")(GraftOps.islands(_, "user_id", "day"),
+      emptyEvents, popEvents)
+    stable("retentionMatrix")(GraftOps.retentionMatrix(_, "user_id", "day"),
+      emptyEvents, popEvents)
+    stable("zscoreOutliers")(GraftOps.zscoreOutliers(_, "etype", "v"),
+      emptyEvents, popEvents)
+    stable("topKPerKey")(
+      GraftOps.topKPerKey(_, Seq("user_id"), "v", "ts", 1),
+      emptyEvents, popEvents)
+    // ewma keeps its input columns + the ewma column; empty stays empty
+    val ew = GraftOps.ewma(emptyEvents, "user_id", Seq("ts"), "v")
+    assert(ew.count() == 0 && ew.columns.contains("ewma"))
+    // a funnel over nobody is one row of zeros, not an empty frame
+    val f = GraftOps.funnel(emptyEvents, "user_id", "etype", "ts",
+      Seq("view", "buy")).collect()
+    assert(f.length == 1 && f(0).getLong(0) == 0L && f(0).getLong(1) == 0L,
+      "empty funnel must report n_users = reached_* = 0")
+  }
+
+  test("single-document corpus: no pairs, top terms bounded, one chunk run") {
+    assert(GraftOps.simhashNearDup(oneDoc, "doc_id", "text").count() == 0)
+    val tf = GraftOps.tfidfTopTerms(oneDoc, "doc_id", "text", 3).collect()
+    assert(tf.length == 3, "4 distinct terms, k=3 -> exactly 3 rows")
+    val ch = GraftOps.tokenChunks(oneDoc, "doc_id", "text", 2, 2).collect()
+    assert(ch.length == 2 && ch.map(_.getLong(3)).sum == 4,
+      "window 2 / stride 2 over 4 tokens = 2 full chunks")
+    assert(GraftOps.cosineTopK(
+      mk(vecSchema, Row(1L, Seq(1.0f, 0.0f))), "vec_id", "embedding", 2)
+      .count() == 0, "a lone vector has no partners (self excluded)")
+  }
+
+  test("all-identical corpus: dedup collapses to min-id keeper, all pairs found") {
+    val ed = GraftOps.exactDedup(identDocs, "doc_id", "text").collect()
+    assert(ed.length == 1 && ed(0).getLong(1) == 1L && ed(0).getLong(2) == 5L,
+      "one group, keeper = min id, dup_cnt = 5")
+    val pairs = GraftOps.simhashNearDup(identDocs, "doc_id", "text")
+    val p = pairs.collect()
+    assert(p.length == 10 && p.forall(_.getLong(2) == 0L),
+      "C(5,2) identical-fingerprint pairs, all at Hamming 0")
+    val comp = GraftOps.dedupComponents(spark, pairs).collect()
+    assert(comp.length == 5 && comp.forall(_.getLong(1) == 1L),
+      "one component labeled by the minimum id")
+    // the pair on identical embeddings carries sim = 1.0 exactly
+    val nd = GraftOps.cosineNearDup(
+      mk(vecSchema, Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(1.0f, 0.0f))),
+      "vec_id", "embedding", 0.9).collect()
+    assert(nd.length == 1 && nd(0).getLong(0) == 1L &&
+      nd(0).getLong(1) == 2L && nd(0).getDouble(2) == 1.0d)
+  }
+
+  test("sampling contracts at the boundaries") {
+    // weight 0 never sampled, weight = cap always sampled
+    import org.apache.spark.sql.functions._
+    val never = GraftOps.weightedSample(
+      identDocs.withColumn("w", lit(0L)), "doc_id", "w", 100L)
+    assert(never.count() == 0, "weight 0 must never be kept")
+    val always = GraftOps.weightedSample(
+      identDocs.withColumn("w", lit(100L)), "doc_id", "w", 100L)
+    assert(always.count() == 5, "weight = cap must keep every row")
+    assert(GraftOps.fixedSample(identDocs, "doc_id", 50).count() == 5,
+      "k > n returns all rows")
+    // zero-vector quantization: scale 0, all-zero codes
+    val q = GraftOps.quantizeInt8(
+      mk(vecSchema, Row(1L, Seq(0.0f, 0.0f))), "vec_id", "embedding")
+      .collect()(0)
+    assert(q.getFloat(1) == 0.0f && q.getString(2) == "0|0")
+  }
+
+  test("empty near-dup pipeline end to end: shingles, pairs, components") {
+    val hs = GraftOps.wordShingles(emptyDocs, "doc_id", "text", 3)
+    val pairs = GraftOps.nearDupPairs(hs, 0.9)
+    assert(pairs.count() == 0)
+    assert(GraftOps.dedupComponents(spark, pairs).count() == 0,
+      "components over an empty pair list converge to an empty frame")
+  }
+}
