@@ -195,6 +195,35 @@ class EdgeCaseSuite extends SparkTestBase {
     assert(q.getFloat(1) == 0.0f && q.getString(2) == "0|0")
   }
 
+  test("null and empty-string text rows: no crashes, no phantom pairs") {
+    // a realistic corpus has failed-scrape rows; pin the SQL-null
+    // semantics each operator inherits so they stay deliberate
+    val docs = mk(docSchema,
+      Row(1L, "en", "hello world again"), Row(2L, "en", null),
+      Row(3L, null, "hello world again"), Row(4L, "en", ""),
+      Row(5L, "en", "hello world again"))
+    // null-text rows group under the null digest (SQL group-by-null),
+    // they do NOT merge with any real content
+    val ed = GraftOps.exactDedup(docs, "doc_id", "text").collect()
+    assert(ed.length == 3, "identical trio + null + empty-string")
+    assert(ed.filter(_.isNullAt(0)).map(_.getLong(2)).toSeq == Seq(1L),
+      "the null-text group holds exactly the null rows")
+    // near-dup: null fingerprints never pair; the identical trio does
+    val p = GraftOps.simhashNearDup(docs, "doc_id", "text").collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 3L), (1L, 5L), (3L, 5L)),
+      "pairs = C(3,2) over the identical trio only")
+    // per-row maps propagate null rather than crash or drop
+    val rd = GraftOps.redact(docs, "doc_id", "text", "world", "X").collect()
+    assert(rd.length == 5 && rd.exists(r => r.isNullAt(1) && r.isNullAt(2)))
+    // packing: a null-text doc consumes zero budget and the shard
+    // still packs the rest
+    val sp = GraftOps.seqPack(docs, "lang", "doc_id", "text", 4L)
+      .filter("lang = 'en'").collect()
+    assert(sp.length == 4 && sp.map(_.getLong(1)).toSeq ==
+      Seq(1L, 2L, 4L, 5L))
+  }
+
   test("empty near-dup pipeline end to end: shingles, pairs, components") {
     val hs = GraftOps.wordShingles(emptyDocs, "doc_id", "text", 3)
     val pairs = GraftOps.nearDupPairs(hs, 0.9)
