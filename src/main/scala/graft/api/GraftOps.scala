@@ -190,8 +190,10 @@ object GraftOps {
     * (`doc_id`, `hs`): banded candidate generation, exact-Jaccard
     * verification on candidates only — never all-pairs. Output
     * (x, y, c, na, nb, j) with x < y and j >= thr. */
-  def nearDupPairs(hashed: DataFrame, thr: Double): DataFrame =
+  def nearDupPairs(hashed: DataFrame, thr: Double): DataFrame = {
+    graft.functions.VectorExprs.register(hashed.sparkSession)
     graft.llm.Dedup.lshJaccard(hashed, thr)
+  }
 
   /** Connected components over an undirected pair list (`x`, `y`):
     * (vertex, component-minimum) labels — the canonical-keeper step.
@@ -199,10 +201,12 @@ object GraftOps {
     * O(log n) rounds for ANY cluster diameter (no round count to
     * tune); each superstep is checkpointed to a scratch dir. */
   def dedupComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
-    // keep only the edge columns: a pair frame carrying extras (e.g.
-    // simhashNearDup's `ham`) would otherwise die in analysis with an
-    // arity mismatch on the internal toDF("x", "y")
-    graft.llm.Dedup.componentsOf(spark, pairs.select(col("x"), col("y")))
+    // keep only the FIRST TWO columns (the documented positional edge
+    // contract): a pair frame carrying extras (e.g. simhashNearDup's
+    // `ham`) would otherwise die in analysis with an arity mismatch
+    // on the internal toDF("x", "y")
+    graft.llm.Dedup.componentsOf(spark,
+      pairs.select(pairs.columns.take(2).map(col).toIndexedSeq: _*))
 
   /** Within-document n-gram repetition ratio — the Gopher/Falcon-style
     * quality signal (heavily repetitive documents are low-value

@@ -702,7 +702,12 @@ object VectorExprs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+      // skip when already present: every GraftOps operator registers
+      // its input's session, and re-registering logs a 'function
+      // replaced' WARN per function per call
+      if (reg.lookupFunctionBuilder(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
+        reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 }

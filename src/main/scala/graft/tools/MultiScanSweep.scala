@@ -28,7 +28,11 @@ object MultiScanSweep {
             case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan); return
             case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan); return
             case s: FileSourceScanExec =>
-              val loc = s.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
+              // key on the full root-path set: a basename conflates
+              // distinct tables whose directories share a final
+              // component and ignores extra roots
+              val loc = s.relation.location.rootPaths.map(_.toString)
+                .sorted.mkString(",")
               files(loc) += 1
             case _ =>
           }

@@ -39,8 +39,9 @@ object StackSampleProbe {
     })
     sampler.setDaemon(true); sampler.start()
     (1 to iters).foreach(_ => fn(spark, dir).count())
-    go = false; Thread.sleep(100)
-    counts.toSeq.sortBy(-_._2).take(20).foreach { case (sig, n) =>
+    go = false; sampler.join(5000)
+    counts.synchronized { counts.toSeq }.sortBy(-_._2).take(20)
+      .foreach { case (sig, n) =>
       println(f"SAMPLE $n%5d  $sig")
     }
     spark.stop()

@@ -183,9 +183,20 @@ class EdgeCaseSuite extends SparkTestBase {
     val never = GraftOps.weightedSample(
       identDocs.withColumn("w", lit(0L)), "doc_id", "w", 100L)
     assert(never.count() == 0, "weight 0 must never be kept")
+    // weight = cap keeps every row whose hash clears the truncated
+    // threshold cap*(2^32 div cap) — NOT unconditionally every row (a
+    // ~96/2^32 per-row residue is dropped even at full weight); these
+    // fixture ids all clear it, and the kept set must be monotone in
+    // the weight
     val always = GraftOps.weightedSample(
       identDocs.withColumn("w", lit(100L)), "doc_id", "w", 100L)
-    assert(always.count() == 5, "weight = cap must keep every row")
+    assert(always.count() == 5, "these ids all hash under cap*slot")
+    val half = GraftOps.weightedSample(
+      identDocs.withColumn("w", lit(50L)), "doc_id", "w", 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(
+      always.select("doc_id").collect().map(_.getLong(0)).toSet),
+      "kept set must be monotone in the weight")
     assert(GraftOps.fixedSample(identDocs, "doc_id", 50).count() == 5,
       "k > n returns all rows")
     // zero-vector quantization: scale 0, all-zero codes
