@@ -547,9 +547,14 @@ object GraftOps {
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
       tieCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    // synchronized: the check-then-append below is a race when query
+    // threads share a session — a double-appended strategy is merely
+    // redundant for the planner, but keep the list canonical
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
     val analyzed = df.queryExecution.analyzed
     def attr(n: String) = analyzed.output
       .find(_.name == n)

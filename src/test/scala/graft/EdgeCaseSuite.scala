@@ -242,4 +242,33 @@ class EdgeCaseSuite extends SparkTestBase {
     assert(GraftOps.dedupComponents(spark, pairs).count() == 0,
       "components over an empty pair list converge to an empty frame")
   }
+
+  test("concurrent queries on a shared session match their serial results") {
+    // A real deployment multiplexes query threads over one session.
+    // This exercises the shared mutable surfaces at once: FitOnce
+    // checkpoint fills, function self-registration, and topKPerKey's
+    // planner-strategy injection (a check-then-act on
+    // experimental.extraStrategies).
+    val names = Seq("agg_q1_pricing", "win_topk_native", "llm_ann_ivf",
+      "llm_near_dedup", "llm_simhash_neardup", "fn_json", "ev_session",
+      "llm_tfidf")
+    def rows(n: String): Seq[String] =
+      SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
+    val serial = names.map(n => n -> rows(n)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
+    try {
+      val futs = names.map { n =>
+        n -> pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = rows(n)
+        })
+      }
+      futs.foreach { case (n, f) =>
+        assert(f.get(300, java.util.concurrent.TimeUnit.SECONDS) == serial(n),
+          s"$n diverged under concurrent execution")
+      }
+    } finally pool.shutdown()
+    val strategies = spark.experimental.extraStrategies
+    assert(strategies.count(_ == graft.plans.TopKStrategy) <= 1,
+      "TopKStrategy must not be double-injected by racing threads")
+  }
 }
