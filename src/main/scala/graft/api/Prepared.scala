@@ -1,0 +1,47 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Prepared-statement surface: memoize the BUILT DataFrame per
+  * (session, sf, query) so repeat invocations skip the builder and its
+  * eager per-Dataset analysis — the per-invocation fixed cost
+  * ProfileSplit measured at 0.02–0.22 s on the sub-second shapes
+  * (NOTES, r12). This is the shape a serving engine uses: plan once,
+  * execute many.
+  *
+  * What reuse does and does NOT skip: a later action on the memoized
+  * Dataset (e.g. `.count()`) constructs a NEW QueryExecution over the
+  * already-analyzed plan — fresh RDDs and fresh shuffle ids — so the
+  * query's jobs re-run in full every time (PreparedProbe pins equal
+  * task counts fresh-vs-memoized); only the builder + analysis work is
+  * saved. Never call actions on a QueryExecution cached across runs —
+  * same RDD lineage would let the scheduler skip completed shuffle map
+  * stages and the "timing" would measure only the result stage.
+  *
+  * Queries whose BUILDER performs per-invocation work that is itself
+  * the thing under test are never memoized: the streaming family runs
+  * its micro-batches inside the builder (the timed restart path), and
+  * the round-trip/compaction scans write a fresh scratch copy each
+  * call. For those `df` is just a fresh build.
+  */
+object Prepared {
+  private val cache = new graft.FitOnce[(String, String, String), DataFrame]
+
+  /** Builders with per-invocation side effects (the work IS the
+    * query): all streaming entries (micro-batch run inside the
+    * builder) plus the scans that write a scratch copy per call. */
+  val sideEffecting: Set[String] =
+    graft.streaming.StreamDemo.queries.keySet ++ Set(
+      "scan_jsonl_roundtrip", "scan_csv_roundtrip", "scan_text_roundtrip",
+      "scan_orc_roundtrip", "scan_corrupt_tolerant",
+      "scan_partitioned_prune", "scan_compact", "scan_schema_evolution")
+
+  /** The memoized (or, for side-effecting builders, fresh) DataFrame
+    * for a SURVEY §2 query key. Thread-safe; concurrent first callers
+    * block on one fill (FitOnce). */
+  def df(spark: SparkSession, sf: String, name: String): DataFrame = {
+    val build = graft.SparkEntry.queries(name)
+    if (sideEffecting(name)) build(spark, sf)
+    else cache((spark.sparkContext.applicationId, sf, name))(build(spark, sf))
+  }
+}

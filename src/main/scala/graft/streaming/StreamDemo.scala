@@ -7,10 +7,10 @@ import org.apache.spark.sql.streaming.Trigger
 
 /** Genuine Structured Streaming path: the tumbling-window aggregation
   * of Events.evTumbling executed as a streaming query over the events
-  * parquet with Trigger.AvailableNow into a memory sink. Batch and
-  * streaming share the same incremental operators in Spark, so the
-  * result is identical to the batch form — which is exactly what the
-  * oracle checks.
+  * parquet with Trigger.AvailableNow into a durable parquet sink.
+  * Batch and streaming share the same incremental operators in Spark,
+  * so the result is identical to the batch form — which is exactly
+  * what the oracle checks.
   *
   * In production this is `readStream` from a file/Kafka source with
   * `withWatermark` bounding state and append-mode sinks; AvailableNow
@@ -18,8 +18,6 @@ import org.apache.spark.sql.streaming.Trigger
   * which keeps the driver's batch-shaped contract.
   */
 object StreamDemo {
-
-  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One durable scratch root (checkpoint + file-sink output) per
     * (session, sf, query), reused across invocations — the r10-verdict
@@ -101,18 +99,29 @@ object StreamDemo {
   def tumblingStream(spark: SparkSession, sf: String): DataFrame = {
     // Schema from the session-cached batch scan — no extra footer read.
     val schema = graft.Tables.eventsRaw(spark, sf).schema
-    val name = s"graft_ev_stream_${counter.incrementAndGet()}"
+    val dir = streamRoot(spark, sf, "ev_tumble")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
     // FileStreamSource wants a directory; restrict the sf dir to the
     // events file via pathGlobFilter.
+    //
+    // DURABLE complete-mode sink (r12 verdict #4): the file sink only
+    // supports append mode, so complete mode goes through foreachBatch
+    // with a whole-directory overwrite per microbatch — each batch
+    // carries the FULL aggregation state, so overwrite-latest is
+    // exactly the complete-mode contract, and it is idempotent under
+    // microbatch replay. Unlike the former memory sink this survives a
+    // restart, so the query joins the checkpoint-reuse family: a
+    // re-invocation restarts from committed offsets, runs zero data
+    // microbatches, and the read-back serves the first run's overwrite
+    // — the production periodic-AvailableNow shape. (This was the one
+    // streaming entry still re-streaming its backlog every pass.)
     //
     // No-flush is legal for COMPLETE mode too (not only emit-in-batch
     // append shapes): every microbatch re-emits the full aggregation
     // state, so the trailing no-data batch would only repeat the
     // result the last data batch already wrote to the sink — there is
-    // no watermark-gated emission to lose. (This query also cannot
-    // join the checkpoint-reuse path: a memory sink is not durable,
-    // so a restarted query with committed offsets would leave the
-    // sink's temp view empty — it re-streams the backlog by design.)
+    // no watermark-gated emission to lose.
     withStatePartsNoFlush(spark) {
       val q = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf)
@@ -122,19 +131,27 @@ object StreamDemo {
         .agg(count(lit(1)).as("cnt"))
         .select(ntz(col("window.start")).as("hour_start"),
           col("event_type"), col("cnt"))
-        .writeStream.format("memory").queryName(name)
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out); () }
+        .option("checkpointLocation", ckpt)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    // Resolve the Dataset against the memory sink (analysis pins the
-    // sink's plan), then drop the catalog entry: repeated invocations
-    // no longer accumulate driver-resident temp views — the sink data
-    // lives only as long as the returned DataFrame (ADVICE r2). The
-    // complete-mode result itself is bounded (one row per (hour,
-    // event_type) group); the unbounded-stream shape is appendStream.
-    val df = spark.table(name).orderBy("hour_start", "event_type")
-    spark.catalog.dropTempView(name)
-    df
+    // An EMPTY source yields zero microbatches and no output dir (and
+    // so does every restart after one — but then the dir exists from
+    // the first run): surface the empty relation, not a path error.
+    if (!new java.io.File(out, "_SUCCESS").isFile)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("hour_start",
+            org.apache.spark.sql.types.DataTypes.TimestampNTZType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.DataTypes.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.DataTypes.LongType, nullable = false))))
+    else
+      spark.read.parquet(out).orderBy("hour_start", "event_type")
   }
 
   /** Watermark-driven APPEND-mode streaming aggregation: hourly counts

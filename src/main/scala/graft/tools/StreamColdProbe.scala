@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Cold-checkpoint streaming throughput probe (r12). Checkpoint reuse
   * (r11) made the TIMED bench measure the AvailableNow RESTART path
-  * for the seven file-sink streaming queries — full-backlog processing
+  * for the eight file-sink streaming queries — full-backlog processing
   * is paid once in the untimed warm pass and never again. That is the
   * production restart shape, but it means a real backlog-throughput
   * regression would be invisible to the bench. This probe times
@@ -51,6 +51,7 @@ object StreamColdProbe {
       .write.parquet(s"$scaled/customer.parquet")
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "ev_tumbling_stream" -> graft.streaming.StreamDemo.tumblingStream _,
       "ev_append_stream" -> graft.streaming.StreamDemo.appendStream _,
       "ev_session_stream" -> graft.streaming.StreamDemo.sessionStream _,
       "ev_custom_session_stream" ->
