@@ -295,7 +295,10 @@ object GraftOps {
     // the TF branch's and the corpus explode runs ONCE (ReusedExchange;
     // without it column pruning turns the inner agg into a bare
     // distinct and re-explodes the corpus — the r6 pmi_bigrams
-    // shared-root discipline, pruning flavor).
+    // shared-root discipline, pruning flavor). PERF-ONLY trick: a
+    // Spark upgrade that prunes through filters differently loses the
+    // reuse, never correctness — and PlanSuite's "tfidf: DF branch
+    // reuses the TF exchange" pin fails loudly when it does.
     val dfreq = tf.filter(col("tf") >= 1)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("_graft_n"))

@@ -699,15 +699,28 @@ object VectorExprs {
     * per-thread decode cache is keyed on full (id, nrm) content, so a
     * genuinely varying pack still evaluates correctly but decodes per
     * row (quadratic decode cost, not wrong answers). */
+  /** Registries this library has already filled, keyed on the registry
+    * object itself (weak: a dropped session's entry goes with it). */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      // skip when already present: every GraftOps operator registers
-      // its input's session, and re-registering logs a 'function
-      // replaced' WARN per function per call
-      if (reg.lookupFunctionBuilder(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
-        reg.createOrReplaceTempFunction(name, b, "built-in")
-    }
+    // One unconditional create-or-REPLACE pass per session (ADVICE
+    // r12): the former skip-if-present guard silenced the 'function
+    // replaced' WARN noise but would silently KEEP a foreign
+    // pre-registered graft_* function, running operators against an
+    // implementation that isn't ours. Replacing on the session's first
+    // touch guarantees native semantics (at most one WARN per name per
+    // session — fired exactly when a foreign builder is displaced,
+    // which deserves the log line); later calls skip entirely.
+    // computeIfAbsent on the synchronized map runs the fill once and
+    // blocks racing callers until the registry is fully populated.
+    registered.computeIfAbsent(reg, _ => {
+      builders.foreach { case (name, b) =>
+        reg.createOrReplaceTempFunction(name, b, "built-in") }
+      java.lang.Boolean.TRUE
+    })
+    ()
   }
 }

@@ -13,6 +13,29 @@ class PropertySuite extends SparkTestBase {
     assert(d.select("keeper_id").distinct().count() == n)
   }
 
+  test("digest-keyed exact dedup equals the direct group-by-text plan") {
+    // r12 moved the md5 digest INTO the grouping key so the shuffle
+    // carries 48-byte rows instead of document bodies. The 2^-64
+    // collision posture is documented at the operator; this pins the
+    // plan EQUIVALENCE — (keeper, dup_cnt) identical to grouping the
+    // raw text — so a future digest truncation or cast edit fails
+    // loudly here instead of only oracle-incidentally (r12 advice #6).
+    // sf0.1: the one corpus with planted exact duplicates (8 pairs),
+    // so both the dup and the singleton paths are exercised.
+    val sf1 = sfSibling("sf0.1")
+    val digest = llm.Dedup.exactDedup(spark, sf1)
+      .select("keeper_id", "dup_cnt")
+    val direct = Tables.documents(spark, sf1)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_cnt"))
+      .select("keeper_id", "dup_cnt")
+    assert(direct.filter(col("dup_cnt") > 1).count() > 0,
+      "corpus lost its planted duplicates — the dup path is untested")
+    assert(digest.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(digest).count() == 0,
+      "digest-keyed dedup diverged from direct group-by-text")
+  }
+
   test("top-k is a prefix of the fully sorted output") {
     val full = operators.SortSet.topkLimit(spark, sf).collect()
     val sorted = full.sortBy(r => (-r.getDouble(2), r.getLong(0)))
