@@ -181,7 +181,7 @@ object Bench {
     val refTimes: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(refPath)), java.nio.charset.StandardCharsets.UTF_8)
-      "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+      "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     def overRef(name: String, sec: Double): Boolean =
