@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Parse a flat {"name":sec,...} clean-reference file. Tolerant of
+    * whitespace around the colon (any standard JSON writer emits
+    * "k": v — the original no-space regex silently parsed such a file
+    * as ZERO entries and disarmed the retime trigger) and of a
+    * malformed entry (skipped, the rest still arm; a whole-file
+    * failure must not be reproducible from one bad value). Pinned by
+    * BenchRefSuite. */
+  def parseRef(txt: String): Map[String, Double] =
+    "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+      .flatMap { m =>
+        try Some(m.group(1) -> m.group(2).toDouble)
+        catch { case _: NumberFormatException => None }
+      }.filter(_._2.isFinite).toMap
+
+  /** The second retime trigger (r12 verdict #1): a scored min is
+    * over-reference when it exceeds its clean reference by >1.5×
+    * RELATIVE and >80 ms ABSOLUTE — the relative bar catches
+    * agreement-under-load the steal counter can't see, the absolute
+    * floor keeps sub-0.1 s scheduler jitter from flagging. A query
+    * with no reference entry never flags (a new query's first sweep
+    * mints its reference). */
+  def overRef(ref: Map[String, Double], name: String, sec: Double): Boolean =
+    ref.get(name).exists(r => sec > r * 1.5 && sec - r > 0.08)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -179,13 +203,11 @@ object Bench {
     // "contaminated" verdict trips.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_REF", "bench_ref.json")
     val refTimes: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(refPath)), java.nio.charset.StandardCharsets.UTF_8)
-      "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      parseRef(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(refPath)), java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => Map.empty }
     def overRef(name: String, sec: Double): Boolean =
-      refTimes.get(name).exists(r => sec > r * 1.5 && sec - r > 0.08)
+      Bench.overRef(refTimes, name, sec)
 
     val queries = SparkEntry.queries.keys.toSeq
     val loadStart = loadavg

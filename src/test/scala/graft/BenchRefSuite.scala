@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench contamination guard is only as good as its reference
+  * parser and trigger thresholds — and the parser already shipped one
+  * silent-disarm bug (a no-space regex parsed any standard JSON
+  * writer's "k": v file as ZERO entries, so the doctored-ref
+  * validation read contaminated:false). Pure-function pins, no Spark
+  * session needed.
+  */
+class BenchRefSuite extends AnyFunSuite {
+
+  test("parseRef reads Bench's own compact format") {
+    val m = Bench.parseRef("""{"q1":0.123,"q2":1.5,"q3":2.0E-2}""")
+    assert(m == Map("q1" -> 0.123, "q2" -> 1.5, "q3" -> 0.02))
+  }
+
+  test("parseRef reads standard JSON-writer whitespace (the shipped bug)") {
+    val m = Bench.parseRef("{\"q1\": 0.123, \"q2\" : 1.5,\n  \"q3\":\t0.7}")
+    assert(m == Map("q1" -> 0.123, "q2" -> 1.5, "q3" -> 0.7))
+  }
+
+  test("parseRef skips a malformed entry without disarming the rest") {
+    // A single bad value must not zero the whole reference: the regex
+    // char class admits strings like "1.2.3" or "E" that toDouble
+    // rejects — those entries drop, the others still arm the trigger.
+    val m = Bench.parseRef("""{"bad":1.2.3,"worse":E,"good":0.5}""")
+    assert(m == Map("good" -> 0.5))
+  }
+
+  test("parseRef on garbage or empty input yields an empty (disarmed) map") {
+    assert(Bench.parseRef("").isEmpty)
+    assert(Bench.parseRef("not json at all").isEmpty)
+  }
+
+  test("overRef needs BOTH >1.5x relative AND >80ms absolute") {
+    val ref = Map("big" -> 1.0, "small" -> 0.04)
+    assert(Bench.overRef(ref, "big", 1.6))       // 1.6x and +0.6 s
+    assert(!Bench.overRef(ref, "big", 1.4))      // under the ratio
+    assert(!Bench.overRef(ref, "small", 0.1))    // 2.5x but only +60 ms
+    assert(Bench.overRef(ref, "small", 0.13))    // 3.25x and +90 ms
+    assert(!Bench.overRef(ref, "unknown", 99.0)) // no entry never flags
+  }
+}
