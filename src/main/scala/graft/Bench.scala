@@ -25,6 +25,34 @@ object Bench {
   def overRef(ref: Map[String, Double], name: String, sec: Double): Boolean =
     ref.get(name).exists(r => sec > r * 1.5 && sec - r > 0.08)
 
+  /** Gate for MINTING a new clean reference (SPARK_GRAFT_REF_OUT):
+    * returns the refusal reason, or None when the sweep may write.
+    * Beyond the per-query contaminated verdict, two sweep-level checks
+    * close a ratchet hole found in r13: a sweep under SUSTAINED
+    * moderate steal (2.3% of capacity vs 0.15% quiet) inflated every
+    * min ~1.22× without tripping any per-query 1.5× flag — minting
+    * from it would loosen the guard each round until the trigger is
+    * disarmed. So: (a) the whole-sweep steal fraction must stay under
+    * 1% of wall×cpus capacity; (b) over the keys both sides share, the
+    * candidate's total must not exceed the reference it replaces by
+    * >10% — a genuine whole-sweep regression should be investigated
+    * (or the old ref deleted deliberately), never silently become the
+    * new baseline. Pinned by BenchRefSuite. */
+  def refMintRefusal(contaminated: Boolean, stealDelta: Option[Long],
+      capacityJiffies: Double, candidate: Map[String, Double],
+      current: Map[String, Double]): Option[String] = {
+    val common = candidate.keySet intersect current.keySet
+    val candTot = common.toSeq.map(candidate).sum
+    val curTot = common.toSeq.map(current).sum
+    if (contaminated) Some("sweep verdict contaminated")
+    else if (stealDelta.isEmpty) Some("steal unreadable")
+    else if (capacityJiffies > 0 && stealDelta.get > 0.01 * capacityJiffies)
+      Some(f"sweep steal ${stealDelta.get} jiffies > 1%% of capacity $capacityJiffies%.0f")
+    else if (common.nonEmpty && curTot > 0 && candTot > 1.10 * curTot)
+      Some(f"candidate total $candTot%.2f s > 1.10x current ref $curTot%.2f s over ${common.size} shared keys")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -212,6 +240,7 @@ object Bench {
     val queries = SparkEntry.queries.keys.toSeq
     val loadStart = loadavg
     val stealStart = stealJiffies
+    val sweepWall0 = System.nanoTime()
     // Warm pass (untimed — also fills the Prepared cache), then two
     // full timed passes.
     for (name <- queries)
@@ -265,6 +294,10 @@ object Bench {
     }
     val loadEnd = loadavg
     val stealEnd = stealJiffies
+    // Whole-sweep steal capacity window (jiffies): wall seconds between
+    // the steal endpoints × cpus × USER_HZ — the denominator for the
+    // ref-mint steal-fraction gate.
+    val sweepCapacity = (System.nanoTime() - sweepWall0) / 1e9 * nCpus * 100
     // A failed query must surface as -1, not as a bogus near-zero
     // "fast" timing that silently shrinks the scored total.
     val results = samples.map { case (name, ss) =>
@@ -376,14 +409,19 @@ object Bench {
     // — ONLY when the sweep itself verified clean (refusing to mint a
     // reference from a contaminated sweep is the whole point).
     sys.env.get("SPARK_GRAFT_REF_OUT").foreach { p =>
-      if (contaminated || stealDelta == "null")
-        System.err.println(s"[bench] NOT writing ref (contaminated=$contaminated steal=$stealDelta)")
-      else {
-        val body = results.collect { case (k, v) if v >= 0 =>
-          f""""$k":$v%.3f""" }.mkString("{", ",", "}\n")
-        java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        System.err.println(s"[bench] wrote ref to $p")
+      val candidate = results.collect {
+        case (k, v) if v >= 0 => k -> v }.toMap
+      refMintRefusal(contaminated,
+          if (stealDelta == "null") None else Some(stealDelta.toLong),
+          sweepCapacity, candidate, refTimes) match {
+        case Some(reason) =>
+          System.err.println(s"[bench] NOT writing ref: $reason")
+        case None =>
+          val body = results.collect { case (k, v) if v >= 0 =>
+            f""""$k":$v%.3f""" }.mkString("{", ",", "}\n")
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          System.err.println(s"[bench] wrote ref to $p")
       }
     }
     spark.stop()

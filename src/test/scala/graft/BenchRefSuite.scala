@@ -34,6 +34,41 @@ class BenchRefSuite extends AnyFunSuite {
     assert(Bench.parseRef("not json at all").isEmpty)
   }
 
+  test("ref mint gate: quiet better-or-equal sweep writes") {
+    val cur = Map("a" -> 1.0, "b" -> 0.5)
+    val cand = Map("a" -> 0.95, "b" -> 0.52)
+    // 0.15% steal of capacity — the quiet-box band.
+    assert(Bench.refMintRefusal(contaminated = false, Some(150L),
+      100000.0, cand, cur).isEmpty)
+  }
+
+  test("ref mint gate: refuses contaminated verdict and unreadable steal") {
+    val m = Map("a" -> 1.0)
+    assert(Bench.refMintRefusal(contaminated = true, Some(0L),
+      100000.0, m, m).nonEmpty)
+    assert(Bench.refMintRefusal(contaminated = false, None,
+      100000.0, m, m).nonEmpty)
+  }
+
+  test("ref mint gate: refuses sustained sweep-level steal (the r13 ratchet)") {
+    // The r13 repro: 2.3% of capacity lost to steal inflated every min
+    // ~1.22x with zero per-query flags — contaminated:false, yet the
+    // minted ref would have loosened the trigger by 22% per round.
+    val m = Map("a" -> 1.0)
+    assert(Bench.refMintRefusal(contaminated = false, Some(2300L),
+      100000.0, m, m).exists(_.contains("steal")))
+  }
+
+  test("ref mint gate: refuses a candidate >10% slower than the ref it replaces") {
+    val cur = Map("a" -> 1.0, "b" -> 1.0)
+    val slower = Map("a" -> 1.2, "b" -> 1.1)
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, slower, cur).exists(_.contains("1.10x")))
+    // ...but with NO current ref (first mint) any quiet sweep writes.
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, slower, Map.empty).isEmpty)
+  }
+
   test("overRef needs BOTH >1.5x relative AND >80ms absolute") {
     val ref = Map("big" -> 1.0, "small" -> 0.04)
     assert(Bench.overRef(ref, "big", 1.6))       // 1.6x and +0.6 s
