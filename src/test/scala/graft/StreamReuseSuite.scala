@@ -14,7 +14,12 @@ class StreamReuseSuite extends SparkTestBase {
 
   private val reused = Seq("ev_append_stream", "ev_session_stream",
     "ev_custom_session_stream", "ev_join_stream", "ev_dedup_stream",
-    "ev_enrich_stream", "ev_upsert_stream")
+    "ev_enrich_stream", "ev_upsert_stream",
+    // r13: the tumbling query moved off the memory sink onto a
+    // foreachBatch parquet overwrite and joined this family — a
+    // zero-data restart must serve the first run's overwrite, and a
+    // replayed batch must leave the overwrite unchanged.
+    "ev_tumbling_stream")
 
   test("file-sink streaming queries are idempotent across invocations of a reused checkpoint") {
     reused.foreach { name =>
