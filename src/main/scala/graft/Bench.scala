@@ -13,7 +13,19 @@ object Bench {
       .flatMap { m =>
         try Some(m.group(1) -> m.group(2).toDouble)
         catch { case _: NumberFormatException => None }
-      }.filter(_._2.isFinite).toMap
+      }.filter(_._2.isFinite)
+      // Underscore-prefixed keys are file provenance (e.g. a forced
+      // mint stamps "_ref_forced":1), never query references — they
+      // must not arm triggers or count into the ratchet totals.
+      .filterNot(_._1.startsWith("_")).toMap
+
+  /** Locale-rooted decimal formatting for every machine-parsed number
+    * this file writes (minted ref values, split JSON): the f
+    * interpolator uses the JVM default locale, and a comma-decimal
+    * locale would mint "0,123"-style values that parseRef reads back
+    * as the integer part — silent reference corruption (r13 advice). */
+  def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** The second retime trigger (r12 verdict #1): a scored min is
     * over-reference when it exceeds its clean reference by >1.5×
@@ -35,20 +47,32 @@ object Bench {
     * disarmed. So: (a) the whole-sweep steal fraction must stay under
     * 1% of wall×cpus capacity; (b) over the keys both sides share, the
     * candidate's total must not exceed the reference it replaces by
-    * >10% — a genuine whole-sweep regression should be investigated
-    * (or the old ref deleted deliberately), never silently become the
-    * new baseline. Pinned by BenchRefSuite. */
+    * >10% — a genuine whole-sweep regression should be investigated,
+    * never silently become the new baseline.
+    *
+    * `force` (SPARK_GRAFT_REF_FORCE=1) is the SANCTIONED escape for a
+    * deliberate whole-sweep regression (heavier declared work in a
+    * later round): without it, the over_ref trigger fires on the
+    * genuinely-slower binary, the sweep reads contaminated:true, the
+    * mint gate refuses, and every future sweep strands on the stale
+    * reference (r13 verdict #4 — the former escape was "delete the old
+    * ref", folklore not workflow). Force bypasses exactly the two
+    * checks a legitimate regression trips — the contaminated verdict
+    * and the 1.10× ratchet — and NEVER the steal gates: minting under
+    * hypervisor load is garbage regardless of intent. A forced mint is
+    * stamped "_ref_forced":1 in the file and "ref_forced":true in the
+    * artifact. Pinned by BenchRefSuite. */
   def refMintRefusal(contaminated: Boolean, stealDelta: Option[Long],
       capacityJiffies: Double, candidate: Map[String, Double],
-      current: Map[String, Double]): Option[String] = {
+      current: Map[String, Double], force: Boolean = false): Option[String] = {
     val common = candidate.keySet intersect current.keySet
     val candTot = common.toSeq.map(candidate).sum
     val curTot = common.toSeq.map(current).sum
-    if (contaminated) Some("sweep verdict contaminated")
-    else if (stealDelta.isEmpty) Some("steal unreadable")
+    if (stealDelta.isEmpty) Some("steal unreadable")
     else if (capacityJiffies > 0 && stealDelta.get > 0.01 * capacityJiffies)
       Some(f"sweep steal ${stealDelta.get} jiffies > 1%% of capacity $capacityJiffies%.0f")
-    else if (common.nonEmpty && curTot > 0 && candTot > 1.10 * curTot)
+    else if (!force && contaminated) Some("sweep verdict contaminated")
+    else if (!force && common.nonEmpty && curTot > 0 && candTot > 1.10 * curTot)
       Some(f"candidate total $candTot%.2f s > 1.10x current ref $curTot%.2f s over ${common.size} shared keys")
     else None
   }
@@ -347,15 +371,21 @@ object Bench {
     // PLAN/EXEC split for the BASELINE.md comparison shapes (r12
     // verdict #5): plan_s = fresh builder + analysis + optimization +
     // physical planning (forcing executedPlan on a FRESH build — the
-    // cost the prepared path amortizes); exec_s = materializing that
-    // plan via toRdd.count(). Makes the fixed-cost-vs-work split
-    // driver-visible instead of living only in NOTES. min-of-2;
-    // runs after the timed sweep so it can't pollute the samples.
+    // cost the prepared path amortizes); exec_s = a prepared-path
+    // `.count()` — the SAME protocol as the timed samples (r13 verdict
+    // #3: the old exec_s materialized toRdd on a fresh build, a
+    // different projection AND a different plan-reuse regime, and the
+    // resulting 7× internal discrepancy vs the timed values was
+    // unexplained inside the artifact). With one protocol, exec_s ≈
+    // the query's scored value and plan_s is exactly what prepared
+    // reuse amortizes. The inline "protocol" field says so.
+    // min-of-2; runs after the timed sweep so it can't pollute the
+    // samples.
     val splitShapes = Seq("win_rank_dense", "llm_knn_cosine",
       "agg_q1_pricing", "join_5way_q5", "ev_session", "topk_limit",
       "fn_json", "llm_exact_dedup", "ev_tumbling")
     val splitJson = try {
-      splitShapes.filter(results.contains).map { name =>
+      val shapes = splitShapes.filter(results.contains).map { name =>
         val fn = SparkEntry.queries(name)
         val (ps, es) = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -363,11 +393,14 @@ object Bench {
           df.queryExecution.executedPlan
           val p = (System.nanoTime() - t0) / 1e9
           val t1 = System.nanoTime()
-          df.queryExecution.toRdd.count()
+          graft.api.Prepared.df(spark, sfDir, name).count()
           (p, (System.nanoTime() - t1) / 1e9)
         }.unzip
-        f""""$name":{"plan_s":${ps.min}%.3f,"exec_s":${es.min}%.3f}"""
-      }.mkString("{", ",", "}")
+        s""""$name":{"plan_s":${fmt3(ps.min)},"exec_s":${fmt3(es.min)}}"""
+      }
+      (shapes :+ (""""protocol":"plan_s=fresh build+physical planning """ +
+        """(the cost prepared reuse amortizes); exec_s=prepared count(), """ +
+        """same protocol as the timed samples"""")).mkString("{", ",", "}")
     } catch { case _: Throwable => "{}" }
     // Honesty disclosure (r12, advice): ALL EIGHT streaming entries
     // reuse one durable checkpoint per (session, sf, query), so their
@@ -378,9 +411,14 @@ object Bench {
     // (StreamColdProbe). (r13: ev_tumbling_stream moved off the
     // non-durable memory sink onto a foreachBatch parquet overwrite,
     // closing the last re-streams-every-pass exception.)
+    // Sanctioned ref-regression escape (r13 verdict #4): force-minting
+    // is loud — the artifact itself says the ratchet was bypassed.
+    val refForce = Set("1", "true", "on").contains(
+      sys.env.getOrElse("SPARK_GRAFT_REF_FORCE", "").toLowerCase)
     val ctx = s""""streaming_timed_mode":"warm_checkpoint_restart",""" +
       s""""batch_timed_mode":"prepared_plan_reuse",""" +
-      s""""contaminated":$contaminated,"ref_queries":${refTimes.size},""" +
+      s""""contaminated":$contaminated,"ref_forced":$refForce,""" +
+      s""""ref_queries":${refTimes.size},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""steal_jiffies":$stealDelta,"cpus":$cpus"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"steals":$stealsJson,"retimed":$retimedJson,"suspect":$suspectJson,"over_ref":$overRefJson,"split":$splitJson,$ctx,"sf":"$sfDir"}"""
@@ -413,15 +451,19 @@ object Bench {
         case (k, v) if v >= 0 => k -> v }.toMap
       refMintRefusal(contaminated,
           if (stealDelta == "null") None else Some(stealDelta.toLong),
-          sweepCapacity, candidate, refTimes) match {
+          sweepCapacity, candidate, refTimes, force = refForce) match {
         case Some(reason) =>
           System.err.println(s"[bench] NOT writing ref: $reason")
         case None =>
-          val body = results.collect { case (k, v) if v >= 0 =>
-            f""""$k":$v%.3f""" }.mkString("{", ",", "}\n")
+          // A forced mint carries its provenance IN the file: parseRef
+          // drops "_"-prefixed keys, so the stamp never arms a trigger.
+          val prov = if (refForce) Seq(""""_ref_forced":1""") else Seq.empty
+          val body = (prov ++ results.collect { case (k, v) if v >= 0 =>
+            s""""$k":${fmt3(v)}""" }).mkString("{", ",", "}\n")
           java.nio.file.Files.write(java.nio.file.Paths.get(p),
             body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          System.err.println(s"[bench] wrote ref to $p")
+          System.err.println(
+            s"[bench] wrote ref to $p${if (refForce) " (FORCED past the ratchet)" else ""}")
       }
     }
     spark.stop()

@@ -23,6 +23,17 @@ object SparkEntry {
       graft.llm.Multimodal.queries ++ graft.llm.Curation.queries ++
       graft.streaming.StreamDemo.queries
 
+  /** Queries whose BUILDER performs per-invocation side effects (a
+    * scratch write, a streaming micro-batch run) — the work IS the
+    * query, so api.Prepared must never memoize them. Declared at the
+    * owning module, next to each family's `queries` map, and unioned
+    * here; a family with no write-path builders simply exports none.
+    * PreparedSuite enforces the convention behaviorally: a repeat
+    * build of every UNdeclared query must run zero jobs and allocate
+    * zero new scratch dirs. */
+  def sideEffecting: Set[String] =
+    Scans.sideEffecting ++ graft.streaming.StreamDemo.sideEffecting
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

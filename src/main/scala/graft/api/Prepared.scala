@@ -25,23 +25,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * call. For those `df` is just a fresh build.
   */
 object Prepared {
-  private val cache = new graft.FitOnce[(String, String, String), DataFrame]
+  private val cache =
+    new graft.FitOnce[(SparkSession, String, String), DataFrame]
 
   /** Builders with per-invocation side effects (the work IS the
-    * query): all streaming entries (micro-batch run inside the
-    * builder) plus the scans that write a scratch copy per call. */
-  val sideEffecting: Set[String] =
-    graft.streaming.StreamDemo.queries.keySet ++ Set(
-      "scan_jsonl_roundtrip", "scan_csv_roundtrip", "scan_text_roundtrip",
-      "scan_orc_roundtrip", "scan_corrupt_tolerant",
-      "scan_partitioned_prune", "scan_compact", "scan_schema_evolution")
+    * query). DECLARED AT THE OWNING MODULE (r13 verdict: a future
+    * write-path query added to a family but not to a central list here
+    * would be silently memoized into a no-op timing) — each family
+    * exports `sideEffecting` next to its `queries` map and SparkEntry
+    * unions them; PreparedSuite pins behaviorally that every
+    * undeclared builder is re-invocation-silent (zero jobs, zero new
+    * scratch dirs on a repeat build). */
+  def sideEffecting: Set[String] = graft.SparkEntry.sideEffecting
 
   /** The memoized (or, for side-effecting builders, fresh) DataFrame
     * for a SURVEY §2 query key. Thread-safe; concurrent first callers
-    * block on one fill (FitOnce). */
+    * block on one fill (FitOnce). Keyed on the SESSION REFERENCE, not
+    * applicationId: `newSession()`/`cloneSession()` share one
+    * SparkContext (same applicationId) but carry their own conf and
+    * function registry, and a DataFrame is bound to the session that
+    * built it — an applicationId key would hand session B a plan that
+    * executes under session A's conf (r13 advice, medium). SparkSession
+    * has identity equality, so the reference IS the session identity;
+    * the cache pins the session for the JVM's lifetime, which is the
+    * prepared-statement contract anyway. */
   def df(spark: SparkSession, sf: String, name: String): DataFrame = {
     val build = graft.SparkEntry.queries(name)
     if (sideEffecting(name)) build(spark, sf)
-    else cache((spark.sparkContext.applicationId, sf, name))(build(spark, sf))
+    else cache((spark, sf, name))(build(spark, sf))
   }
 }

@@ -243,7 +243,7 @@ object Ann {
         .write.parquet(p)
       p
     }
-    spark.read.parquet(path)
+    Tables.readCached(spark, path)
   }
 
   /** Shared k-means-trained assignment at `top` probes per vector. */
@@ -258,7 +258,7 @@ object Ann {
       assigned.write.parquet(p)
       p
     }
-    spark.read.parquet(path)
+    Tables.readCached(spark, path)
   }
 
   /** Spread a cell-assignment frame across the cores BY CELL before a
@@ -495,7 +495,7 @@ object Ann {
         .write.parquet(codes)
       (books, codes)
     }
-    (spark.read.parquet(bp), spark.read.parquet(cp))
+    (Tables.readCached(spark, bp), Tables.readCached(spark, cp))
   }
 
   /** Probe surface for tools/PqProbe: the ADC rank of the exact top-1

@@ -56,7 +56,7 @@ object Dedup {
       build.write.parquet(p)
       p
     }
-    spark.read.parquet(path)
+    Tables.readCached(spark, path)
   }
 
   /** Shared MinHash-LSH pipeline over hashed shingle sets (doc_id,
@@ -320,14 +320,14 @@ object Dedup {
     }
     // The file scan loses the label frame's ordering; re-assert the D1
     // orderBy for consumers that emit the labels directly.
-    spark.read.parquet(p)
+    Tables.readCached(spark, p)
   }
 
   /** Text near-dup components off the checkpoint (pairs are already a
     * file-scan leaf, so the closure never re-materializes them). */
   private def textComponents(spark: SparkSession, sf: String): DataFrame =
     componentsTable(spark, sf, "text", materializePairs = false)(
-      spark.read.parquet(nearDupPairsPath(spark, sf)))
+      Tables.readCached(spark, nearDupPairsPath(spark, sf)))
 
   def dedupComponents(spark: SparkSession, sf: String): DataFrame =
     textComponents(spark, sf).orderBy("doc_id")
@@ -338,7 +338,7 @@ object Dedup {
     * into one component). Two keyed counts over the persisted pair
     * list; nothing touches the corpus. */
   def pairDegree(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = spark.read.parquet(nearDupPairsPath(spark, sf))
+    val pairs = Tables.readCached(spark, nearDupPairsPath(spark, sf))
     pairs.select(col("x").as("v"))
       .union(pairs.select(col("y").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))

@@ -51,7 +51,7 @@ object Graph {
         .write.parquet(path)
       path
     }
-    spark.read.parquet(p)
+    Tables.readCached(spark, p)
   }
 
   /** Distinct-node count of the co-purchase graph, computed ONCE per
@@ -80,7 +80,7 @@ object Graph {
           .write.parquet(path)
         path
       }
-    spark.read.parquet(p)
+    Tables.readCached(spark, p)
   }
 
   /** Global triangle census: edge / wedge / triangle counts plus the

@@ -94,7 +94,7 @@ object Joins {
       q5DimPlan(spark, sf, SortSet.BroadcastDimCap).write.parquet(path)
       path
     }
-    spark.read.parquet(p)
+    Tables.readCached(spark, p)
   }
 
   /** The join fold, parameterized on the broadcast gate so PlanSuite
@@ -398,18 +398,23 @@ object Joins {
       .orderBy("l_returnflag")
   }
 
-  /** Scored wrapper: the plan-time confs must hold when the lazy plan
-    * is optimized, so the result is materialized eagerly under them
-    * (scratch parquet, same pattern as the layout round-trips) and the
-    * read-back is returned. PlanSuite pins `might_contain` on the
-    * inner plan. */
   /** One conf-scoped clone per application, memoized: repeated bench /
     * verify invocations must not mint a fresh session (plus its Tables
     * cache entries) per call — the r6 unbounded-growth advisory. */
   private val scopedSessionCache = new graft.FitOnce[String, SparkSession]
 
+  /** Scored wrapper. The returned DataFrame is deliberately BOUND to
+    * the conf-scoped clone: a Dataset optimizes and executes under the
+    * session that built it, the clone's bloom/broadcast overrides are
+    * set once and never change, and the shared session's confs are
+    * never touched (r5 advisory) — so the lazy plan is safe and every
+    * action runs the REAL runtime-filtered join. (Until r14 this
+    * builder materialized the join to scratch per call and returned
+    * the read-back — an undeclared per-invocation side effect that the
+    * r13 prepared path silently memoized, timing a re-scan of the
+    * first call's output instead of the join. PlanSuite pins
+    * `might_contain` on the plan.) */
   def joinBloomPrune(spark: SparkSession, sf: String): DataFrame = {
-    val out = Tables.scratchDir("graft_bloom_").resolve("res").toString
     // Cloned session: shares the SparkContext (and so the scratch
     // state) but owns its SQL conf — the bloom/broadcast overrides
     // can never leak into a query planned concurrently on the shared
@@ -419,8 +424,7 @@ object Joins {
       bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
       s
     }
-    bloomJoinPlan(scoped, sf).write.mode("overwrite").parquet(out)
-    spark.read.parquet(out).orderBy("l_returnflag")
+    bloomJoinPlan(scoped, sf).orderBy("l_returnflag")
   }
 
   /** Dynamic partition pruning: supplier laid out one directory per
@@ -434,7 +438,7 @@ object Joins {
     * decided at RUN time — the lakehouse complement of the bloom
     * filter's row-level pruning (PlanSuite pins both). */
   def joinDppPrune(spark: SparkSession, sf: String): DataFrame = {
-    val fact = spark.read.parquet(dppSupplierDir(spark, sf))
+    val fact = Tables.readCached(spark, dppSupplierDir(spark, sf))
     val dim = Tables.nation(spark, sf)
       .join(broadcast(Tables.region(spark, sf)),
         col("n_regionkey") === col("r_regionkey"))

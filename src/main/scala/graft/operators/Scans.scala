@@ -284,6 +284,17 @@ object Scans {
     "filter_expr" -> filterExpr
   )
 
+  /** Builders above that write a fresh scratch copy PER CALL (the
+    * round-trips, the compaction, the partitioned/evolution layouts):
+    * the write is the measured work, so api.Prepared must rebuild them
+    * every invocation. Declared here, next to the map, so adding a
+    * write-path scan without declaring it fails PreparedSuite's
+    * repeat-build-is-silent pin instead of silently memoizing a no-op. */
+  val sideEffecting: Set[String] = Set(
+    "scan_jsonl_roundtrip", "scan_csv_roundtrip", "scan_text_roundtrip",
+    "scan_orc_roundtrip", "scan_corrupt_tolerant",
+    "scan_partitioned_prune", "scan_compact", "scan_schema_evolution")
+
   val oracle: Map[String, String] = Map(
     // Content-preservation contract: the compacted copy must carry the
     // original table's exact masses; file-count flags literal TRUE.

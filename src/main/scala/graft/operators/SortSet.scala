@@ -69,7 +69,7 @@ object SortSet {
       q3DimPlan(spark, sf, BroadcastDimCap).write.parquet(path)
       path
     }
-    spark.read.parquet(p)
+    Tables.readCached(spark, p)
   }
 
   /** Shared Q3-style revenue aggregate (ordering applied by callers).

@@ -69,6 +69,43 @@ class BenchRefSuite extends AnyFunSuite {
       100000.0, slower, Map.empty).isEmpty)
   }
 
+  test("ref mint gate: force bypasses ratchet and contamination, never the steal gates") {
+    val cur = Map("a" -> 1.0, "b" -> 1.0)
+    val slower = Map("a" -> 1.3, "b" -> 1.2)
+    // The stranding scenario the escape exists for (r13 verdict #4): a
+    // deliberately-slower binary trips over_ref against the stale ref,
+    // the sweep reads contaminated:true, and without force no new ref
+    // can ever be minted. Forced, a QUIET such sweep mints.
+    assert(Bench.refMintRefusal(contaminated = true, Some(0L),
+      100000.0, slower, cur, force = true).isEmpty)
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, slower, cur, force = true).isEmpty)
+    // ...but force never overrides the steal gates: a mint under
+    // hypervisor load is garbage regardless of intent.
+    assert(Bench.refMintRefusal(contaminated = true, Some(2300L),
+      100000.0, slower, cur, force = true).exists(_.contains("steal")))
+    assert(Bench.refMintRefusal(contaminated = true, None,
+      100000.0, slower, cur, force = true).nonEmpty)
+  }
+
+  test("parseRef drops underscore-prefixed provenance keys (forced-mint stamp)") {
+    val m = Bench.parseRef("""{"_ref_forced":1,"q1":0.5}""")
+    assert(m == Map("q1" -> 0.5),
+      "a provenance stamp must never arm a trigger or join ratchet totals")
+  }
+
+  test("fmt3 writes dot decimals under a comma-decimal default locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.fmt3(0.123456) == "0.123")
+      // The hazard (r13 advice): an f-interpolated "%.3f" mints "0,123"
+      // which parseRef reads back as 0 — the round-trip must survive
+      // any default locale.
+      assert(Bench.parseRef(s"""{"q":${Bench.fmt3(1.5)}}""") == Map("q" -> 1.5))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("overRef needs BOTH >1.5x relative AND >80ms absolute") {
     val ref = Map("big" -> 1.0, "small" -> 0.04)
     assert(Bench.overRef(ref, "big", 1.6))       // 1.6x and +0.6 s

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Contract of the prepared-statement surface (api/Prepared): pure
   * builders memoize per (session, sf, query); side-effecting builders
@@ -30,6 +30,68 @@ class PreparedSuite extends SparkTestBase {
       "exclusion set lost a side-effecting query")
     assert(api.Prepared.sideEffecting.forall(SparkEntry.queries.contains),
       "exclusion set names a query that no longer exists")
+  }
+
+  test("prepared cache is per-session, not per-application") {
+    // newSession() shares the SparkContext (same applicationId) but has
+    // its own conf and function registry — an applicationId-keyed cache
+    // would hand it a DataFrame bound to the ORIGINAL session, whose
+    // actions then run under that session's conf (r13 advice, medium).
+    val s2 = spark.newSession()
+    graft.functions.VectorExprs.register(s2)
+    val a = api.Prepared.df(spark, sf, "agg_q1_pricing")
+    val b = api.Prepared.df(s2, sf, "agg_q1_pricing")
+    assert(!(a eq b), "prepared cache conflated sessions sharing a context")
+    assert(b.sparkSession eq s2, "prepared plan bound to the wrong session")
+    assert(a.sparkSession eq spark, "original session lost its own binding")
+  }
+
+  test("every UNdeclared builder is repeat-invocation-silent (the declaration-site convention)") {
+    // The hazard (r13 verdict #2): a future write-path builder not in
+    // its family's `sideEffecting` set would be memoized and its timed
+    // samples would measure a no-op re-count of the first invocation's
+    // scratch output. Behavioral pin: after a warm build (FitOnce
+    // caches filled), a SECOND raw build of every query NOT declared
+    // side-effecting must launch zero Spark jobs and allocate zero new
+    // scratch dirs — i.e. memoizing it changes nothing it measures.
+    val pure = (SparkEntry.queries.keySet -- api.Prepared.sideEffecting)
+      .toSeq.sorted
+    pure.foreach(n => SparkEntry.queries(n)(spark, sf))
+    // Drain the async listener bus: events from the warm loop still in
+    // the queue would be delivered to the listener added below and
+    // counted as measured-loop jobs.
+    Thread.sleep(3000)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    val scratch0 = Tables.scratchAllocs.get
+    spark.sparkContext.addSparkListener(l)
+    val offenders = try {
+      val perQuery = pure.map { n =>
+        val j0 = jobs.get; val s0 = Tables.scratchAllocs.get
+        SparkEntry.queries(n)(spark, sf)
+        Thread.sleep(0) // listener fires on the bus; final drain below
+        n -> ((jobs.get - j0) + (Tables.scratchAllocs.get - s0))
+      }
+      Thread.sleep(1000) // one bus drain for the whole sweep
+      perQuery.filter(_._2 > 0).map(_._1) ++
+        (if (jobs.get > 0 || Tables.scratchAllocs.get > scratch0)
+          Seq(s"(sweep total: jobs=${jobs.get}, " +
+            s"scratch=${Tables.scratchAllocs.get - scratch0})")
+         else Seq.empty)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(offenders.isEmpty,
+      s"builders with undeclared per-invocation side effects: $offenders — " +
+        "declare them in the owning family's sideEffecting set")
+    // Validate the guard FIRES (both-ways rule): a declared write-path
+    // builder allocates fresh scratch on every call.
+    val s0 = Tables.scratchAllocs.get
+    SparkEntry.queries("scan_csv_roundtrip")(spark, sf)
+    assert(Tables.scratchAllocs.get > s0,
+      "scratch counter failed to observe a declared write-path build — " +
+        "the convention pin above is not actually armed")
   }
 
   test("memoized re-count matches a fresh build and actually runs jobs") {
