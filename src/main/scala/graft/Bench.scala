@@ -119,6 +119,21 @@ object Bench {
       // the env knob re-prices the floor without a rebuild.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_COALESCE_FLOOR", "1m"))
+      // Shuffle scratch on the job-scoped fast tier (/dev/shm when
+      // writable — same policy, and same cleanup hook, as
+      // Tables.scratchDir): the ×100 crossover profile showed tiny
+      // shuffles dominated by DiskBlockObjectWriter file create/open/
+      // delete on disk-backed /tmp (bypass writer: numPartitions files
+      // per map task), ~3.5× the samples of the aggregation itself on
+      // ev_tumbling. A cluster deployment points local.dir at local
+      // SSD for exactly this reason; durable outputs never live here.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        graft.Tables.scratchDir("graft_shuffle_").toString))
+      // Shuffle writer choice for the 32-partition exchanges (A/B
+      // knob; see NOTES r14): bypass writes numPartitions files per
+      // map task, sort writes one data+index pair.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESH", "200"))
       // Same session TZ as Verify: timestamp-literal filters must
       // select the same rows here as in the scored correctness run,
       // or a non-UTC box would time different work.
@@ -411,6 +426,23 @@ object Bench {
     // (StreamColdProbe). (r13: ev_tumbling_stream moved off the
     // non-durable memory sink onto a foreachBatch parquet overwrite,
     // closing the last re-streams-every-pass exception.)
+    // Crossover evidence (r13 verdict #1), embedded verbatim from the
+    // committed crossover.json: per-shape Spark-vs-DuckDB ratios at
+    // ×1/×10/×100 corpora both engines read, minted by
+    // tools/CrossoverProbe + tools/crossover_duckdb.py (provenance and
+    // protocol are fields INSIDE the block). Measured per round on the
+    // round's binary, not per sweep — synthesizing the corpora and
+    // timing DuckDB inside the driver's timed run would contaminate it.
+    val crossover = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_CROSSOVER", "crossover.json"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // Strip inter-token whitespace (no string in the file spans
+      // lines) so the artifact stays one JSON line.
+      val minified = txt.replaceAll("\\s*\\n\\s*", "").trim
+      if (minified.startsWith("{")) minified else "null"
+    } catch { case _: Throwable => "null" }
     // Sanctioned ref-regression escape (r13 verdict #4): force-minting
     // is loud — the artifact itself says the ratchet was bypassed.
     val refForce = Set("1", "true", "on").contains(
@@ -421,7 +453,9 @@ object Bench {
       s""""ref_queries":${refTimes.size},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""steal_jiffies":$stealDelta,"cpus":$cpus"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"steals":$stealsJson,"retimed":$retimedJson,"suspect":$suspectJson,"over_ref":$overRefJson,"split":$splitJson,$ctx,"sf":"$sfDir"}"""
+    // crossover rides only the FULL line + file — the short trailing
+    // summary must stay small enough to survive any tail window.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"steals":$stealsJson,"retimed":$retimedJson,"suspect":$suspectJson,"over_ref":$overRefJson,"split":$splitJson,"crossover":$crossover,$ctx,"sf":"$sfDir"}"""
     println(fullLine)
     // Also persist the summary as a FILE: the driver's stdout capture
     // has truncated this line twice (r2/r3) and r11 arrived with

@@ -107,12 +107,25 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = eventsRaw(s, d)
+    // ts2 is derived PER GENERATION rather than round-tripping through
+    // the ns long: on a µs-timestamp file, `timestamp_micros(unix_micros
+    // (ts)*1000 div 1000)` is three per-row conversions that compose to
+    // a plain NTZ cast (exact: same instant, µs grain already), and
+    // Catalyst has no fold rule for the composition — measured on the
+    // ×10 crossover corpus (1M events) this chain was part of the ~2×
+    // per-row gap vs DuckDB on the tumbling/session shapes. The ns-long
+    // generation keeps the explicit div-1000 truncation (matches
+    // DuckDB's CAST(ts AS TIMESTAMP)); both paths yield identical ts2.
+    val ts2 = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    // ts2 first (its expression reads the file-native ts), then replace
+    // ts with the normalized ns long.
     raw
+      .withColumn("ts2", ts2)
       .withColumn("ts", tsNsExpr(raw.schema))
-      // timestamp_micros() yields zoned TimestampType; cast to NTZ (D6 —
-      // identity under the pinned UTC session) so outputs stay naive
-      // like every other corpus timestamp.
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
 
   /** Epoch-ns long from whichever physical type the events file

@@ -81,10 +81,28 @@ object Joins {
     * `q5_cust` gate is pinned through this function instead. */
   private[graft] def q5DimPlan(spark: SparkSession, sf: String,
       broadcastByteCap: Long): DataFrame = {
+    // The ASIA region predicate is pushed INTO the dim build (a
+    // broadcast semi against the fixed 25-row nation ⨝ region): Q5's
+    // region filter reaches customers only through the join graph, so
+    // Catalyst cannot push it statically, and an unfiltered dim is 5×
+    // the rows for entries that can never match. The ×100 crossover
+    // corpus made the cost concrete: a 15M-row dim passed the 256 MB
+    // byte gate and every one of 60M fact rows probed its ~360 MB
+    // hashed relation (cache-miss per probe). Filtered, the dim is 5×
+    // smaller at every SF and the gate trips 5× later. The semi's
+    // broadcast side is nation⨝region — fixed-size, hinted
+    // unconditionally like the fold's own nation/region joins.
+    val asiaNations = Tables.nation(spark, sf)
+      .join(broadcast(Tables.region(spark, sf)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
     val c = Tables.customer(spark, sf)
+      .join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
     val o = Tables.orders(spark, sf)
     val cGated = Gates.gatedBroadcast(spark, sf, "q5_cust", broadcastByteCap)(c)
-    o.join(cGated, o("o_custkey") === c("c_custkey"))
+    o.join(cGated, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
   }
 
@@ -107,11 +125,18 @@ object Joins {
     val r = Tables.region(spark, sf).filter(col("r_name") === "ASIA")
     def gate(tag: String)(df: DataFrame): DataFrame =
       Gates.gatedBroadcast(spark, sf, tag, broadcastByteCap)(df)
-    l.join(gate("q5_dim")(q5Dim(spark, sf)), col("l_orderkey") === col("o_orderkey"))
-      .join(gate("q5_supp")(s), col("l_suppkey") === col("s_suppkey")
-        && col("c_nationkey") === col("s_nationkey"))
+    // Join ORDER is selectivity-first (the ×100 crossover finding):
+    // supplier (small map, cache-resident probes) then the fixed
+    // nation ⨝ region-ASIA pair cut the fact stream to ~1/5 BEFORE it
+    // probes the big orders⨝customer dim — the one SF-scaling hashed
+    // relation. The dim join carries the c_nationkey = s_nationkey
+    // equi-condition (same inner-join conjunction, relocated).
+    l.join(gate("q5_supp")(s), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(gate("q5_dim")(q5Dim(spark, sf)),
+        col("l_orderkey") === col("o_orderkey")
+          && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
         .cast("double").as("revenue"))

@@ -22,14 +22,35 @@ object Events {
 
   /** 1 h tumbling window: count + exact-decimal sum per event type.
     * Window struct is projected to a flat start column (D5). */
-  def evTumbling(spark: SparkSession, sf: String): DataFrame =
+  def evTumbling(spark: SparkSession, sf: String): DataFrame = {
+    // Tumble in INTEGER µs space, not timestamp space: the contract
+    // only needs the window start, and both window() (a two-field
+    // struct per row) and date_trunc (zone logic via Instant.atZone
+    // per row — 18% of the agg-stage stack samples on the ×10
+    // crossover corpus) pay per-ROW for what is representable as two
+    // long ops; the 3.6k GROUP keys are converted to timestamps after
+    // the aggregate. Exact: hour-truncation of an epoch-µs long ≡
+    // date_trunc('hour') for the corpus's epoch-positive timestamps
+    // (the div-truncation caveat already global in Tables.tsUsExpr).
+    // The streaming twin keeps window() — watermark semantics need it.
+    // The money sum runs in exact integer CENTS (D2's intent, cheaper
+    // per row than Decimal updates): value is exactly 2-dp corpus-wide
+    // (the same measurement that justifies dec()'s DECIMAL(12,2)), so
+    // round(value*100) is an exact integer, the long sum is exact
+    // (≪ 2^53), and the single final /100.0 rounds the same exact
+    // rational DuckDB's decimal-sum→double cast rounds — bit-identical
+    // (oracle hash re-verified). Same per-row trade as the integer-µs
+    // tumble above: keep the hot loop in primitive long ops.
     Tables.events(spark, sf)
-      .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+      .groupBy(expr("(ts div 1000) div 3600000000 * 3600000000")
+        .as("hour_us"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("value"))).cast("double").as("sum_val"))
-      .select(ntz(col("window.start")).as("hour_start"), col("event_type"),
-        col("cnt"), col("sum_val"))
+        (sum(round(col("value") * lit(100)).cast("long")).cast("double")
+          / lit(100.0)).as("sum_val"))
+      .select(ntz(timestamp_micros(col("hour_us"))).as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_val"))
       .orderBy("hour_start", "event_type")
+  }
 
   /** 1 h window sliding every 15 min — each event lands in 4 windows. */
   def evSliding(spark: SparkSession, sf: String): DataFrame =

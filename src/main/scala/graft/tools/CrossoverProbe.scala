@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crossover evidence for the BASELINE.md per-shape grades (r13
+  * verdict #1). Four rounds of plan audits agree the five shapes still
+  * graded >2× of DuckDB at sf0.1 (topk_limit, fn_json, ev_session,
+  * ev_tumbling, llm_exact_dedup) are bound by Spark's FIXED per-job
+  * scheduler/AQE cost — flat in data — while DuckDB's cost is almost
+  * pure data work; the claim predicts the ratios COLLAPSE as the
+  * corpus grows. This probe turns that prediction into a measurement:
+  *
+  *   1. synthesize a ×N corpus (default ×10) from the bench sf dir
+  *      into `target/crossover/x<N>/` — every table a parquet
+  *      directory BOTH engines read; fact/entity keys are offset per
+  *      copy (copy i adds i·(max+1)) so join fan-outs and group
+  *      cardinalities scale like a genuinely bigger corpus, dims
+  *      (nation/region) stay single-copy exactly as TPC-H scaling
+  *      does; document text is salted per copy so the duplicate RATIO
+  *      is preserved rather than multiplied;
+  *   2. time the 9 BASELINE shapes at ×1 and ×N through the bench's
+  *      prepared protocol (warm build+count, then min of 3 interleaved
+  *      timed counts) and write `target/crossover/crossover_spark.json`
+  *      plus the shapes' oracle SQL for the DuckDB side.
+  *
+  * `tools/crossover_duckdb.py` then times the same SQL on the same
+  * parquet at 4 threads (the BASELINE.md config) and merges both into
+  * the committed `crossover.json`, which graft.Bench embeds in the
+  * scored artifact.
+  *
+  * Caveats, by design: embedding copies are identical (top-k result
+  * degenerates to cross-copy sim=1.0 pairs; the all-pairs WORK both
+  * engines do is unchanged, which is what is timed), and documents'
+  * n_chars is not re-derived after salting (no timed shape reads it).
+  */
+object CrossoverProbe {
+
+  /** The 9 BASELINE.md comparison shapes (Bench.splitShapes order). */
+  val Shapes: Seq[String] = Seq("win_rank_dense", "llm_knn_cosine",
+    "agg_q1_pricing", "join_5way_q5", "ev_session", "topk_limit",
+    "fn_json", "llm_exact_dedup", "ev_tumbling")
+
+  /** Per-table key columns to offset per copy — the columns that act
+    * as entity/join identity in the 9 shapes' queries. */
+  private val specs: Seq[(String, Seq[String])] = Seq(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "nation" -> Seq.empty,
+    "region" -> Seq.empty)
+
+  private def synthesize(spark: SparkSession, base: String, xDir: String,
+      factor: Int, tables: Seq[(String, Seq[String])] = specs): Unit = {
+    val done = java.nio.file.Paths.get(xDir, "_GRAFT_X_DONE")
+    if (java.nio.file.Files.exists(done)) return
+    tables.foreach { case (name, offCols) =>
+      val df = spark.read.parquet(s"$base/$name.parquet")
+      val out =
+        if (offCols.isEmpty) df // dims stay single-copy (TPC-H scaling)
+        else {
+          val strides: Map[String, Long] = offCols.map { c =>
+            c -> (df.agg(max(col(c)).cast("long")).head.getLong(0) + 1L)
+          }.toMap
+          (0 until factor).map { i =>
+            var d = df
+            offCols.foreach { c =>
+              // Preserve the base column type (an int key + long lit
+              // would widen the schema and change both engines' plans).
+              d = d.withColumn(c,
+                (col(c) + lit(i * strides(c))).cast(df.schema(c).dataType)) }
+            if (name == "documents" && i > 0)
+              d = d.withColumn("text",
+                concat(col("text"), lit(s" §c$i")))
+            d
+          }.reduce(_ unionAll _)
+        }
+      out.write.mode("overwrite").parquet(s"$xDir/$name.parquet")
+      System.err.println(s"[crossover] wrote x$factor $name")
+    }
+    java.nio.file.Files.write(done, Array.emptyByteArray)
+  }
+
+  private def timeShapes(spark: SparkSession, dir: String,
+      shapes: Seq[String] = Shapes): Map[String, Double] = {
+    // Warm pass: builder + analysis into the prepared cache + one
+    // execution (codegen/JIT for these plans on this corpus).
+    shapes.foreach { n =>
+      try graft.api.Prepared.df(spark, dir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[crossover] warm $n failed: ${e.getMessage}") }
+    }
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to 3; n <- shapes) {
+      val t0 = System.nanoTime()
+      val ok = try { graft.api.Prepared.df(spark, dir, n).count(); true }
+        catch { case _: Throwable => false }
+      if (ok) samples(n) ::= (System.nanoTime() - t0) / 1e9
+    }
+    shapes.map(n => n ->
+      (if (samples(n).isEmpty) -1.0 else samples(n).min)).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_X", "10").toInt
+    // Second leg: a bigger factor for every shape whose ×100 corpus is
+    // cheap to synthesize — all but knn, whose all-pairs work is
+    // quadratic in the factor (DuckDB would need ~45 min at ×100;
+    // its crossover is already settled at ×10: 0.06×).
+    val factor2 = sys.env.getOrElse("SPARK_GRAFT_X2", "100").toInt
+    val shapes2 = sys.env.getOrElse("SPARK_GRAFT_X2_SHAPES",
+      Shapes.filterNot(_ == "llm_knn_cosine").mkString(","))
+      .split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val outRoot = java.nio.file.Paths.get("target", "crossover")
+    java.nio.file.Files.createDirectories(outRoot)
+    // The bench session config (Bench.scala) — the protocol under
+    // which the scored numbers are produced.
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        graft.Tables.scratchDir("graft_shuffle_").toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val xDir = outRoot.resolve(s"x$factor").toAbsolutePath.toString
+    synthesize(spark, base, xDir, factor)
+    val x2Dir = outRoot.resolve(s"x$factor2").toAbsolutePath.toString
+    if (factor2 > 0 && shapes2.nonEmpty) {
+      val need = shapes2.flatMap(shapeTables).distinct.toSet
+      synthesize(spark, base, x2Dir, factor2,
+        specs.filter(s => need(s._1) || s._2.isEmpty))
+    }
+
+    val oracle = graft.SparkEntry.oracleSql
+    val oracleJson = Shapes.map { n =>
+      "\"" + n + "\":" + "\"" + oracle(n)
+        .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(outRoot.resolve("oracle_sql.json"),
+      oracleJson.getBytes("UTF-8"))
+
+    val t1 = timeShapes(spark, base)
+    val tN = timeShapes(spark, xDir)
+    val t2 = if (factor2 > 0 && shapes2.nonEmpty)
+      timeShapes(spark, x2Dir, shapes2) else Map.empty[String, Double]
+    def j(m: Map[String, Double], ks: Seq[String]): String =
+      ks.filter(m.contains).map(n => "\"" + n + "\":" + graft.Bench.fmt3(m(n)))
+        .mkString("{", ",", "}")
+    val out = s"""{"base":"$base","factor":$factor,"x_dir":"$xDir",""" +
+      s""""factor2":$factor2,"x2_dir":"$x2Dir",""" +
+      s""""protocol":"prepared count(), warm+min-of-3, local[32] bench config",""" +
+      s""""spark_x1":${j(t1, Shapes)},"spark_xN":${j(tN, Shapes)},""" +
+      s""""spark_x2":${j(t2, shapes2)}}"""
+    java.nio.file.Files.write(outRoot.resolve("crossover_spark.json"),
+      (out + "\n").getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+
+  /** Tables each shape reads — drives which tables a restricted leg
+    * synthesizes. */
+  private val shapeTables: Map[String, Seq[String]] = Map(
+    "win_rank_dense" -> Seq("part"),
+    "llm_knn_cosine" -> Seq("embeddings"),
+    "agg_q1_pricing" -> Seq("lineitem"),
+    "join_5way_q5" -> Seq("customer", "orders", "lineitem", "supplier"),
+    "ev_session" -> Seq("events"),
+    "topk_limit" -> Seq("customer", "orders", "lineitem"),
+    "fn_json" -> Seq("events"),
+    "llm_exact_dedup" -> Seq("documents"),
+    "ev_tumbling" -> Seq("events"))
+}

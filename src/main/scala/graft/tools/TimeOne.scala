@@ -3,10 +3,17 @@ import org.apache.spark.sql.SparkSession
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = SparkSession.builder().master("local[32]")
+    // A/B knobs (probe-only): shuffle scratch tier + writer choice.
+    val b0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val b1 = b0.config("spark.local.dir",
+      sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        graft.Tables.scratchDir("graft_shuffle_").toString))
+    val b2 = sys.env.get("SPARK_GRAFT_BYPASS_THRESH")
+      .fold(b1)(v => b1.config("spark.shuffle.sort.bypassMergeThreshold", v))
+    val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { name =>
       val fn = graft.SparkEntry.queries(name)

@@ -447,8 +447,15 @@ class PlanSuite extends SparkTestBase {
         val under = plan(build(Long.MaxValue))
         assert(under.contains("BroadcastHashJoin"),
           s"under-cap dim build must broadcast customer ($gate)")
-        val over = plan(build(0L))
-        assert(!over.contains("BroadcastHashJoin"),
+        // Over the cap the SF-scaling CUSTOMER side must not be a
+        // broadcast build; fixed-size broadcasts may remain (q5's dim
+        // build semi-joins customer against the 25-row ASIA nation
+        // list — r14, pushed-down region predicate).
+        val overPlan = build(0L).queryExecution.executedPlan
+        val over = overPlan.toString
+        val bexs = overPlan.collect {
+          case e if e.nodeName.contains("BroadcastExchange") => e }
+        assert(!bexs.exists(_.toString.contains("customer")),
           s"over-cap dim build must not force-broadcast the SF-scaling customer ($gate)")
         assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
           s"over-cap dim build should degrade to a shuffle join ($gate)")
