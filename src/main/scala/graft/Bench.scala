@@ -27,6 +27,18 @@ object Bench {
   def fmt3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** The committed crossover.json as a single-line JSON value for the
+    * artifact, or "null" when absent/garbled. Minification strips
+    * inter-token whitespace only (no string in the file spans lines);
+    * anything that doesn't even start as an object becomes "null" so a
+    * truncated or HTML-error file can't corrupt the artifact line.
+    * Pinned by BenchRefSuite. */
+  def crossoverBlock(txt: String): String = {
+    val minified = txt.replaceAll("\\s*\\n\\s*", "").trim
+    if (minified.startsWith("{") && minified.endsWith("}")) minified
+    else "null"
+  }
+
   /** The second retime trigger (r12 verdict #1): a scored min is
     * over-reference when it exceeds its clean reference by >1.5×
     * RELATIVE and >80 ms ABSOLUTE — the relative bar catches
@@ -434,14 +446,10 @@ object Bench {
     // round's binary, not per sweep — synthesizing the corpora and
     // timing DuckDB inside the driver's timed run would contaminate it.
     val crossover = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
+      crossoverBlock(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_CROSSOVER", "crossover.json"))),
-        java.nio.charset.StandardCharsets.UTF_8)
-      // Strip inter-token whitespace (no string in the file spans
-      // lines) so the artifact stays one JSON line.
-      val minified = txt.replaceAll("\\s*\\n\\s*", "").trim
-      if (minified.startsWith("{")) minified else "null"
+        java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => "null" }
     // Sanctioned ref-regression escape (r13 verdict #4): force-minting
     // is loud — the artifact itself says the ratchet was bypassed.

@@ -96,14 +96,32 @@ object StreamDemo {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Streaming source over the corpus events table, resolving BOTH
+    * physical layouts: the driver corpus ships events as a single
+    * FILE `<sf>/events.parquet` (FileStreamSource wants a directory,
+    * so the reader points at <sf> and selects the file with
+    * pathGlobFilter — which matches LEAF names), while synthesized /
+    * lakehouse corpora ship a DIRECTORY of part files (where that
+    * same glob matches nothing and the stream silently runs EMPTY —
+    * the ×10 ScaleSweep caught exactly that artifact: every stream
+    * "passed" on zero rows). A directory is streamed directly. */
+  private def eventsStream(spark: SparkSession, sf: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val table = new java.io.File(sf, "events.parquet")
+    if (table.isDirectory)
+      spark.readStream.schema(schema).parquet(table.toString)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+  }
+
   def tumblingStream(spark: SparkSession, sf: String): DataFrame = {
     // Schema from the session-cached batch scan — no extra footer read.
     val schema = graft.Tables.eventsRaw(spark, sf).schema
     val dir = streamRoot(spark, sf, "ev_tumble")
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
-    // FileStreamSource wants a directory; restrict the sf dir to the
-    // events file via pathGlobFilter.
+    // Source layout resolution lives in [[eventsStream]].
     //
     // DURABLE complete-mode sink (r12 verdict #4): the file sink only
     // supports append mode, so complete mode goes through foreachBatch
@@ -122,8 +140,7 @@ object StreamDemo {
     // state, so the trailing no-data batch would only repeat the
     // result the last data batch already wrote to the sink — there is
     // no watermark-gated emission to lose.
-    val agg = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
+    val agg = eventsStream(spark, sf, schema)
       .withColumn("ts2",
         timestamp_micros(graft.Tables.tsUsExpr(schema)).cast("timestamp_ntz"))
       .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
@@ -175,8 +192,7 @@ object StreamDemo {
     * retained). */
   private[graft] def appendAgg(spark: SparkSession, sf: String): DataFrame = {
     val schema = graft.Tables.eventsRaw(spark, sf).schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
+    eventsStream(spark, sf, schema)
       // Watermarks require zoned TimestampType; identical values under
       // the pinned UTC session, and the output re-casts to NTZ (D9).
       .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
@@ -220,8 +236,7 @@ object StreamDemo {
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
     withStateParts(spark) {
-      val q = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf)
+      val q = eventsStream(spark, sf, schema)
         .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark("ts2", "10 minutes")
         .groupBy(session_window(col("ts2"), "30 minutes"), col("user_id"))
@@ -310,8 +325,7 @@ object StreamDemo {
         SessRow(key, tsFromUs(s.firstUs), tsFromUs(s.lastUs + GapUs), s.cnt))
     }
     withStateParts(spark) {
-      val src = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf)
+      val src = eventsStream(spark, sf, schema)
         .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark("ts2", "10 minutes")
         // The watermark-attached column must survive into the stateful
@@ -353,8 +367,7 @@ object StreamDemo {
   private[graft] def joinedStreams(spark: SparkSession, sf: String): DataFrame = {
     val schema = graft.Tables.eventsRaw(spark, sf).schema
     def side(tpe: String, pre: String): DataFrame =
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf)
+      eventsStream(spark, sf, schema)
         .withColumn(s"${pre}_ts", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark(s"${pre}_ts", "10 minutes")
         .filter(col("event_type") === tpe)
@@ -401,8 +414,7 @@ object StreamDemo {
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
     def src(): DataFrame =
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf)
+      eventsStream(spark, sf, schema)
         .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark("ts2", "10 minutes")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -445,8 +457,7 @@ object StreamDemo {
     val out = dir.resolve("out").toString
     val ckpt = dir.resolve("ckpt").toString
     withStateParts(spark) {
-      val q = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf)
+      val q = eventsStream(spark, sf, schema)
         .withColumn("ts2", timestamp_micros(graft.Tables.tsUsExpr(schema)))
         .withWatermark("ts2", "10 minutes")
         .join(dim, col("user_id") === col("c_custkey"))

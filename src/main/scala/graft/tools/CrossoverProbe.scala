@@ -75,8 +75,29 @@ object CrossoverProbe {
               d = d.withColumn(c,
                 (col(c) + lit(i * strides(c))).cast(df.schema(c).dataType)) }
             if (name == "documents" && i > 0)
-              d = d.withColumn("text",
-                concat(col("text"), lit(s" §c$i")))
+              // Append the copy tag to every 3rd WORD so every 3-gram
+              // shingle window differs across copies, while the salted
+              // vocabulary stays as diverse as the original. Two wrong
+              // salts were measured first: a trailing tag left
+              // cross-copy Jaccard ≈ 1 (near-dup pair output ×45 at
+              // ×10), and INSERTING one identical tag every 3 words
+              // made that tag ~25% of every doc's token mass — all
+              // copy-i simhashes collapsed into the same bands and the
+              // candidate stage went quadratic within each copy
+              // (llm_simhash_neardup 0.3 → 127 s at ×10). Word-suffix
+              // salting keeps token frequencies shaped like the base
+              // corpus; within-copy planted dups keep their
+              // relationship — both sides get the same pattern.
+              d = d.withColumn("text", regexp_replace(col("text"),
+                lit("(\\S+ \\S+ )(\\S+) "), lit(s"$$1$$2c$i ")))
+            if (name == "embeddings" && i > 0)
+              // Cyclic component shift per copy: norm-preserving and
+              // decorrelating (identical copies made every cross-copy
+              // pair cosine 1.0 — degenerate top-k, inflated near-dup
+              // output). Copy 0 stays the base corpus.
+              d = d.withColumn("embedding", expr(
+                s"transform(embedding, (x, j) -> element_at(embedding, " +
+                  s"(cast(j as int) + $i) % size(embedding) + 1))"))
             d
           }.reduce(_ unionAll _)
         }

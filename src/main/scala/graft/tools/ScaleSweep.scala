@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-inventory scale audit: time EVERY declared query on the base
+  * corpus and on the CrossoverProbe ×N corpus (same prepared protocol
+  * as the bench) and report per-query ratios, worst first. The sf0.1
+  * bench can only ever show the fixed-cost floor; this sweep is the
+  * direct measurement behind "would this plan survive a scale-up" —
+  * a query whose time grows faster than the factor has a super-linear
+  * stage (the llm_ann_ivf_probe / rfm_segment class of bug) and is a
+  * finding, not a number.
+  *
+  * Ratios read LOW for fixed-cost-bound queries (<< factor) and
+  * around the factor for genuinely throughput-bound ones; the flag
+  * threshold is deliberately above the factor so only super-linear
+  * growth (not noise on sub-second entries) flags.
+  *
+  * Usage: runMain graft.tools.ScaleSweep [xDir] [flagRatio]
+  * (default: target/crossover/x10 — run CrossoverProbe first; 15.0)
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val xDir = args.headOption.getOrElse("target/crossover/x10")
+    val flagRatio = args.lift(1).map(_.toDouble).getOrElse(15.0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        graft.Tables.scratchDir("graft_shuffle_").toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+
+    def sweep(dir: String): Map[String, Double] = {
+      // warm (fills Prepared + FitOnce checkpoints for this dir)
+      names.foreach { n =>
+        try graft.api.Prepared.df(spark, dir, n).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] warm $n @$dir failed: ${e.getMessage}") }
+      }
+      val t = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      for (_ <- 1 to 2; n <- names) {
+        val t0 = System.nanoTime()
+        val ok = try { graft.api.Prepared.df(spark, dir, n).count(); true }
+          catch { case _: Throwable => false }
+        if (ok) t(n) ::= (System.nanoTime() - t0) / 1e9
+      }
+      names.map(n => n -> (if (t(n).isEmpty) -1.0 else t(n).min)).toMap
+    }
+
+    val tBase = sweep(base)
+    val tX = sweep(xDir)
+    val rows = names.map { n =>
+      val (b, x) = (tBase(n), tX(n))
+      val r = if (b > 0 && x > 0) x / b else -1.0
+      (n, b, x, r)
+    }.sortBy(-_._4)
+    println(f"${"query"}%-26s ${"base_s"}%8s ${"xN_s"}%8s ratio")
+    rows.foreach { case (n, b, x, r) =>
+      val flag = if (r > flagRatio) "  <-- SUPER-LINEAR?" else ""
+      println(f"$n%-26s ${graft.Bench.fmt3(b)}%8s ${graft.Bench.fmt3(x)}%8s ${graft.Bench.fmt3(r)}%6s$flag")
+    }
+    val flagged = rows.filter(_._4 > flagRatio).map(_._1)
+    println(s"FLAGGED(${flagged.size}): ${flagged.mkString(",")}")
+    spark.stop()
+  }
+}

@@ -106,6 +106,17 @@ class BenchRefSuite extends AnyFunSuite {
     } finally java.util.Locale.setDefault(prev)
   }
 
+  test("crossoverBlock minifies a valid file and nulls a garbled one") {
+    // whitespace AROUND newlines goes; intra-line spacing stays
+    assert(Bench.crossoverBlock("{\n \"a\": 1,\n \"b\": {\"c\": 2}\n}\n")
+      == """{"a": 1,"b": {"c": 2}}""")
+    // a truncated write, an HTML error page, or an empty file must
+    // degrade to null — never a broken artifact line
+    assert(Bench.crossoverBlock("{\"a\": 1,") == "null")
+    assert(Bench.crossoverBlock("<html>nope</html>") == "null")
+    assert(Bench.crossoverBlock("") == "null")
+  }
+
   test("overRef needs BOTH >1.5x relative AND >80ms absolute") {
     val ref = Map("big" -> 1.0, "small" -> 0.04)
     assert(Bench.overRef(ref, "big", 1.6))       // 1.6x and +0.6 s

@@ -178,6 +178,22 @@ class EdgeCaseSuite extends SparkTestBase {
         "output, not the empty fallback")
   }
 
+  test("tumblingStream: directory-layout events table streams the same rows as the file layout") {
+    import graft.streaming.StreamDemo
+    // Lakehouse corpora (and the CrossoverProbe ×N corpora) ship
+    // events as a parquet DIRECTORY; the driver corpus ships a single
+    // file. The old pathGlobFilter-only source matched nothing against
+    // a directory and every stream silently ran EMPTY — the ×10
+    // ScaleSweep's streams all "passed" on zero rows before this pin.
+    val dir = Tables.scratchDir("graft_dir_sf_")
+    spark.read.parquet(s"$sf/events.parquet").repartition(3)
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val viaDir = StreamDemo.tumblingStream(spark, dir.toString)
+    val viaFile = StreamDemo.tumblingStream(spark, sf)
+    assert(viaDir.count() == viaFile.count() && viaFile.count() > 0,
+      "directory-layout streaming source must process the same backlog")
+  }
+
   test("single-document corpus: no pairs, top terms bounded, one chunk run") {
     assert(GraftOps.simhashNearDup(oneDoc, "doc_id", "text").count() == 0)
     val tf = GraftOps.tfidfTopTerms(oneDoc, "doc_id", "text", 3).collect()

@@ -94,10 +94,12 @@ def main():
     }
     json.dump(out, open("crossover.json", "w"), indent=1)
     w = max(len(n) for n in shapes)
-    print(f"{'shape':<{w}}  spark_x1 duck_x1 ratio_x1 | spark_x{factor} duck_x{factor} ratio_x{factor}")
+    print(f"{'shape':<{w}}  ratio_x1  ratio_x{factor}  ratio_x{factor2} (spark vs duck at largest factor)")
     for n, s in shapes.items():
-        print(f"{n:<{w}}  {s['spark_x1']:>8} {s['duckdb_x1']:>7} {str(s['ratio_x1']):>8} | "
-              f"{s[f'spark_x{factor}']:>8} {s[f'duckdb_x{factor}']:>7} {str(s[f'ratio_x{factor}']):>8}")
+        big = factor2 if f"ratio_x{factor2}" in s else factor
+        print(f"{n:<{w}}  {s['ratio_x1']!s:>8}  {s[f'ratio_x{factor}']!s:>8}  "
+              f"{s.get(f'ratio_x{factor2}', '-')!s:>8} "
+              f"({s[f'spark_x{big}']} vs {s[f'duckdb_x{big}']})")
     print("wrote crossover.json")
 
 
