@@ -55,6 +55,15 @@ object CrossoverProbe {
     "nation" -> Seq.empty,
     "region" -> Seq.empty)
 
+  /** Per-copy document salt: append the copy tag to every 3rd word.
+    * Exposed so PropertySuite can pin the instrument's invariants —
+    * every 3-gram window salted (cross-copy shingle sets disjoint),
+    * vocabulary diversity preserved, identical texts salt identically.
+    * Spark's regexp_replace and java.util.regex share semantics, so
+    * the suite exercises the literal pattern. */
+  private[graft] val SaltPattern = "(\\S+ \\S+ )(\\S+) "
+  private[graft] def saltReplacement(i: Int): String = s"$$1$$2c$i "
+
   private def synthesize(spark: SparkSession, base: String, xDir: String,
       factor: Int, tables: Seq[(String, Seq[String])] = specs): Unit = {
     val done = java.nio.file.Paths.get(xDir, "_GRAFT_X_DONE")
@@ -89,7 +98,7 @@ object CrossoverProbe {
               // corpus; within-copy planted dups keep their
               // relationship — both sides get the same pattern.
               d = d.withColumn("text", regexp_replace(col("text"),
-                lit("(\\S+ \\S+ )(\\S+) "), lit(s"$$1$$2c$i ")))
+                lit(SaltPattern), lit(saltReplacement(i))))
             if (name == "embeddings" && i > 0)
               // Cyclic component shift per copy: norm-preserving and
               // decorrelating (identical copies made every cross-copy

@@ -836,4 +836,34 @@ class PropertySuite extends SparkTestBase {
       assert(cache("k2") { 7 } == 7 && fills.get() == 1)
     } finally pool.shutdown()
   }
+  test("crossover salt: every 3-gram differs across copies, vocabulary diversity kept") {
+    // The ×N corpus is a measuring instrument; a wrong salt produced
+    // two measured artifacts (near-dup pair blowup ×45; simhash band
+    // collapse 0.3 → 127 s). These invariants pin the fixed transform
+    // — java.util.regex shares semantics with Spark's regexp_replace,
+    // so the literal pattern is exercised.
+    import graft.tools.CrossoverProbe.{SaltPattern, saltReplacement}
+    // replaceAll treats $1/$2 in the replacement as group refs, same
+    // as Spark's regexp_replace — saltReplacement is used verbatim.
+    def salt(t: String, i: Int): String =
+      t.replaceAll(SaltPattern, saltReplacement(i))
+    val text = (1 to 12).map(k => s"tok$k").mkString(" ") + " "
+    val s1 = salt(text, 1); val s2 = salt(text, 2)
+    def grams(t: String): Set[Seq[String]] =
+      t.trim.split("\\s+").toSeq.sliding(3).map(_.toSeq).toSet
+    // every 3 consecutive words of a salted copy contain a salted word
+    s1.trim.split("\\s+").toSeq.sliding(3).foreach { w =>
+      assert(w.exists(_.endsWith("c1")), s"unsalted window $w in $s1")
+    }
+    // cross-copy and base-vs-copy shingle sets are fully disjoint
+    assert((grams(s1) intersect grams(s2)).isEmpty, "copies share 3-grams")
+    assert((grams(s1) intersect grams(text)).isEmpty, "copy shares 3-grams with base")
+    // identical texts salt identically — planted dups stay dups
+    assert(salt(text, 3) == salt(text, 3))
+    // vocabulary stays diverse: salted tokens inherit the base word
+    val salted = s1.trim.split("\\s+").filter(_.endsWith("c1"))
+    assert(salted.distinct.length == salted.length,
+      "salt must not collapse distinct words onto one token")
+  }
+
 }
