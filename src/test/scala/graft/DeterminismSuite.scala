@@ -64,4 +64,33 @@ class DeterminismSuite extends SparkTestBase {
     alt.conf.set("spark.sql.adaptive.enabled", "false")
     assertSameRows("AQE off", alt)
   }
+  test("money doubles are exactly 2-dp — the dec()/cents-sum precondition") {
+    // D2/D7 cast raw doubles to DECIMAL(12,2) and ev_tumbling sums in
+    // integer cents; BOTH are exact only because every money-ish
+    // double in the corpus is an exact 2-dp value (measured once in
+    // r1, relied on ever since). A corpus regeneration that ships
+    // >2-dp values would make those paths silently lossy — this gate
+    // makes the precondition fail loudly instead. sf0.001 suffices:
+    // all SFs come from one generator.
+    import org.apache.spark.sql.functions.expr
+    val checks = Seq(
+      "events" -> "value", "lineitem" -> "l_extendedprice",
+      "lineitem" -> "l_quantity", "lineitem" -> "l_discount",
+      "lineitem" -> "l_tax", "orders" -> "o_totalprice",
+      "customer" -> "c_acctbal", "supplier" -> "s_acctbal",
+      "part" -> "p_retailprice")
+    // Threshold 1e-3 (in x·100 units): a genuine 3rd decimal digit
+    // shifts x·100 by ≥ 0.1, while double-representation noise of an
+    // exact 2-dp value stays ≤ ulp(x·100)/2 ≈ 4e-9 even at the
+    // corpus' largest magnitudes (measured max 3.7e-9 on
+    // o_totalprice ~3e5 — a 1e-9 first cut false-flagged exactly
+    // that). Orders of magnitude of separation on both sides.
+    checks.foreach { case (t, c) =>
+      val bad = spark.read.parquet(s"$sf/$t.parquet")
+        .filter(expr(s"abs($c * 100 - round($c * 100)) > 1e-3")).count()
+      assert(bad == 0,
+        s"$t.$c carries non-2-dp values - dec()/cents-sum preconditions broken")
+    }
+  }
+
 }
