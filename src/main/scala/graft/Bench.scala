@@ -27,17 +27,148 @@ object Bench {
   def fmt3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Structural JSON sanity scan: every `{`/`[` matched by the right
+    * closer in order, every string terminated (escapes honored). NOT a
+    * full parser — numbers/commas aren't validated — but it rejects
+    * what the endpoints-only check admitted (r14 advice): a file
+    * truncated mid-object then partially rewritten, or with an
+    * unbalanced quote, would have been spliced verbatim into the
+    * artifact line, making the WHOLE scored JSON unparseable. */
+  def jsonBalanced(txt: String): Boolean = {
+    val stack = new StringBuilder
+    var inStr = false; var esc = false; var i = 0
+    while (i < txt.length) {
+      val c = txt.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => stack.append(c)
+        case '}' =>
+          if (stack.isEmpty || stack.last != '{') return false
+          stack.setLength(stack.length - 1)
+        case ']' =>
+          if (stack.isEmpty || stack.last != '[') return false
+          stack.setLength(stack.length - 1)
+        case _ => ()
+      }
+      i += 1
+    }
+    stack.isEmpty && !inStr
+  }
+
   /** The committed crossover.json as a single-line JSON value for the
     * artifact, or "null" when absent/garbled. Minification strips
     * inter-token whitespace only (no string in the file spans lines);
-    * anything that doesn't even start as an object becomes "null" so a
-    * truncated or HTML-error file can't corrupt the artifact line.
-    * Pinned by BenchRefSuite. */
+    * anything that isn't a structurally balanced object — truncated
+    * write, HTML error page, interior garble with unbalanced
+    * quotes/braces — becomes "null" so it can't corrupt the artifact
+    * line. Pinned by BenchRefSuite. */
   def crossoverBlock(txt: String): String = {
     val minified = txt.replaceAll("\\s*\\n\\s*", "").trim
-    if (minified.startsWith("{") && minified.endsWith("}")) minified
+    if (minified.startsWith("{") && minified.endsWith("}")
+        && jsonBalanced(minified)) minified
     else "null"
   }
+
+  /** Mint-commit stamp from an evidence file (bench_ref.json /
+    * crossover.json / scalesweep.json). The ref file uses the
+    * underscore-prefixed form so parseRef never treats it as a query. */
+  def stampFromJson(txt: String): Option[String] =
+    "\"_?mint_commit\"\\s*:\\s*\"([0-9a-f]{7,40})\"".r
+      .findFirstMatchIn(txt).map(_.group(1))
+
+  /** Staleness of a minted evidence file vs the running build (r14
+    * verdict #2): evidence is STALE when its stamp is absent/unknown,
+    * or when any non-test source changed since the stamp — committing
+    * the minted file itself (or NOTES/artifacts) after minting must
+    * NOT flag, so the judgment is "did src/main or build.sbt change
+    * since the mint", not "is the stamp exactly HEAD". `diffSince`
+    * returns the changed source files since a commit, or None when the
+    * commit is unknown to the repo. Pinned by BenchRefSuite via an
+    * injected diff. */
+  def staleGiven(stamp: Option[String],
+      diffSince: String => Option[Seq[String]]): Boolean = stamp match {
+    case None => true
+    case Some(s) => diffSince(s) match {
+      case None => true
+      case Some(files) => files.exists(_.trim.nonEmpty)
+    }
+  }
+
+  /** Lines of a git command's stdout, None on failure — no shell, no
+    * network; used only for evidence-staleness provenance. */
+  private def gitLines(args: String*): Option[Seq[String]] = try {
+    val p = new ProcessBuilder(("git" +: args): _*).start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    p.getErrorStream.readAllBytes()
+    if (p.waitFor() == 0) Some(out) else None
+  } catch { case _: Throwable => None }
+
+  def gitHead(): Option[String] =
+    gitLines("rev-parse", "HEAD").flatMap(_.headOption)
+      .map(_.trim).filter(_.length >= 7)
+
+  /** Source files changed since `commit` (the staleness probe). */
+  def gitDiffSince(commit: String): Option[Seq[String]] =
+    gitLines("diff", "--name-only", s"$commit..HEAD", "--",
+      "src/main", "build.sbt").map(_.filter(_.trim.nonEmpty))
+
+  def mintStale(stamp: Option[String]): Boolean =
+    staleGiven(stamp, gitDiffSince)
+
+  /** Compact embed of the committed scalesweep.json (r14 verdict #3):
+    * mint stamp + factor + FLAGGED list + the 10 WORST per-query ×N
+    * ratios (the full table stays in the committed file — the artifact
+    * line carries only what a reader needs to spot super-linear
+    * growth). "null" when the file is absent or garbled. Pinned by
+    * BenchRefSuite. */
+  def scalesweepEmbed(txt: String): String = {
+    if (!jsonBalanced(txt.trim)) return "null"
+    val ratStart = txt.indexOf("\"ratios\":{")
+    if (ratStart < 0) return "null"
+    val ratEnd = txt.indexOf('}', ratStart)
+    if (ratEnd < 0) return "null"
+    val ratios = parseRef(txt.substring(ratStart, ratEnd + 1))
+    if (ratios.isEmpty) return "null"
+    val flagged = "\"flagged\"\\s*:\\s*(\\[[^\\]]*\\])".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("[]")
+    val factor = "\"factor\"\\s*:\\s*([0-9]+)".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("null")
+    val stamp = stampFromJson(txt).map("\"" + _ + "\"").getOrElse("null")
+    val worst = ratios.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s""""$k":${fmt3(v)}""" }.mkString("{", ",", "}")
+    s"""{"mint_commit":$stamp,"factor":$factor,"n":${ratios.size},""" +
+      s""""flagged":$flagged,"worst10":$worst}"""
+  }
+
+  /** One timed sweep's verdict surface, for the retry decision. */
+  final case class SweepSummary(total: Double, contaminated: Boolean,
+    steal: Option[Long], flaggedN: Int)
+
+  /** Which of (up to) two whole-sweep attempts the artifact promotes
+    * (r14 verdict #1: the scored r14 sweep landed in a 14,678-jiffy
+    * steal burst, honestly self-flagged contaminated:true — and had no
+    * second try, so the round's scored record was the burst number
+    * while the binary was the fastest yet). Preference order: the
+    * non-contaminated attempt; fewer suspect+over_ref flags; lower
+    * whole-sweep steal (unreadable = worst); lower total. Returns the
+    * 1-based attempt index. Pinned by BenchRefSuite. */
+  def chooseSweep(first: SweepSummary, second: Option[SweepSummary]): Int =
+    second match {
+      case None => 1
+      case Some(b) =>
+        if (first.contaminated != b.contaminated) { if (b.contaminated) 1 else 2 }
+        else if (first.flaggedN != b.flaggedN) { if (b.flaggedN < first.flaggedN) 2 else 1 }
+        else {
+          val as = first.steal.getOrElse(Long.MaxValue)
+          val bs = b.steal.getOrElse(Long.MaxValue)
+          if (as != bs) { if (bs < as) 2 else 1 }
+          else if (b.total < first.total) 2 else 1
+        }
+    }
 
   /** The second retime trigger (r12 verdict #1): a scored min is
     * over-reference when it exceeds its clean reference by >1.5×
@@ -281,22 +412,44 @@ object Bench {
     // after the budget it is listed in "over_ref" and the sweep-level
     // "contaminated" verdict trips.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_REF", "bench_ref.json")
-    val refTimes: Map[String, Double] = try {
-      parseRef(new String(java.nio.file.Files.readAllBytes(
+    val refTxt: Option[String] = try {
+      Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(refPath)), java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => None }
+    val refTimes: Map[String, Double] =
+      refTxt.map(parseRef).getOrElse(Map.empty)
     def overRef(name: String, sec: Double): Boolean =
       Bench.overRef(refTimes, name, sec)
 
     val queries = SparkEntry.queries.keys.toSeq
+    // Warm pass (untimed — also fills the Prepared cache). The
+    // returned DataFrames are PINNED for the sweep's duration: the
+    // prepared cache holds its values weakly (serving-host leak guard,
+    // r14 verdict #5), so without a strong holder a major GC between
+    // passes could evict a plan and inject its driver-side rebuild
+    // into a timed sample. Side-effecting builders rebuild per call
+    // anyway; pinning their first build is harmless.
+    val warmPin: Seq[org.apache.spark.sql.DataFrame] = queries.flatMap { n =>
+      try { val df = graft.api.Prepared.df(spark, sfDir, n); df.count(); Some(df) }
+      catch { case _: Throwable => None }
+    }
+
+    /** One full timed sweep: two interleaved passes, a third for
+      * sub-0.3 s entries, the end-of-sweep retime pass, and the
+      * per-sweep verdict surface. Self-contained so a contaminated
+      * verdict can trigger ONE bounded whole-sweep retry (r14 verdict
+      * #1) over the same warm state. */
+    final case class Attempt(
+      results: scala.collection.mutable.LinkedHashMap[String, Double],
+      runsJson: String, stealsJson: String,
+      retimed: Seq[String], suspect: Seq[String], overRefQs: Seq[String],
+      contaminated: Boolean, stealDelta: Option[Long], capacity: Double,
+      loadStart: Double, loadEnd: Double)
+
+    def timedSweep(): Attempt = {
     val loadStart = loadavg
     val stealStart = stealJiffies
     val sweepWall0 = System.nanoTime()
-    // Warm pass (untimed — also fills the Prepared cache), then two
-    // full timed passes.
-    for (name <- queries)
-      try { graft.api.Prepared.df(spark, sfDir, name).count() }
-      catch { case _: Throwable => () }
     val samples = scala.collection.mutable.LinkedHashMap(
       queries.map { n =>
         n -> scala.collection.mutable.ArrayBuffer.empty[Sample] }: _*)
@@ -367,8 +520,6 @@ object Bench {
     val overRefQs = samples.collect { case (name, ss)
       if ss.exists(_.ok) && overRef(name, ss.filter(_.ok).map(_.sec).min)
       => name }.toSeq
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // Per-run times AND per-run steal-window deltas: a clean sweep
     // shows pass A ≈ pass B and near-zero steals; a burst shows up as
     // one inflated sample with a matching steal spike — the artifact
@@ -379,22 +530,63 @@ object Bench {
     val stealsJson = samples.map { case (k, ss) =>
       s"\"" + k + "\":[" + ss.map(s => if (s.steal < 0) "null" else s.steal.toString)
         .mkString(",") + "]" }.mkString("{", ",", "}")
-    val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Sweep-level contamination verdict (r12 verdict #1): trip when any
+    // scored value is still steal-suspect or still over its clean
+    // reference after the retime budget. A clean sweep on a quiet box
+    // reads false; the driver (and judge) can reject a true at a
+    // glance instead of reverse-engineering per-query steal maps.
+    Attempt(results, runsJson, stealsJson, retimed.toSeq, suspect,
+      overRefQs, suspect.nonEmpty || overRefQs.nonEmpty,
+      if (stealStart < 0 || stealEnd < 0) None else Some(stealEnd - stealStart),
+      sweepCapacity, loadStart, loadEnd)
+    } // timedSweep
+
+    // The whole-sweep second try (r14 verdict #1): when the FIRST
+    // sweep's verdict comes back contaminated, re-run the full timed
+    // sweep once over the same warm state (~the timed total, no warm
+    // cost) and promote the cleaner attempt — the per-query retime
+    // budget can rescue individual queries, but a sustained steal
+    // burst contaminates the whole sweep and the artifact used to
+    // carry the burst number with no recourse. Both attempts ride the
+    // artifact ("sweep_attempts"); the env knob exists so a doctored
+    // validation run can pin the single-attempt path.
+    val attempt1 = timedSweep()
+    val retryOn = !Set("false", "0", "off").contains(
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_RETRY", "true").toLowerCase)
+    val attempt2 =
+      if (attempt1.contaminated && retryOn) { awaitQuiet(); Some(timedSweep()) }
+      else None
+    def summ(a: Attempt) = SweepSummary(
+      a.results.values.filter(_ >= 0).sum, a.contaminated, a.stealDelta,
+      a.suspect.size + a.overRefQs.size)
+    val sweepChosen = chooseSweep(summ(attempt1), attempt2.map(summ))
+    val att = if (sweepChosen == 2) attempt2.get else attempt1
+    val attemptsJson = (Seq(attempt1) ++ attempt2).map { a =>
+      val s = summ(a)
+      s"""{"total":${fmt3(s.total)},"contaminated":${a.contaminated},""" +
+        s""""steal_jiffies":${a.stealDelta.map(_.toString).getOrElse("null")},""" +
+        s""""suspect_n":${a.suspect.size},"over_ref_n":${a.overRefQs.size}}"""
+    }.mkString("[", ",", "]")
+
+    val results = att.results
+    val suspect = att.suspect
+    val overRefQs = att.overRefQs
+    val runsJson = att.runsJson
+    val stealsJson = att.stealsJson
+    val sweepCapacity = att.capacity
+    val loadStart = att.loadStart
+    val loadEnd = att.loadEnd
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val retimedJson = att.retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val overRefJson = overRefQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Failures are excluded from the total (visible as -1 per-query).
     val total = results.values.filter(_ >= 0).sum
     // Whole-sweep steal delta is null (not 0) when either read failed:
     // a 0 must always mean "measured quiet", never "couldn't measure".
-    val stealDelta =
-      if (stealStart < 0 || stealEnd < 0) "null"
-      else (stealEnd - stealStart).toString
-    // Sweep-level contamination verdict (r12 verdict #1): trip when any
-    // scored value is still steal-suspect or still over its clean
-    // reference after the retime budget. A clean sweep on a quiet box
-    // reads false; the driver (and judge) can reject a true at a
-    // glance instead of reverse-engineering per-query steal maps.
-    val contaminated = suspect.nonEmpty || overRefQs.nonEmpty
+    val stealDelta = att.stealDelta.map(_.toString).getOrElse("null")
+    val contaminated = att.contaminated
     // PLAN/EXEC split for the BASELINE.md comparison shapes (r12
     // verdict #5): plan_s = fresh builder + analysis + optimization +
     // physical planning (forcing executedPlan on a FRESH build — the
@@ -445,12 +637,34 @@ object Bench {
     // protocol are fields INSIDE the block). Measured per round on the
     // round's binary, not per sweep — synthesizing the corpora and
     // timing DuckDB inside the driver's timed run would contaminate it.
-    val crossover = try {
-      crossoverBlock(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_CROSSOVER", "crossover.json"))),
-        java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => "null" }
+    def readText(path: String): Option[String] = try {
+      Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => None }
+    val crossoverTxt = readText(
+      sys.env.getOrElse("SPARK_GRAFT_CROSSOVER", "crossover.json"))
+    val crossover = crossoverTxt.map(crossoverBlock).getOrElse("null")
+    // ScaleSweep evidence (r14 verdict #3): the committed per-round
+    // ×10 full-inventory audit, embedded compactly (stamp + FLAGGED +
+    // worst-10 ratios); the full 167-row table lives in the file.
+    val scalesweepTxt = readText(
+      sys.env.getOrElse("SPARK_GRAFT_SCALESWEEP", "scalesweep.json"))
+    val scalesweep = scalesweepTxt.map(scalesweepEmbed).getOrElse("null")
+    // Mint provenance (r14 verdict #2): every evidence file riding the
+    // artifact carries the commit it was minted at; "stale" = src/main
+    // or build.sbt changed since that commit (committing the minted
+    // file itself never flags). A stale:true tells the reader the
+    // evidence was measured on a DIFFERENT binary than this sweep's.
+    def jstr(o: Option[String]): String =
+      o.map("\"" + _ + "\"").getOrElse("null")
+    val refStamp = refTxt.flatMap(stampFromJson)
+    val xStamp = crossoverTxt.flatMap(stampFromJson)
+    val ssStamp = scalesweepTxt.flatMap(stampFromJson)
+    // Scratch tier actually in use (r14 advice: the /dev/shm default
+    // can silently degrade; the artifact records which tier ran).
+    val scratchTier =
+      if (spark.sparkContext.getConf.get("spark.local.dir", "")
+        .startsWith("/dev/shm")) "shm" else "disk"
     // Sanctioned ref-regression escape (r13 verdict #4): force-minting
     // is loud — the artifact itself says the ratchet was bypassed.
     val refForce = Set("1", "true", "on").contains(
@@ -459,11 +673,17 @@ object Bench {
       s""""batch_timed_mode":"prepared_plan_reuse",""" +
       s""""contaminated":$contaminated,"ref_forced":$refForce,""" +
       s""""ref_queries":${refTimes.size},""" +
+      s""""sweep_attempts":$attemptsJson,"sweep_chosen":$sweepChosen,""" +
+      s""""ref_commit":${jstr(refStamp)},"ref_stale":${mintStale(refStamp)},""" +
+      s""""crossover_commit":${jstr(xStamp)},"crossover_stale":${mintStale(xStamp)},""" +
+      s""""scalesweep_stale":${mintStale(ssStamp)},""" +
+      s""""scratch_tier":"$scratchTier",""" +
+      s""""prepared_pinned":${warmPin.size},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""steal_jiffies":$stealDelta,"cpus":$cpus"""
     // crossover rides only the FULL line + file — the short trailing
     // summary must stay small enough to survive any tail window.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"steals":$stealsJson,"retimed":$retimedJson,"suspect":$suspectJson,"over_ref":$overRefJson,"split":$splitJson,"crossover":$crossover,$ctx,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"steals":$stealsJson,"retimed":$retimedJson,"suspect":$suspectJson,"over_ref":$overRefJson,"split":$splitJson,"crossover":$crossover,"scalesweep":$scalesweep,$ctx,"sf":"$sfDir"}"""
     println(fullLine)
     // Also persist the summary as a FILE: the driver's stdout capture
     // has truncated this line twice (r2/r3) and r11 arrived with
@@ -497,9 +717,11 @@ object Bench {
         case Some(reason) =>
           System.err.println(s"[bench] NOT writing ref: $reason")
         case None =>
-          // A forced mint carries its provenance IN the file: parseRef
-          // drops "_"-prefixed keys, so the stamp never arms a trigger.
-          val prov = if (refForce) Seq(""""_ref_forced":1""") else Seq.empty
+          // Provenance stamps ride IN the file: parseRef drops
+          // "_"-prefixed keys, so neither the forced flag nor the mint
+          // commit ever arms a trigger or joins ratchet totals.
+          val prov = gitHead().map(h => s""""_mint_commit":"$h"""").toSeq ++
+            (if (refForce) Seq(""""_ref_forced":1""") else Seq.empty)
           val body = (prov ++ results.collect { case (k, v) if v >= 0 =>
             s""""$k":${fmt3(v)}""" }).mkString("{", ",", "}\n")
           java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -221,11 +221,23 @@ object Tables {
   private[graft] val scratchAllocs =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Fast-tier eligibility: /dev/shm must be writable AND carry
+    * headroom (4 GiB) — tmpfs is memory-backed, so filling it either
+    * ENOSPCs a sweep mid-run or evicts page cache on a pressured host
+    * (r14 advice). Below the threshold scratch falls back to the
+    * default disk tmp; Bench records the chosen tier in the artifact
+    * ("scratch_tier") so the degradation is never silent. */
+  private[graft] def shmUsable: Boolean = try {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    java.nio.file.Files.isWritable(shm) &&
+      shm.toFile.getUsableSpace > 4L * 1024 * 1024 * 1024
+  } catch { case _: Throwable => false }
+
   def scratchDir(prefix: String): java.nio.file.Path = {
     scratchAllocs.incrementAndGet()
     val shm = java.nio.file.Paths.get("/dev/shm")
     val dir =
-      if (java.nio.file.Files.isWritable(shm))
+      if (shmUsable)
         java.nio.file.Files.createTempDirectory(shm, prefix)
       else java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -117,6 +117,105 @@ class BenchRefSuite extends AnyFunSuite {
     assert(Bench.crossoverBlock("") == "null")
   }
 
+  test("crossoverBlock rejects an interior garble (balanced-scan, r14 advice)") {
+    // Endpoints intact, interior broken: the old startsWith/endsWith
+    // check spliced these verbatim and the whole artifact line became
+    // unparseable.
+    assert(Bench.crossoverBlock("""{"a": 1, "b": {"c": 2}""" + "}}") == "null")
+    assert(Bench.crossoverBlock("""{"a": "unterminated}""") == "null")
+    assert(Bench.crossoverBlock("""{"a": ]{[ "b"}""") == "null")
+    // escapes inside strings must not confuse the scanner
+    assert(Bench.crossoverBlock("""{"a": "br{ce \" qu]te"}""")
+      == """{"a": "br{ce \" qu]te"}""")
+  }
+
+  test("jsonBalanced: matched structures pass, mismatched/unterminated fail") {
+    assert(Bench.jsonBalanced("""{"a":[1,2,{"b":[]}]}"""))
+    assert(!Bench.jsonBalanced("""{"a":[1,2}"""))      // wrong closer
+    assert(!Bench.jsonBalanced("""{"a":1"""))          // truncated
+    assert(!Bench.jsonBalanced("""{"a":1}}"""))        // extra closer
+    assert(!Bench.jsonBalanced("""{"a":"x}"""))        // unterminated string
+  }
+
+  test("stampFromJson reads both stamp forms and rejects non-hashes") {
+    assert(Bench.stampFromJson("""{"_mint_commit":"68305e9abc","q":1}""")
+      == Some("68305e9abc"))
+    assert(Bench.stampFromJson("""{"mint_commit": "0123456789abcdef0123456789abcdef01234567"}""")
+      == Some("0123456789abcdef0123456789abcdef01234567"))
+    assert(Bench.stampFromJson("""{"mint_commit":"HEAD"}""").isEmpty)
+    assert(Bench.stampFromJson("""{"q":1}""").isEmpty)
+  }
+
+  test("staleGiven: absent/unknown stamp or changed source is stale; artifact-only commits are not") {
+    val diff = Map(
+      "aaaaaaa" -> Some(Seq("src/main/scala/graft/Bench.scala")),
+      "bbbbbbb" -> Some(Seq.empty[String]),  // only NOTES/artifacts since
+      "ccccccc" -> None)                      // commit unknown to the repo
+    def d(s: String) = diff.getOrElse(s, None)
+    assert(Bench.staleGiven(None, d), "missing stamp must read stale")
+    assert(Bench.staleGiven(Some("aaaaaaa"), d), "changed src/main must read stale")
+    assert(!Bench.staleGiven(Some("bbbbbbb"), d),
+      "committing the minted file itself must NOT flag the evidence stale")
+    assert(Bench.staleGiven(Some("ccccccc"), d), "unknown commit must read stale")
+  }
+
+  test("mintStale against the live repo: HEAD is fresh, garbage is stale") {
+    // Integration leg (cwd = repo root under sbt): evidence minted at
+    // the CURRENT HEAD has no source drift by definition.
+    Bench.gitHead() match {
+      case Some(head) => assert(!Bench.mintStale(Some(head)))
+      case None => () // no git in this environment — pure pins above cover it
+    }
+    assert(Bench.mintStale(Some("0" * 40)), "unknown commit must read stale")
+    assert(Bench.mintStale(None))
+  }
+
+  test("scalesweepEmbed compacts to stamp+flagged+worst10 and nulls garble") {
+    val txt = """{"mint_commit":"abc1234","factor":10,
+      "flagged":["qx"],
+      "ratios":{"q1":1.5,"q2":11.2,"q3":0.4},
+      "base_s":{"q1":0.1,"q2":0.2,"q3":0.3}}"""
+    val e = Bench.scalesweepEmbed(txt)
+    assert(e.contains(""""mint_commit":"abc1234""""), e)
+    assert(e.contains(""""factor":10"""), e)
+    assert(e.contains(""""n":3"""), e)
+    assert(e.contains(""""flagged":["qx"]"""), e)
+    // worst-first ordering inside worst10
+    assert(e.indexOf("\"q2\"") < e.indexOf("\"q1\""), e)
+    assert(e.indexOf("\"q1\"") < e.indexOf("\"q3\""), e)
+    assert(Bench.jsonBalanced(e), s"embed itself must be balanced: $e")
+    assert(Bench.scalesweepEmbed("""{"factor":10}""") == "null") // no ratios
+    assert(Bench.scalesweepEmbed("""{"ratios":{"q":1}""") == "null") // truncated
+    assert(Bench.scalesweepEmbed("") == "null")
+  }
+
+  test("chooseSweep: quiet first pass stays; contaminated first yields to a quiet retry") {
+    import Bench.{SweepSummary => S}
+    // Validated both ways (r14 verdict #1 'done' criterion): a quiet
+    // first pass never spawned a second attempt — chooseSweep sees None.
+    assert(Bench.chooseSweep(S(20.0, contaminated = false, Some(100L), 0), None) == 1)
+    // The r14 scenario: high-steal contaminated first pass, quiet second.
+    assert(Bench.chooseSweep(
+      S(31.6, contaminated = true, Some(14678L), 16),
+      Some(S(23.1, contaminated = false, Some(641L), 0))) == 2)
+    // A contaminated RETRY never replaces a quiet first pass.
+    assert(Bench.chooseSweep(
+      S(23.1, contaminated = false, Some(641L), 0),
+      Some(S(20.0, contaminated = true, Some(9000L), 3))) == 1)
+    // Both contaminated: fewer suspect+over_ref flags wins...
+    assert(Bench.chooseSweep(
+      S(30.0, contaminated = true, Some(5000L), 10),
+      Some(S(31.0, contaminated = true, Some(6000L), 2))) == 2)
+    // ...then lower steal (unreadable steal is worst)...
+    assert(Bench.chooseSweep(
+      S(30.0, contaminated = true, None, 3),
+      Some(S(31.0, contaminated = true, Some(2000L), 3))) == 2)
+    // ...then lower total.
+    assert(Bench.chooseSweep(
+      S(30.0, contaminated = true, Some(2000L), 3),
+      Some(S(28.0, contaminated = true, Some(2000L), 3))) == 2)
+  }
+
   test("overRef needs BOTH >1.5x relative AND >80ms absolute") {
     val ref = Map("big" -> 1.0, "small" -> 0.04)
     assert(Bench.overRef(ref, "big", 1.6))       // 1.6x and +0.6 s
