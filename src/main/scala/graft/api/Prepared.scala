@@ -25,8 +25,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * call. For those `df` is just a fresh build.
   */
 object Prepared {
-  private val cache =
-    new graft.FitOnce[(SparkSession, String, String), DataFrame]
+  /** Keyed on the SESSION REFERENCE, not applicationId: `newSession()`/
+    * `cloneSession()` share one SparkContext (same applicationId) but
+    * carry their own conf and function registry, and a DataFrame is
+    * bound to the session that built it — an applicationId key would
+    * hand session B a plan that executes under session A's conf (r13
+    * advice). The outer key is WEAK and the cached DataFrames are held
+    * through WeakReferences — the same discipline as Tables.cache, and
+    * for the same reason: a DataFrame strongly references its session,
+    * so a strong value would pin the weak key forever (the documented
+    * WeakHashMap trap) and a serving host minting per-request
+    * `newSession()`s would accumulate one stratum per session for the
+    * JVM's lifetime (r14 verdict #5). A collected entry rebuilds via
+    * the (pure, repeat-invocation-silent — PreparedSuite) builder:
+    * driver-only work, no Spark jobs. Callers that time repeat
+    * executions (Bench, CrossoverProbe, ScaleSweep) pin the warm-built
+    * plans strongly for their sweep's duration so a GC can't inject a
+    * rebuild into a timed sample. */
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String),
+      java.lang.ref.WeakReference[DataFrame]]]()
+
+  private def stratum(spark: SparkSession) = cache.synchronized {
+    var m = cache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String),
+        java.lang.ref.WeakReference[DataFrame]]()
+      cache.put(spark, m)
+    }
+    m
+  }
 
   /** Builders with per-invocation side effects (the work IS the
     * query). DECLARED AT THE OWNING MODULE (r13 verdict: a future
@@ -40,18 +68,19 @@ object Prepared {
 
   /** The memoized (or, for side-effecting builders, fresh) DataFrame
     * for a SURVEY §2 query key. Thread-safe; concurrent first callers
-    * block on one fill (FitOnce). Keyed on the SESSION REFERENCE, not
-    * applicationId: `newSession()`/`cloneSession()` share one
-    * SparkContext (same applicationId) but carry their own conf and
-    * function registry, and a DataFrame is bound to the session that
-    * built it — an applicationId key would hand session B a plan that
-    * executes under session A's conf (r13 advice, medium). SparkSession
-    * has identity equality, so the reference IS the session identity;
-    * the cache pins the session for the JVM's lifetime, which is the
-    * prepared-statement contract anyway. */
+    * block on one fill (ConcurrentHashMap.compute holds the bin lock
+    * for the build, like FitOnce's computeIfAbsent). */
   def df(spark: SparkSession, sf: String, name: String): DataFrame = {
     val build = graft.SparkEntry.queries(name)
     if (sideEffecting(name)) build(spark, sf)
-    else cache((spark, sf, name))(build(spark, sf))
+    else {
+      var out: DataFrame = null
+      stratum(spark).compute((sf, name), (_, ref) => {
+        val live = if (ref == null) null else ref.get
+        out = if (live != null) live else build(spark, sf)
+        new java.lang.ref.WeakReference(out)
+      })
+      out
+    }
   }
 }

@@ -423,10 +423,20 @@ object Joins {
       .orderBy("l_returnflag")
   }
 
-  /** One conf-scoped clone per application, memoized: repeated bench /
-    * verify invocations must not mint a fresh session (plus its Tables
-    * cache entries) per call — the r6 unbounded-growth advisory. */
-  private val scopedSessionCache = new graft.FitOnce[String, SparkSession]
+  /** One conf-scoped clone per PARENT SESSION, memoized: repeated
+    * bench / verify invocations must not mint a fresh session (plus
+    * its Tables cache entries) per call — the r6 unbounded-growth
+    * advisory. Keyed on the parent session REFERENCE, not
+    * applicationId (r14 advice): two sessions sharing one SparkContext
+    * would otherwise share a single clone built from the FIRST
+    * caller's `newSession()`, so the second session's bloom query
+    * would run under the first session's inherited conf (bloom confs
+    * are explicit, but e.g. timezone is inherited). The key is weak
+    * and the clone holds no reference to its parent, so a discarded
+    * parent session's entry is collectable (Collections.synchronizedMap
+    * makes computeIfAbsent atomic under the map's single lock). */
+  private val scopedSessionCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   /** Scored wrapper. The returned DataFrame is deliberately BOUND to
     * the conf-scoped clone: a Dataset optimizes and executes under the
@@ -444,11 +454,11 @@ object Joins {
     // state) but owns its SQL conf — the bloom/broadcast overrides
     // can never leak into a query planned concurrently on the shared
     // session (r5 advisory).
-    val scoped = scopedSessionCache(spark.sparkContext.applicationId) {
-      val s = spark.newSession()
+    val scoped = scopedSessionCache.computeIfAbsent(spark, parent => {
+      val s = parent.newSession()
       bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
       s
-    }
+    })
     bloomJoinPlan(scoped, sf).orderBy("l_returnflag")
   }
 

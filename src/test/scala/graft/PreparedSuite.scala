@@ -46,6 +46,57 @@ class PreparedSuite extends SparkTestBase {
     assert(a.sparkSession eq spark, "original session lost its own binding")
   }
 
+  test("a discarded session's prepared stratum is collectable (serving-host leak guard)") {
+    // r14 verdict #5: the cache once held strong session keys for the
+    // JVM's lifetime — correct for the bench/verify processes, but a
+    // long-lived host minting `newSession()` per request (the serving
+    // pattern the API documents) would accumulate one stratum per
+    // session forever. Same weak-key/weak-value discipline as
+    // Tables.cache; this pins that a session used ONLY through the
+    // prepared surface becomes unreachable once the caller drops it.
+    def mint(): java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession] = {
+      val s = spark.newSession()
+      graft.functions.VectorExprs.register(s)
+      api.Prepared.df(s, sf, "agg_q1_pricing")
+      new java.lang.ref.WeakReference(s)
+    }
+    val ref = mint()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    var i = 0
+    while (ref.get != null && i < 100) { System.gc(); Thread.sleep(20); i += 1 }
+    assert(ref.get == null,
+      "prepared cache pinned a discarded session — a serving host " +
+        "minting per-request sessions would accumulate strata forever")
+  }
+
+  test("prepared lookups stay memoized while the caller holds the plan") {
+    // The weak-value flip side: memoization must still hold across a
+    // GC when the caller retains the DataFrame (the bench's warm-pin
+    // discipline) — a dropped-entry rebuild here would break `a eq b`.
+    val a = api.Prepared.df(spark, sf, "agg_q1_pricing")
+    System.gc()
+    val b = api.Prepared.df(spark, sf, "agg_q1_pricing")
+    assert(a eq b, "a GC evicted a prepared plan the caller still holds")
+  }
+
+  test("bloom's conf-scoped clone is per-parent-session (r14 advice)") {
+    // An applicationId-keyed clone cache would hand every session
+    // sharing the SparkContext a single clone built from the FIRST
+    // caller's newSession() — the same conflation hazard the prepared
+    // cache fixed. Two parents must get two clones, each a child of
+    // its own parent's context but a distinct session.
+    val s2 = spark.newSession()
+    graft.functions.VectorExprs.register(s2)
+    val d1 = operators.Joins.joinBloomPrune(spark, sf)
+    val d2 = operators.Joins.joinBloomPrune(s2, sf)
+    assert(!(d1.sparkSession eq d2.sparkSession),
+      "two parent sessions shared one conf-scoped bloom clone")
+    // and the clone is memoized per parent, not re-minted per call
+    val d1b = operators.Joins.joinBloomPrune(spark, sf)
+    assert(d1.sparkSession eq d1b.sparkSession,
+      "repeat bloom builds minted a fresh clone for the same parent")
+  }
+
   test("every UNdeclared builder is repeat-invocation-silent (the declaration-site convention)") {
     // The hazard (r13 verdict #2): a future write-path builder not in
     // its family's `sideEffecting` set would be memoized and its timed
@@ -57,10 +108,12 @@ class PreparedSuite extends SparkTestBase {
     val pure = (SparkEntry.queries.keySet -- api.Prepared.sideEffecting)
       .toSeq.sorted
     pure.foreach(n => SparkEntry.queries(n)(spark, sf))
-    // Drain the async listener bus: events from the warm loop still in
-    // the queue would be delivered to the listener added below and
-    // counted as measured-loop jobs.
-    Thread.sleep(3000)
+    // Drain the async listener bus deterministically (r14 advice: the
+    // former fixed sleeps could let a late-delivered warm-loop job
+    // event land inside the measured window under CI load): events
+    // still queued here would be delivered to the listener added below
+    // and counted as measured-loop jobs.
+    org.apache.spark.GraftTestHooks.drainListenerBus(spark.sparkContext)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -77,7 +130,8 @@ class PreparedSuite extends SparkTestBase {
         SparkEntry.queries(n)(spark, sf)
         n -> ((jobs.get - j0) + (Tables.scratchAllocs.get - s0))
       }
-      Thread.sleep(1000) // one bus drain for the whole sweep
+      // one deterministic bus drain for the whole sweep
+      org.apache.spark.GraftTestHooks.drainListenerBus(spark.sparkContext)
       perQuery.filter(_._2 > 0).map(_._1) ++
         (if (jobs.get > 0 || Tables.scratchAllocs.get > scratch0)
           Seq(s"(sweep total: jobs=${jobs.get}, " +
@@ -109,7 +163,7 @@ class PreparedSuite extends SparkTestBase {
     spark.sparkContext.addSparkListener(l)
     try {
       val again = memo.count()
-      Thread.sleep(500) // listener bus drain (no public waitUntilEmpty)
+      org.apache.spark.GraftTestHooks.drainListenerBus(spark.sparkContext)
       assert(again == fresh, "memoized result diverged from fresh build")
       // The anti-pattern this guards: re-using a cached QueryExecution
       // would let the scheduler skip completed shuffle map stages and
