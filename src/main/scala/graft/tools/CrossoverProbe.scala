@@ -29,10 +29,9 @@ import org.apache.spark.sql.functions._
   * the committed `crossover.json`, which graft.Bench embeds in the
   * scored artifact.
   *
-  * Caveats, by design: embedding copies are identical (top-k result
-  * degenerates to cross-copy sim=1.0 pairs; the all-pairs WORK both
-  * engines do is unchanged, which is what is timed), and documents'
-  * n_chars is not re-derived after salting (no timed shape reads it).
+  * Caveat, by design: embedding copies are cyclic shifts of the base
+  * vectors (norm-preserving, decorrelating); the all-pairs WORK both
+  * engines do is unchanged, which is what is timed.
   */
 object CrossoverProbe {
 
@@ -55,6 +54,27 @@ object CrossoverProbe {
     "nation" -> Seq.empty,
     "region" -> Seq.empty)
 
+  /** Column → owning entity (table, PK column). Every key column's
+    * per-copy stride derives from the OWNING entity's max — not from
+    * the referencing table's own max — so FK columns stay aligned with
+    * their PK tables even on a corpus with unreferenced entities
+    * (TPC-H's customers-without-orders shape: an FK-side max below the
+    * PK-side max would silently misalign cross-copy join targets and
+    * distort the scaling measurement — r14 advice). */
+  private val entityOf: Map[String, (String, String)] = Map(
+    "l_orderkey" -> ("orders", "o_orderkey"),
+    "l_partkey" -> ("part", "p_partkey"),
+    "l_suppkey" -> ("supplier", "s_suppkey"),
+    "o_orderkey" -> ("orders", "o_orderkey"),
+    "o_custkey" -> ("customer", "c_custkey"),
+    "c_custkey" -> ("customer", "c_custkey"),
+    "s_suppkey" -> ("supplier", "s_suppkey"),
+    "p_partkey" -> ("part", "p_partkey"),
+    "event_id" -> ("events", "event_id"),
+    "user_id" -> ("events", "user_id"),
+    "doc_id" -> ("documents", "doc_id"),
+    "vec_id" -> ("embeddings", "vec_id"))
+
   /** Per-copy document salt: append the copy tag to every 3rd word.
     * Exposed so PropertySuite can pin the instrument's invariants —
     * every 3-gram window salted (cross-copy shingle sets disjoint),
@@ -64,41 +84,60 @@ object CrossoverProbe {
   private[graft] val SaltPattern = "(\\S+ \\S+ )(\\S+) "
   private[graft] def saltReplacement(i: Int): String = s"$$1$$2c$i "
 
+  /** Salt one documents copy: append the copy tag to every 3rd WORD
+    * so every 3-gram shingle window differs across copies, while the
+    * salted vocabulary stays as diverse as the original. Two wrong
+    * salts were measured first: a trailing tag left cross-copy
+    * Jaccard ≈ 1 (near-dup pair output ×45 at ×10), and INSERTING one
+    * identical tag every 3 words made that tag ~25% of every doc's
+    * token mass — all copy-i simhashes collapsed into the same bands
+    * and the candidate stage went quadratic within each copy
+    * (llm_simhash_neardup 0.3 → 127 s at ×10). Word-suffix salting
+    * keeps token frequencies shaped like the base corpus; within-copy
+    * planted dups keep their relationship — both sides get the same
+    * pattern. n_chars is RE-DERIVED from the salted text (r14 verdict
+    * #4: ScaleSweep times n_chars consumers — llm_lang_filter,
+    * llm_quality_gate — over this corpus, and stale lengths would skew
+    * their ratios). Exposed for the PropertySuite invariant pins. */
+  private[graft] def saltDocs(d: DataFrame, i: Int): DataFrame = {
+    val salted = d.withColumn("text", regexp_replace(col("text"),
+      lit(SaltPattern), lit(saltReplacement(i))))
+    if (salted.columns.contains("n_chars"))
+      salted.withColumn("n_chars",
+        length(col("text")).cast(d.schema("n_chars").dataType))
+    else salted
+  }
+
   private def synthesize(spark: SparkSession, base: String, xDir: String,
       factor: Int, tables: Seq[(String, Seq[String])] = specs): Unit = {
     val done = java.nio.file.Paths.get(xDir, "_GRAFT_X_DONE")
     if (java.nio.file.Files.exists(done)) return
+    // One stride per ENTITY, read from the owning PK table in the base
+    // corpus (shared across every referencing column).
+    val strideOf = scala.collection.mutable.Map.empty[(String, String), Long]
+    def stride(c: String): Long = {
+      val owner = entityOf.getOrElse(c, throw new IllegalStateException(
+        s"no owning entity declared for key column $c — extend entityOf"))
+      strideOf.getOrElseUpdate(owner, {
+        val (tbl, pk) = owner
+        spark.read.parquet(s"$base/$tbl.parquet")
+          .agg(max(col(pk)).cast("long")).head.getLong(0) + 1L
+      })
+    }
     tables.foreach { case (name, offCols) =>
       val df = spark.read.parquet(s"$base/$name.parquet")
       val out =
         if (offCols.isEmpty) df // dims stay single-copy (TPC-H scaling)
         else {
-          val strides: Map[String, Long] = offCols.map { c =>
-            c -> (df.agg(max(col(c)).cast("long")).head.getLong(0) + 1L)
-          }.toMap
           (0 until factor).map { i =>
             var d = df
             offCols.foreach { c =>
               // Preserve the base column type (an int key + long lit
               // would widen the schema and change both engines' plans).
               d = d.withColumn(c,
-                (col(c) + lit(i * strides(c))).cast(df.schema(c).dataType)) }
+                (col(c) + lit(i * stride(c))).cast(df.schema(c).dataType)) }
             if (name == "documents" && i > 0)
-              // Append the copy tag to every 3rd WORD so every 3-gram
-              // shingle window differs across copies, while the salted
-              // vocabulary stays as diverse as the original. Two wrong
-              // salts were measured first: a trailing tag left
-              // cross-copy Jaccard ≈ 1 (near-dup pair output ×45 at
-              // ×10), and INSERTING one identical tag every 3 words
-              // made that tag ~25% of every doc's token mass — all
-              // copy-i simhashes collapsed into the same bands and the
-              // candidate stage went quadratic within each copy
-              // (llm_simhash_neardup 0.3 → 127 s at ×10). Word-suffix
-              // salting keeps token frequencies shaped like the base
-              // corpus; within-copy planted dups keep their
-              // relationship — both sides get the same pattern.
-              d = d.withColumn("text", regexp_replace(col("text"),
-                lit(SaltPattern), lit(saltReplacement(i))))
+              d = saltDocs(d, i)
             if (name == "embeddings" && i > 0)
               // Cyclic component shift per copy: norm-preserving and
               // decorrelating (identical copies made every cross-copy
@@ -119,11 +158,14 @@ object CrossoverProbe {
   private def timeShapes(spark: SparkSession, dir: String,
       shapes: Seq[String] = Shapes): Map[String, Double] = {
     // Warm pass: builder + analysis into the prepared cache + one
-    // execution (codegen/JIT for these plans on this corpus).
-    shapes.foreach { n =>
-      try graft.api.Prepared.df(spark, dir, n).count()
+    // execution (codegen/JIT for these plans on this corpus). The
+    // built plans are PINNED for the timed loop — the prepared cache
+    // holds them weakly (session-leak guard), and a GC between passes
+    // must not inject a rebuild into a timed sample.
+    val pin: Seq[DataFrame] = shapes.flatMap { n =>
+      try { val df = graft.api.Prepared.df(spark, dir, n); df.count(); Some(df) }
       catch { case e: Throwable =>
-        System.err.println(s"[crossover] warm $n failed: ${e.getMessage}") }
+        System.err.println(s"[crossover] warm $n failed: ${e.getMessage}"); None }
     }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
@@ -133,6 +175,7 @@ object CrossoverProbe {
         catch { case _: Throwable => false }
       if (ok) samples(n) ::= (System.nanoTime() - t0) / 1e9
     }
+    require(pin.length <= shapes.length) // keeps the pin live past the loop
     shapes.map(n => n ->
       (if (samples(n).isEmpty) -1.0 else samples(n).min)).toMap
   }
@@ -186,7 +229,12 @@ object CrossoverProbe {
     def j(m: Map[String, Double], ks: Seq[String]): String =
       ks.filter(m.contains).map(n => "\"" + n + "\":" + graft.Bench.fmt3(m(n)))
         .mkString("{", ",", "}")
-    val out = s"""{"base":"$base","factor":$factor,"x_dir":"$xDir",""" +
+    // Mint provenance (r14 verdict #2): the commit this binary was
+    // built from rides the file (and the merged crossover.json) so
+    // Bench can flag silently-stale evidence.
+    val mint = graft.Bench.gitHead()
+      .map(h => s""""mint_commit":"$h",""").getOrElse("")
+    val out = s"""{$mint"base":"$base","factor":$factor,"x_dir":"$xDir",""" +
       s""""factor2":$factor2,"x2_dir":"$x2Dir",""" +
       s""""protocol":"prepared count(), warm+min-of-3, local[32] bench config",""" +
       s""""spark_x1":${j(t1, Shapes)},"spark_xN":${j(tN, Shapes)},""" +

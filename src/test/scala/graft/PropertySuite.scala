@@ -866,4 +866,24 @@ class PropertySuite extends SparkTestBase {
       "salt must not collapse distinct words onto one token")
   }
 
+  test("crossover salt re-derives n_chars from the salted text (r14 verdict #4)") {
+    // The ×N corpus is a load-bearing instrument and ScaleSweep times
+    // n_chars consumers (llm_lang_filter, llm_quality_gate) over it —
+    // a salted copy carrying the BASE corpus's lengths would compute
+    // their ×N ratios on stale values. Pin: on a salted sample of the
+    // real documents table, n_chars == length(text) exactly, and the
+    // column keeps its physical type.
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = Tables.documents(spark, sf).limit(50)
+    val salted = graft.tools.CrossoverProbe.saltDocs(docs, 3)
+    assert(salted.schema("n_chars").dataType == docs.schema("n_chars").dataType,
+      "salting must not widen/narrow the n_chars column type")
+    val wrong = salted.filter(col("n_chars") =!= length(col("text"))).count()
+    assert(wrong == 0, s"$wrong salted rows carry stale n_chars")
+    // and the salt really changed the text (the guard is armed)
+    val changed = salted.select("text").collect().map(_.getString(0)).toSet !=
+      docs.select("text").collect().map(_.getString(0)).toSet
+    assert(changed, "salt sample left every text unchanged — the pin is unarmed")
+  }
+
 }

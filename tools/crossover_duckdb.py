@@ -83,6 +83,10 @@ def main():
     out = {
         "claim": ("the >2x-at-sf0.1 shapes are fixed-cost-bound in Spark; "
                    "their ratio collapses as the corpus grows"),
+        # Mint provenance stamped by CrossoverProbe (the Spark binary's
+        # commit) — carried through the merge so graft.Bench can flag a
+        # silently-stale committed crossover.json.
+        "mint_commit": spark.get("mint_commit"),
         "base": base, "factor": factor,
         "protocol": {
             "spark": spark["protocol"],
