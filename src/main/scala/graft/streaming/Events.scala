@@ -52,13 +52,27 @@ object Events {
       .orderBy("hour_start", "event_type")
   }
 
-  /** 1 h window sliding every 15 min — each event lands in 4 windows. */
-  def evSliding(spark: SparkSession, sf: String): DataFrame =
+  /** 1 h window sliding every 15 min — each event lands in exactly 4
+    * windows (the length is exactly 4 slides, so the containing window
+    * starts are slideFloor(t) − k·slide for k∈0..3, always 4 of them).
+    * Kept in primitive integer µs end-to-end — explode a 0..3 sequence
+    * and aggregate on a LONG window-start key, converting to timestamp
+    * once per OUTPUT row — rather than `window(ts2, …)`'s Expand over a
+    * struct-of-timestamps key (the ev_tumbling per-row-conversion
+    * discipline, r14; SlidingProbe A/B: 0.187→0.152 s at sf0.1,
+    * 0.196→0.168 s at ×10, arms asserted row-identical on both corpora
+    * before timing). `div` floor semantics are exact here: corpus
+    * timestamps are post-epoch. */
+  def evSliding(spark: SparkSession, sf: String): DataFrame = {
+    val slideUs = 900000000L // 15 min
     Tables.events(spark, sf)
-      .groupBy(window(col("ts2"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(ntz(col("window.start")).as("w_start"), col("cnt"))
+      .select(expr(s"(ts div 1000) div $slideUs * $slideUs").as("slide_us"))
+      .select(explode(sequence(lit(0), lit(3))).as("k"), col("slide_us"))
+      .select((col("slide_us") - col("k") * lit(slideUs)).as("w_us"))
+      .groupBy("w_us").agg(count(lit(1)).as("cnt"))
+      .select(ntz(timestamp_micros(col("w_us"))).as("w_start"), col("cnt"))
       .orderBy("w_start")
+  }
 
   /** 30-minute-gap sessionization per user. session_window.end is
     * last-event + gap, matching the lag/cumsum CTE oracle. */
