@@ -216,6 +216,27 @@ class BenchRefSuite extends AnyFunSuite {
       Some(S(28.0, contaminated = true, Some(2000L), 3))) == 2)
   }
 
+  test("committed evidence files are well-formed and stamped") {
+    // The artifact-integrity complement of the staleness machinery: a
+    // garbled or stamp-less committed evidence file would ride every
+    // sweep of the round as null/stale. Guards the commit, not the
+    // mint (cwd = repo root under sbt).
+    def read(p: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    for (p <- Seq("crossover.json", "scalesweep.json", "bench_ref.json")) {
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+        s"$p missing — re-mint it (CrossoverProbe+crossover_duckdb.py / " +
+          "ScaleSweep / Bench REF_OUT)")
+      val txt = read(p)
+      assert(Bench.jsonBalanced(txt), s"$p is structurally garbled")
+      assert(Bench.stampFromJson(txt).nonEmpty, s"$p carries no mint stamp")
+    }
+    assert(Bench.crossoverBlock(read("crossover.json")) != "null")
+    assert(Bench.scalesweepEmbed(read("scalesweep.json")) != "null")
+    assert(Bench.parseRef(read("bench_ref.json")).size > 150,
+      "bench_ref.json lost its per-query entries")
+  }
+
   test("overRef needs BOTH >1.5x relative AND >80ms absolute") {
     val ref = Map("big" -> 1.0, "small" -> 0.04)
     assert(Bench.overRef(ref, "big", 1.6))       // 1.6x and +0.6 s
