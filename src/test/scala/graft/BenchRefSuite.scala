@@ -235,6 +235,18 @@ class BenchRefSuite extends AnyFunSuite {
     assert(Bench.scalesweepEmbed(read("scalesweep.json")) != "null")
     assert(Bench.parseRef(read("bench_ref.json")).size > 150,
       "bench_ref.json lost its per-query entries")
+    // The committed scalesweep must cover the CURRENT inventory — a
+    // file minted against a stale query set would silently audit the
+    // wrong engine. (ratios is the first {...} map in the file whose
+    // keys are query names; parseRef reads exactly that object.)
+    val ssTxt = read("scalesweep.json")
+    val ratStart = ssTxt.indexOf("\"ratios\":{")
+    val ratios = Bench.parseRef(
+      ssTxt.substring(ratStart, ssTxt.indexOf('}', ratStart) + 1))
+    assert(ratios.keySet == SparkEntry.queries.keySet,
+      s"scalesweep.json inventory drift — missing: ${
+        (SparkEntry.queries.keySet -- ratios.keySet).toSeq.sorted}; " +
+        s"extra: ${(ratios.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
   }
 
   test("overRef needs BOTH >1.5x relative AND >80ms absolute") {
