@@ -546,6 +546,21 @@ class PlanSuite extends SparkTestBase {
       s"sampling filter must not shuffle, found $exchanges exchanges:\n$p")
   }
 
+  test("ev_sliding aggregates on a long key with no Expand or per-input-row timestamp work") {
+    // The r15 A/B win (SlidingProbe: window()'s struct-keyed Expand →
+    // integer-µs explode, 0.187→0.152 s at sf0.1): the plan must keep
+    // the hot path in primitive longs — no Expand node, no
+    // struct-of-timestamps grouping key; the single timestamp
+    // conversion happens above the aggregate (per OUTPUT row).
+    val exec = streaming.Events.evSliding(spark, sf).queryExecution
+    val p = exec.executedPlan.toString
+    assert(!p.contains("Expand"), "sliding windows regressed to window()'s Expand")
+    assert(p.contains("Generate explode"),
+      "the 4-slide explode vanished — wrong sliding formulation")
+    assert("keys=\\[w_us".r.findFirstIn(p).nonEmpty,
+      "aggregate must group on the long window-start key, not a struct")
+  }
+
   test("seq_pack is one partitioned window shuffle plus the result sort") {
     val p = plan(llm.Curation.seqPack(spark, sf))
     val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
