@@ -144,6 +144,35 @@ object Bench {
       s""""flagged":$flagged,"worst10":$worst}"""
   }
 
+  /** Single-thread CPU calibration kernel: a fixed xorshift64* loop
+    * whose checksum is asserted (no dead-code elimination, no input
+    * dependence). Motivation (r15, measured): the same binary read
+    * 23.4 → 27.1 s across one day with ZERO recorded steal — memory-
+    * bandwidth/LLC noisy-neighbor drift the steal counter cannot see.
+    * The kernel's time rides the artifact ("calib_s") and the minted
+    * reference ("_calib_s", parseRef-inert), so a reader can divide
+    * uniform sweep slowness into box drift vs binary regression.
+    * Advisory only — no trigger keys off it (a uniform-drift trigger
+    * would mask genuine whole-inventory regressions behind any
+    * coincident drift). */
+  def calibKernel(): Double = {
+    def once(): (Double, Long) = {
+      var x = 0x9e3779b97f4a7c15L; var acc = 0L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        acc += x * 0x2545f4914f6cdd1dL
+        i += 1
+      }
+      ((System.nanoTime() - t0) / 1e9, acc)
+    }
+    val warm = once() // JIT warm
+    require(warm._2 != 0L)
+    val runs = Seq(once(), once(), once())
+    require(runs.map(_._2).distinct.size == 1, "calibration kernel nondeterministic")
+    runs.map(_._1).min
+  }
+
   /** One timed sweep's verdict surface, for the retry decision. */
   final case class SweepSummary(total: Double, contaminated: Boolean,
     steal: Option[Long], flaggedN: Int)
@@ -433,6 +462,12 @@ object Bench {
       try { val df = graft.api.Prepared.df(spark, sfDir, n); df.count(); Some(df) }
       catch { case _: Throwable => None }
     }
+    // Box-speed calibration (advisory): timed OUTSIDE the sweep
+    // windows, compared against the reference's `_calib_s` stamp.
+    val calib = try calibKernel() catch { case _: Throwable => -1.0 }
+    val calibRef: Option[Double] =
+      refTxt.flatMap("\"_calib_s\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(_))
+        .map(_.group(1).toDouble)
 
     /** One full timed sweep: two interleaved passes, a third for
       * sub-0.3 s entries, the end-of-sweep retime pass, and the
@@ -678,6 +713,8 @@ object Bench {
       s""""crossover_commit":${jstr(xStamp)},"crossover_stale":${mintStale(xStamp)},""" +
       s""""scalesweep_stale":${mintStale(ssStamp)},""" +
       s""""scratch_tier":"$scratchTier",""" +
+      s""""calib_s":${fmt3(calib)},""" +
+      s""""calib_ref":${calibRef.map(fmt3).getOrElse("null")},""" +
       s""""prepared_pinned":${warmPin.size},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""steal_jiffies":$stealDelta,"cpus":$cpus"""
@@ -721,6 +758,7 @@ object Bench {
           // "_"-prefixed keys, so neither the forced flag nor the mint
           // commit ever arms a trigger or joins ratchet totals.
           val prov = gitHead().map(h => s""""_mint_commit":"$h"""").toSeq ++
+            (if (calib > 0) Seq(s""""_calib_s":${fmt3(calib)}""") else Seq.empty) ++
             (if (refForce) Seq(""""_ref_forced":1""") else Seq.empty)
           val body = (prov ++ results.collect { case (k, v) if v >= 0 =>
             s""""$k":${fmt3(v)}""" }).mkString("{", ",", "}\n")

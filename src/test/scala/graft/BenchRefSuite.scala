@@ -216,6 +216,15 @@ class BenchRefSuite extends AnyFunSuite {
       Some(S(28.0, contaminated = true, Some(2000L), 3))) == 2)
   }
 
+  test("calibration kernel is deterministic and parseRef-inert in the ref") {
+    // The kernel itself asserts checksum stability across runs; here:
+    // it produces a positive time, and its ref stamp (underscore key)
+    // never enters the trigger map.
+    val t = Bench.calibKernel()
+    assert(t > 0.0 && t < 60.0, s"calibration kernel time out of range: $t")
+    assert(Bench.parseRef("""{"_calib_s":0.481,"q":0.5}""") == Map("q" -> 0.5))
+  }
+
   test("committed evidence files are well-formed and stamped") {
     // The artifact-integrity complement of the staleness machinery: a
     // garbled or stamp-less committed evidence file would ride every
