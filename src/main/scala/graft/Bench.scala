@@ -468,6 +468,16 @@ object Bench {
     val calibRef: Option[Double] =
       refTxt.flatMap("\"_calib_s\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(_))
         .map(_.group(1).toDouble)
+    // The CPU config the reference was minted under (parseRef-inert
+    // stamp, like _calib_s). Motivation: a cpus=4 run against a
+    // cpus=32-minted ref reads over_ref→contaminated by DESIGN (the
+    // two configs differ ~15% on this box), but without the stamp the
+    // artifact reader cannot tell those flags from a real regression —
+    // exactly what happened in the r15 degraded-window sweep
+    // (cpus:4, over_ref 2, steal only 701).
+    val refCpus: Option[String] =
+      refTxt.flatMap("\"_cpus\"\\s*:\\s*([0-9]+)".r.findFirstMatchIn(_))
+        .map(_.group(1))
 
     /** One full timed sweep: two interleaved passes, a third for
       * sub-0.3 s entries, the end-of-sweep retime pass, and the
@@ -715,6 +725,7 @@ object Bench {
       s""""scratch_tier":"$scratchTier",""" +
       s""""calib_s":${fmt3(calib)},""" +
       s""""calib_ref":${calibRef.map(fmt3).getOrElse("null")},""" +
+      s""""ref_cpus":${refCpus.getOrElse("null")},""" +
       s""""prepared_pinned":${warmPin.size},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""steal_jiffies":$stealDelta,"cpus":$cpus"""
@@ -759,6 +770,7 @@ object Bench {
           // commit ever arms a trigger or joins ratchet totals.
           val prov = gitHead().map(h => s""""_mint_commit":"$h"""").toSeq ++
             (if (calib > 0) Seq(s""""_calib_s":${fmt3(calib)}""") else Seq.empty) ++
+            (if (cpus.forall(_.isDigit)) Seq(s""""_cpus":$cpus""") else Seq.empty) ++
             (if (refForce) Seq(""""_ref_forced":1""") else Seq.empty)
           val body = (prov ++ results.collect { case (k, v) if v >= 0 =>
             s""""$k":${fmt3(v)}""" }).mkString("{", ",", "}\n")

@@ -92,6 +92,12 @@ class BenchRefSuite extends AnyFunSuite {
     val m = Bench.parseRef("""{"_ref_forced":1,"q1":0.5}""")
     assert(m == Map("q1" -> 0.5),
       "a provenance stamp must never arm a trigger or join ratchet totals")
+    // _cpus (the mint-config stamp) is likewise parseRef-inert: a
+    // cpus=4 run against a cpus=32-minted ref reads over_ref by
+    // design, and the stamp exists so the artifact can SAY so
+    // ("ref_cpus") — it must never join the query-time maps itself.
+    assert(Bench.parseRef("""{"_cpus":32,"_calib_s":0.31,"q1":0.5}""")
+      == Map("q1" -> 0.5))
   }
 
   test("fmt3 writes dot decimals under a comma-decimal default locale") {
