@@ -48,19 +48,28 @@ object GraftOps {
 
   /** Rolling 31-bit polynomial hash of a string SQL expression —
     * engine-portable (plain integer arithmetic; xxhash64 is
-    * Spark-only). */
-  private def rollHash(sqlStr: String, mult: Int): String =
+    * Spark-only). Interpreted HOF form, kept as the executable
+    * specification the native [[graft.functions.VectorExprs.RollHash]]
+    * is pinned bit-equal to (PropertySuite). */
+  private[graft] def rollHashHof(sqlStr: String, mult: Int): String =
     s"aggregate(transform(split($sqlStr, ''), c -> cast(ascii(c) as bigint)), " +
       s"cast(0 as bigint), (a, b) -> (a * $mult + b) % 2147483647)"
 
   /** Whole-text rolling-hash fingerprint dedup groups:
-    * (fp, keeper_id, cnt), keeper = min id per fingerprint. */
+    * (fp, keeper_id, cnt), keeper = min id per fingerprint. The hash
+    * is the native one-pass RollHash expression (codegen'd; the
+    * interpreted HOF fold ran ~3 lambda evals per character and was
+    * this operator's hot path — r16 stack samples put >60% of its
+    * executor CPU inside StringSplit/ArrayAggregate/Ascii eval). */
   def fingerprintDedup(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), expr(rollHash(textCol, 31)).as("fp"))
+      textCol: String): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        expr(s"graft_rollhash($textCol, 31)").as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("cnt"))
       .orderBy("keeper_id")
+  }
 
   /** 62-bit SimHash fingerprint (two 31-bit halves, multipliers
     * 31/131) over the token bag: (doc_id, sh_lo, sh_hi). Near-dup

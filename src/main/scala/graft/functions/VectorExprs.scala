@@ -370,6 +370,42 @@ object VectorExprs {
       copy(c)
   }
 
+  /** Static eval body of [[RollHash]] — called from generated code.
+    * One pass over the code points: h = fold(chars,
+    * (a, c) => (a*mult + cp(c)) mod (2^31-1)), identical to the
+    * interpreted `aggregate(transform(split(text,''), ascii), ...)`
+    * HOF fold (and the DuckDB list_reduce oracle) without
+    * materializing a per-character array through thousands of
+    * interpreted lambda calls per document. Code-point iteration (not
+    * bytes) keeps the semantics of ascii()-per-character on any
+    * input; empty text folds to the 0 seed, like the HOF. */
+  def rollHashEval(str: UTF8String, mult: Int): Long = {
+    val s = str.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Whole-text polynomial rolling hash mod 2^31-1 — the native twin
+    * of the per-character HOF fold (see [[rollHashEval]]); `right` is
+    * the multiplier (31/131 in this library). */
+  case class RollHash(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      rollHashEval(l.asInstanceOf[UTF8String], r.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (s, m) =>
+        s"${ev.value} = graft.functions.VectorExprs.rollHashEval($s, $m);")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   /** Static eval body of [[RademacherBucket]] — called from generated
     * code. */
   def rademacherBucketEval(v: ArrayData): Long = {
@@ -689,7 +725,8 @@ object VectorExprs {
     "graft_wordshingle_hashes" ->
       (exprs => WordShingleHashes(exprs(0), exprs(1))),
     "graft_rademacher_bucket" -> (exprs => RademacherBucket(exprs.head)),
-    "graft_simhash62" -> (exprs => SimHash62(exprs.head))
+    "graft_simhash62" -> (exprs => SimHash62(exprs.head)),
+    "graft_rollhash" -> (exprs => RollHash(exprs(0), exprs(1)))
   )
 
   /** Register as SQL temp functions (idempotent, per session).

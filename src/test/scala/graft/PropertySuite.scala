@@ -180,6 +180,24 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad docs where native simhash != HOF simhash")
   }
 
+  test("native rolling hash equals the interpreted HOF fold") {
+    // RollHash is the fingerprint family's hash; the HOF text below is
+    // the executable spec the DuckDB oracle also evaluates
+    // (list_reduce over ascii(c)). Both multipliers, plus the
+    // empty-string seed case.
+    graft.functions.VectorExprs.register(spark)
+    val bad = Tables.documents(spark, sf)
+      .select(col("text"))
+      .unionAll(spark.sql("SELECT '' AS text"))
+      .filter(
+        expr(s"graft_rollhash(text, 31)") =!=
+          expr(api.GraftOps.rollHashHof("text", 31)) ||
+        expr(s"graft_rollhash(text, 131)") =!=
+          expr(api.GraftOps.rollHashHof("text", 131)))
+      .count()
+    assert(bad == 0, s"$bad docs where native rollhash != HOF rollhash")
+  }
+
   test("native Rademacher bucket equals the interpreted HOF bucket") {
     graft.functions.VectorExprs.register(spark)
     val bad = Tables.embeddings(spark, sf)
