@@ -67,6 +67,32 @@ object Graph {
       degrees(spark, sf).count()
     }
 
+  /** Bidirectional adjacency with the SOURCE node's degree attached
+    * (u, v, dg) — the layout iterative propagation serves from,
+    * checkpointed once per (session, sf) like the edge/degree tables
+    * it joins. Attaching dg costs one long per directed edge on disk
+    * and removes the rank⋈degree node-grain join from EVERY PageRank
+    * iteration: the per-edge contribution (pr·85) div (100·dg) is a
+    * pure function of (pr, dg), so evaluating it edge-side is
+    * bit-identical to the node-side pre-divide (floor of the same
+    * integers), and each iteration collapses to broadcast(rank) ⋈ adj
+    * → one keyed sum. The standard adjacency-with-metadata layout any
+    * Pregel-style engine builds once and iterates against. */
+  private val adjCache = new graft.FitOnce[(String, String), String]
+
+  private def adjacency(spark: SparkSession, sf: String): DataFrame = {
+    val p = adjCache((spark.sparkContext.applicationId, sf)) {
+      val path = Tables.scratchDir("graft_adj_").resolve("adj").toString
+      val e0 = edges(spark, sf)
+      e0.select(col("x").as("u"), col("y").as("v"))
+        .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
+        .join(degrees(spark, sf), "u")
+        .write.parquet(path)
+      path
+    }
+    Tables.readCached(spark, p)
+  }
+
   private def edges(spark: SparkSession, sf: String): DataFrame = {
     val p = edgeCache((spark.sparkContext.applicationId, sf)) {
         val path = Tables.scratchDir("graft_edges_").resolve("edges").toString
@@ -158,30 +184,28 @@ object Graph {
     * PlanSuite can pin the plan on BOTH sides of the threshold. */
   private[graft] def pagerankPlan(spark: SparkSession, sf: String,
       broadcastNodeCap: Long): DataFrame = {
-    val e0 = edges(spark, sf)
-    val bidir = e0.select(col("x").as("u"), col("y").as("v"))
-      .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
-    val deg = degrees(spark, sf)
-    val init = deg.select(col("u").as("n"), lit(1000000000000L).as("pr"))
+    val adj = adjacency(spark, sf)
+    val init = degrees(spark, sf)
+      .select(col("u").as("n"), lit(1000000000000L).as("pr"))
     // The gate decision reads the memoized per-(session, sf) node
     // count — a parquet-footer rowcount of the degree checkpoint the
     // FIRST time any PageRank query is built in this session, zero
     // jobs after that.
     val nNodes = nodeCount(spark, sf)
     // Each iteration: the rank vector (node-grain — 3 orders smaller
-    // than edges) joins degrees, is pre-divided once per NODE (not per
-    // edge), and — when the node count clears the size gate —
-    // broadcasts onto the edge scan, so the checkpointed edge list
-    // streams map-side and the only shuffle is the partial-agg combine
-    // of contributions. Past the gate the hint is NOT applied: the
-    // same fold runs as a plain equi-join under AQE — still one
-    // shuffle per iteration, never a forced over-cap broadcast.
+    // than edges) — when the node count clears the size gate —
+    // broadcasts onto the degree-attached adjacency scan, the per-edge
+    // contribution (pr·85) div (100·dg) evaluates inside the fused
+    // scan-join stage (bit-identical to a node-side pre-divide), and
+    // the only shuffle is the partial-agg combine of contributions.
+    // Past the gate the hint is NOT applied: the same fold runs as a
+    // plain equi-join under AQE — still one shuffle per iteration,
+    // never a forced over-cap broadcast.
     val ranks = (1 to 3).foldLeft(init) { (pr, _) =>
-      val contrib = pr.join(deg.withColumnRenamed("u", "n"), "n")
-        .select(col("n").as("u"),
-          expr("(pr * 85) div (100 * dg)").as("contrib"))
-      val gated = if (nNodes <= broadcastNodeCap) broadcast(contrib) else contrib
-      bidir.join(gated, "u")
+      val vec = pr.select(col("n").as("u"), col("pr"))
+      val gated = if (nNodes <= broadcastNodeCap) broadcast(vec) else vec
+      adj.join(gated, "u")
+        .select(col("v"), expr("(pr * 85) div (100 * dg)").as("contrib"))
         .groupBy(col("v")).agg(sum(col("contrib")).as("c"))
         .select(col("v").as("n"), (col("c") + lit(150000000000L)).as("pr"))
     }
