@@ -250,14 +250,14 @@ class PlanSuite extends SparkTestBase {
     //  - streaming entries EXECUTE the stream when called;
     //  - the source/sink round-trip + maintenance demos write files
     //    (the write IS the demo: csv/jsonl/text/orc round-trips,
-    //    compaction, upsert-merge, schema evolution, corrupt-read).
+    //    compaction, upsert-merge). The corrupt/evolution/partitioned
+    //    reads serve from fit-once layouts since r16 and are audited.
     val streaming = Set("ev_tumbling_stream", "ev_append_stream",
       "ev_session_stream", "ev_custom_session_stream", "ev_join_stream",
       "ev_dedup_stream", "ev_enrich_stream", "ev_upsert_stream")
     val writeDemos = Set("scan_text_roundtrip", "scan_csv_roundtrip",
       "scan_jsonl_roundtrip", "scan_orc_roundtrip", "scan_compact",
-      "scan_upsert_merge", "scan_schema_evolution",
-      "scan_corrupt_tolerant",
+      "scan_upsert_merge",
       // Eager-materialize demos: the result is computed under a
       // conf-scoped plan (runtime bloom / DPP layout) and read back —
       // execution at construction is the declared semantics.
