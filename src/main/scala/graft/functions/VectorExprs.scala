@@ -406,6 +406,184 @@ object VectorExprs {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** Decoded marker model for [[MarkerHits]]: token → bitmask of the
+    * candidate-language indices (model order) whose marker set
+    * contains it. Keys are cloned (the map outlives the input row
+    * buffer); the original (lang, toks) content is kept for the
+    * per-thread cache's full-content identity check. */
+  final class MarkerModel(model: ArrayData) {
+    val n: Int = model.numElements()
+    require(n <= 64, "marker model supports at most 64 candidate languages")
+    private val langs = new Array[UTF8String](n)
+    private val toks = new Array[Array[UTF8String]](n)
+    val map = new java.util.HashMap[UTF8String, java.lang.Long]()
+    locally {
+      var i = 0
+      while (i < n) {
+        val st = model.getStruct(i, 2)
+        langs(i) = st.getUTF8String(0).clone()
+        val ta = st.getArray(1)
+        val m = ta.numElements()
+        val arr = new Array[UTF8String](m)
+        var t = 0
+        while (t < m) {
+          val tok = ta.getUTF8String(t).clone()
+          arr(t) = tok
+          val prev = map.get(tok)
+          val bit = java.lang.Long.valueOf(
+            if (prev eq null) 1L << i else prev.longValue() | (1L << i))
+          map.put(tok, bit)
+          t += 1
+        }
+        toks(i) = arr
+        i += 1
+      }
+    }
+    def sameAs(other: ArrayData): Boolean = {
+      if (other.numElements() != n) return false
+      var i = 0
+      while (i < n) {
+        val st = other.getStruct(i, 2)
+        if (st.getUTF8String(0) != langs(i)) return false
+        val ta = st.getArray(1)
+        val m = toks(i).length
+        if (ta.numElements() != m) return false
+        var t = 0
+        while (t < m) {
+          if (ta.getUTF8String(t) != toks(i)(t)) return false
+          t += 1
+        }
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Per-thread decoded marker-model cache — same discipline as the
+    * packed-cosine [[tlTable]]: the cache lives outside the immutable
+    * expression tree, full-content identity check, task-scoped
+    * lifetime. */
+  private val tlMarkers = new ThreadLocal[MarkerModel]
+
+  private def markerModelFor(model: ArrayData): MarkerModel = {
+    var m = tlMarkers.get()
+    if ((m eq null) || !m.sameAs(model)) {
+      m = new MarkerModel(model)
+      tlMarkers.set(m)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => tlMarkers.remove())
+    }
+    m
+  }
+
+  /** Static eval body of [[MarkerHits]] — called from generated code
+    * on the non-foldable-model path. Tokenization is
+    * split-on-single-space with limit -1 (interior AND trailing empty
+    * segments kept, matching `split(text, ' ')` and DuckDB
+    * string_split), scanning raw UTF-8 bytes: 0x20 only ever encodes
+    * the space character, so byte scanning is exact on any input. One
+    * hash probe per token instance; counts are bag-identical to
+    * explode(split) ⋈ markers → count per lang. */
+  def markerHitsEval(text: UTF8String, model: ArrayData): ArrayData =
+    markerHitsCount(text, markerModelFor(model))
+
+  /** The counting kernel against an already-decoded model. */
+  def markerHitsCount(text: UTF8String, m: MarkerModel): ArrayData = {
+    val counts = new Array[Int](m.n)
+    val bytes = text.getBytes
+    val len = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        val mask = m.map.get(UTF8String.fromBytes(bytes, start, i - start))
+        if (mask ne null) {
+          var b = mask.longValue()
+          while (b != 0L) {
+            counts(java.lang.Long.numberOfTrailingZeros(b)) += 1
+            b &= b - 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** Per-language marker-hit counts of a text against a packed marker
+    * model (`array<struct<lang, toks>>`) — the native twin of the
+    * explode(split(text,' ')) ⋈ markers per-(doc, lang) count (see
+    * [[markerHitsEval]]): one byte pass over the text, counts in
+    * model order.
+    *
+    * A FOLDABLE model child (the langid serving shape: the fitted
+    * model ships as a plan literal) is decoded ONCE per (de)serialized
+    * expression instance and the generated code skips both the per-row
+    * literal evaluation and the per-thread cache's full-content
+    * identity check (~100 short-string compares per row — 21% of the
+    * serving scan in r16 stack samples). A non-foldable model (e.g. a
+    * broadcast-joined column) takes the thread-local decode-cache
+    * path, same discipline as the packed-cosine kernels. */
+  case class MarkerHits(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+
+    /** Decoded once per instance when the model is a compile-time
+      * constant; null when the model is non-foldable or folds to null.
+      * Lazy-val init is synchronized, so cross-thread sharing of the
+      * expression instance is safe; executors re-decode once after
+      * deserialization. */
+    @transient private lazy val staticModel: MarkerModel =
+      if (!right.foldable) null
+      else right.eval(InternalRow.empty) match {
+        case null => null
+        case v => new MarkerModel(v.asInstanceOf[ArrayData])
+      }
+
+    /** Foldable-path entry for generated code. */
+    def hitsFor(text: UTF8String): ArrayData =
+      markerHitsCount(text, staticModel)
+
+    override def eval(input: InternalRow): Any = {
+      val t = left.eval(input)
+      if (t == null) return null
+      if (right.foldable) {
+        if (staticModel eq null) return null
+        return markerHitsCount(t.asInstanceOf[UTF8String], staticModel)
+      }
+      val mk = right.eval(input)
+      if (mk == null) null
+      else markerHitsEval(t.asInstanceOf[UTF8String], mk.asInstanceOf[ArrayData])
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      markerHitsEval(l.asInstanceOf[UTF8String], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      if (!right.foldable)
+        return nullSafeCodeGen(ctx, ev, (t, mk) =>
+          s"${ev.value} = graft.functions.VectorExprs.markerHitsEval($t, $mk);")
+      val leftGen = left.genCode(ctx)
+      val ref = ctx.addReferenceObj("markerHits", this,
+        classOf[MarkerHits].getName)
+      val modelNull = staticModel eq null
+      val javaType = CodeGenerator.javaType(dataType)
+      ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (${if (modelNull) "false" else s"!${leftGen.isNull}"}) {
+          ${ev.value} = $ref.hitsFor(${leftGen.value});
+          ${ev.isNull} = false;
+        }""")
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   /** Static eval body of [[RademacherBucket]] — called from generated
     * code. */
   def rademacherBucketEval(v: ArrayData): Long = {
@@ -726,7 +904,8 @@ object VectorExprs {
       (exprs => WordShingleHashes(exprs(0), exprs(1))),
     "graft_rademacher_bucket" -> (exprs => RademacherBucket(exprs.head)),
     "graft_simhash62" -> (exprs => SimHash62(exprs.head)),
-    "graft_rollhash" -> (exprs => RollHash(exprs(0), exprs(1)))
+    "graft_rollhash" -> (exprs => RollHash(exprs(0), exprs(1))),
+    "graft_marker_hits" -> (exprs => MarkerHits(exprs(0), exprs(1)))
   )
 
   /** Register as SQL temp functions (idempotent, per session).

@@ -180,6 +180,59 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad docs where native simhash != HOF simhash")
   }
 
+  test("native marker-hit counts equal the exploded-join count spec") {
+    // MarkerHits is langid's serving kernel; the executable spec is
+    // the explode(split(text,' ')) ⋈ markers per-(doc, lang) instance
+    // count it replaced (and which the DuckDB oracle still runs).
+    // Edge rows force the tokenizer corners: empty text (one empty
+    // token), leading/double/trailing spaces (interior and trailing
+    // empty segments kept — split limit -1 semantics), a token shared
+    // by two languages' marker sets, and the empty token AS a marker.
+    graft.functions.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionAll(spark.sql("SELECT CAST(-1 AS BIGINT), ''"))
+      .unionAll(spark.sql("SELECT CAST(-2 AS BIGINT), ' the  fox the '"))
+    val pack = spark.sql(
+      "SELECT array(" +
+        "named_struct('cand_lang', 'aa', 'toks', array('the', 'fox')), " +
+        "named_struct('cand_lang', 'bb', 'toks', array('', 'the')), " +
+        "named_struct('cand_lang', 'cc', 'toks', array('zebra'))) AS mk")
+    val native = docs.crossJoin(pack)
+      .select(col("doc_id"), expr("graft_marker_hits(text, mk)").as("h"))
+      .select(col("doc_id"),
+        expr("cast(h[0] as bigint)").as("aa"),
+        expr("cast(h[1] as bigint)").as("bb"),
+        expr("cast(h[2] as bigint)").as("cc"))
+    val spec = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("tok").isin("the", "fox"), 1L).otherwise(0L)).as("aa"),
+        sum(when(col("tok").isin("", "the"), 1L).otherwise(0L)).as("bb"),
+        sum(when(col("tok") === "zebra", 1L).otherwise(0L)).as("cc"))
+    assert(native.exceptAll(spec).count() == 0 &&
+      spec.exceptAll(native).count() == 0,
+      "native marker-hit counts diverged from the exploded-join spec")
+    val edge = native.filter(col("doc_id") === -2L).collect().head
+    assert(edge.getLong(1) == 3 && edge.getLong(2) == 5,
+      s"edge row counted (${edge.getLong(1)}, ${edge.getLong(2)}) — " +
+        "expected 3 'the'/'fox' hits and 5 for ''+'the' (3 empty segments)")
+    // FOLDABLE-model path (the langid serving shape: model decoded
+    // once at the expression, not per row) must agree with the
+    // column-model path above.
+    val mkLit = typedlit(Seq(
+      ("aa", Seq("the", "fox")), ("bb", Seq("", "the")),
+      ("cc", Seq("zebra"))))
+    val folded = docs.select(col("doc_id"), col("text"), mkLit.as("mk"))
+      .select(col("doc_id"), expr("graft_marker_hits(text, mk)").as("h"))
+      .select(col("doc_id"),
+        expr("cast(h[0] as bigint)").as("aa"),
+        expr("cast(h[1] as bigint)").as("bb"),
+        expr("cast(h[2] as bigint)").as("cc"))
+    assert(folded.exceptAll(spec).count() == 0 &&
+      spec.exceptAll(folded).count() == 0,
+      "foldable-model marker-hit counts diverged from the spec")
+  }
+
   test("native rolling hash equals the interpreted HOF fold") {
     // RollHash is the fingerprint family's hash; the HOF text below is
     // the executable spec the DuckDB oracle also evaluates
