@@ -19,6 +19,27 @@ object Ann {
 
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** Lossless cheap-first thresholding for the round-then-filter pair
+    * searches: `round(x, 6)` on DoubleType routes through
+    * BigDecimal.valueOf → Double.toString — r16 stack samples put it
+    * at >half of llm_ann_ivf_probe's busy CPU, paid for EVERY
+    * candidate pair even though the threshold then drops almost all
+    * of them. Rounding to 6 dp moves a finite double by at most
+    * 5e-7 (+ repr epsilon), so `raw < thr − 1e-6` can never round to
+    * ≥ thr: filtering raw-first prunes the non-survivors with pure
+    * double math and only survivors pay the BigDecimal round — the
+    * same lossless prune the native CosNeighbors kernel applies
+    * (VectorExprs.cosNbrsEval). Output values and the final rounded
+    * filter are unchanged. Catalyst combines the two filters
+    * inner-condition-first, so short-circuit AND preserves the
+    * cheap-first evaluation order. */
+  private def simAtLeast(pairs: DataFrame, raw: Column, thr: Double,
+      keep: Column*): DataFrame =
+    pairs.select(keep :+ raw.as("_rawsim"): _*)
+      .filter(col("_rawsim") >= thr - 1e-6)
+      .select(keep :+ round(col("_rawsim"), 6).as("sim"): _*)
+      .filter(col("sim") >= thr)
+
   /** Exact embedding-cosine near-dup pairs (sim >= 0.45), via the
     * packed-kernel scan (see Similarity.packedVectors / CosNeighbors):
     * each row checks all forward partners in one tight loop instead of
@@ -87,10 +108,10 @@ object Ann {
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("y"), col("bucket").as("bucket_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("bucket") === col("bucket_b") && col("x") < col("y"))
-      .select(col("x"), col("y"), col("bucket"),
-        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= 0.45)
+    simAtLeast(
+      a.join(b, col("bucket") === col("bucket_b") && col("x") < col("y")),
+      dot("ea", "eb") / (col("na") * col("nb")), 0.45,
+      col("x"), col("y"), col("bucket"))
       .orderBy("x", "y")
   }
 
@@ -285,10 +306,10 @@ object Ann {
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("y"), col("cell").as("cell_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("cell") === col("cell_b") && col("x") < col("y"))
-      .select(col("x"), col("y"), col("cell"),
-        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= 0.45)
+    simAtLeast(
+      a.join(b, col("cell") === col("cell_b") && col("x") < col("y")),
+      dot("ea", "eb") / (col("na") * col("nb")), 0.45,
+      col("x"), col("y"), col("cell"))
       .orderBy("x", "y")
   }
 
@@ -304,10 +325,10 @@ object Ann {
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("y"), col("cell").as("cell_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("cell") === col("cell_b") && col("x") < col("y"))
-      .select(col("x"), col("y"),
-        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= 0.45)
+    simAtLeast(
+      a.join(b, col("cell") === col("cell_b") && col("x") < col("y")),
+      dot("ea", "eb") / (col("na") * col("nb")), 0.45,
+      col("x"), col("y"))
       .distinct()
       .orderBy("x", "y")
   }
