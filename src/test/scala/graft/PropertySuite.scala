@@ -233,6 +233,44 @@ class PropertySuite extends SparkTestBase {
       "foldable-model marker-hit counts diverged from the spec")
   }
 
+  test("raw-cosine prune is lossless: pair search equals its round-first spec") {
+    // Ann.simAtLeast prunes candidates on the RAW cosine before the
+    // BigDecimal-backed round(x, 6). The margin claim: Spark's round
+    // (HALF_UP on the shortest decimal repr) moves a finite double by
+    // at most 5e-7, so raw < thr − 1e-6 can never round to ≥ thr.
+    // Pin it on a dense 1e-9 grid straddling the threshold:
+    val thr = 0.45
+    var k = -2000
+    while (k <= 2000) {
+      val x = thr + k * 1e-9
+      val r = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r >= thr) assert(x >= thr - 1e-6,
+        s"x=$x rounds to $r yet sits below the prune bound")
+      k += 1
+    }
+    // And the shipped pruned plan equals the unpruned round-then-
+    // filter spec on the corpus (sf0.1 — the SF with surviving pairs).
+    graft.functions.VectorExprs.register(spark)
+    val sf1 = sfSibling("sf0.1")
+    val e = Tables.embeddings(spark, sf1)
+      .withColumn("bucket", expr("graft_rademacher_bucket(embedding)"))
+      .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+    val a = e.select(col("vec_id").as("x"), col("bucket"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("y"), col("bucket").as("bucket_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val spec = a.join(b, col("bucket") === col("bucket_b") && col("x") < col("y"))
+      .select(col("x"), col("y"), col("bucket"),
+        round(expr("graft_dot(ea, eb)") / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= thr)
+    val shipped = llm.Ann.annLsh(spark, sf1)
+    assert(shipped.count() > 0, "vacuity: no pairs survive at sf0.1")
+    assert(shipped.exceptAll(spec).count() == 0 &&
+      spec.exceptAll(shipped).count() == 0,
+      "pruned pair search diverged from the round-first spec")
+  }
+
   test("native rolling hash equals the interpreted HOF fold") {
     // RollHash is the fingerprint family's hash; the HOF text below is
     // the executable spec the DuckDB oracle also evaluates
