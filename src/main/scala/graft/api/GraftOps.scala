@@ -322,6 +322,62 @@ object GraftOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** Fit a marker-token language-ID model: each language's `topN`
+    * tokens by (count desc, token asc) from the labeled corpus,
+    * returned lang-sorted with the tokens sorted within each language
+    * — a driver-side artifact of ≤ nLangs × topN (lang, token) pairs,
+    * the persist-once / apply-forever shape of a production langid
+    * model. At most 64 languages (the serving kernel packs language
+    * membership into one 64-bit mask per token). The fit is one
+    * explode + keyed count — hash-shuffles on (lang, token) — run
+    * once, not per scoring batch; feed the result to
+    * [[langIdAssign]]. */
+  def langMarkersFit(df: DataFrame, langCol: String, textCol: String,
+      topN: Int = 20): Seq[(String, Seq[String])] = {
+    val tok = df.select(col(langCol).as("_graft_lang"),
+      explode(split(col(textCol), " ")).as("_graft_tok"))
+    tok.groupBy(col("_graft_lang"), col("_graft_tok"))
+      .agg(count(lit(1)).as("_graft_cnt"))
+      .withColumn("_graft_rn", row_number().over(
+        Window.partitionBy("_graft_lang")
+          .orderBy(desc("_graft_cnt"), asc("_graft_tok"))))
+      .filter(col("_graft_rn") <= topN)
+      .groupBy(col("_graft_lang"))
+      .agg(sort_array(collect_list(col("_graft_tok"))).as("_graft_toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+      .toSeq
+  }
+
+  /** Apply a fitted marker model: predict each row's argmax language
+    * (ties alphabetically), dropping rows with zero marker hits —
+    * output (idCol, pred_lang). `idCol` is simply carried through, so
+    * passing a label column instead of an id yields
+    * (true, predicted) rows ready for a confusion-matrix aggregate.
+    * The ≤64-language model ships into the plan as literals and the
+    * native `graft_marker_hits` expression counts every language's
+    * marker instances in ONE byte pass per document — serving is
+    * embarrassingly parallel over input splits with no explode, no
+    * join and no shuffle before the caller's own aggregation. */
+  def langIdAssign(df: DataFrame, idCol: String, textCol: String,
+      model: Seq[(String, Seq[String])]): DataFrame = {
+    require(model.size <= 64,
+      "marker model supports at most 64 candidate languages")
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val m = model.sortBy(_._1) // lang-sorted ⇒ argmax ties break alphabetically
+    val langsLit = typedlit(m.map(_._1))
+    df.select(col(idCol), col(textCol).as("_graft_t"),
+        typedlit(m).as("_graft_mk"))
+      .select(col(idCol),
+        expr("graft_marker_hits(_graft_t, _graft_mk)").as("_graft_h"))
+      .filter(array_max(col("_graft_h")) >= 1)
+      .select(col(idCol),
+        element_at(langsLit,
+          array_position(col("_graft_h"), array_max(col("_graft_h")))
+            .cast("int")).as("pred_lang"))
+  }
+
   /** Exact floor(1/denom) sample of each stratum by portable key-hash
     * order (pure function of the data; `idCol` must be a non-negative
     * integral key). */

@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Heuristic language identification (training-pipeline operator):
@@ -30,59 +29,37 @@ import org.apache.spark.sql.functions._
   * Scale: the fit is a hash-shuffle on small keys over the full
   * corpus (once); serving is embarrassingly parallel over input
   * splits with a bytes-sized in-plan model and a 5×5 final aggregate.
+  *
+  * This query is the thin corpus binding of the public API pair
+  * [[graft.api.GraftOps.langMarkersFit]] /
+  * [[graft.api.GraftOps.langIdAssign]] — the oracle gate verifies
+  * that code, not a parallel copy.
   */
 object LangId {
 
   private val modelCache =
     new graft.FitOnce[(String, String), Seq[(String, Seq[String])]]
 
-  /** Pass 1 — each language's top-20 tokens by (count desc, token
-    * asc) from the labeled corpus, collected to the driver as the
-    * model artifact (lang-sorted, tokens sorted within lang). */
-  private def fitMarkers(docs: DataFrame): Seq[(String, Seq[String])] = {
-    val tok = docs.select(col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
-    tok.groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(desc("cnt"), asc("tok"))))
-      .filter(col("rn") <= 20)
-      .groupBy(col("lang"))
-      .agg(sort_array(collect_list(col("tok"))).as("toks"))
-      .collect()
-      .map(r => (r.getString(0), r.getSeq[String](1)))
-      .sortBy(_._1)
-      .toSeq
-  }
-
-  /** The fitted marker model, trained once per (session, sf). */
+  /** The fitted marker model (each language's top-20 tokens by
+    * (count desc, token asc)), trained once per (session, sf) via the
+    * public [[graft.api.GraftOps.langMarkersFit]]. */
   private def trainedModel(spark: SparkSession,
       sf: String): Seq[(String, Seq[String])] =
     modelCache((spark.sparkContext.applicationId, sf)) {
-      fitMarkers(Tables.documents(spark, sf))
+      graft.api.GraftOps.langMarkersFit(
+        Tables.documents(spark, sf), "lang", "text", topN = 20)
     }
 
-  def langId(spark: SparkSession, sf: String): DataFrame = {
-    graft.functions.VectorExprs.register(spark)
-    val docs = Tables.documents(spark, sf)
-    val model = trainedModel(spark, sf)
-    // Two in-plan literals: the packed array<struct<lang, toks>> the
-    // native kernel scans (field access by POSITION), and the parallel
-    // lang-name array for the argmax → language lookup.
-    val mkLit = typedlit(model)
-    val langsLit = typedlit(model.map(_._1))
-    val scored = docs
-      .select(col("lang"), col("text"), mkLit.as("_graft_mk"))
-      .select(col("lang"), expr("graft_marker_hits(text, _graft_mk)").as("h"))
-    scored.filter(array_max(col("h")) >= 1)
-      .select(col("lang"),
-        element_at(langsLit,
-          array_position(col("h"), array_max(col("h"))).cast("int"))
-          .as("pred_lang"))
+  def langId(spark: SparkSession, sf: String): DataFrame =
+    // Passing the TRUE label column as langIdAssign's carried column
+    // yields (lang, pred_lang) per scored doc directly — the serving
+    // scan stays one pass, no id join-back.
+    graft.api.GraftOps.langIdAssign(
+        Tables.documents(spark, sf), "lang", "text",
+        trainedModel(spark, sf))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "pred_lang")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_langid" -> langId

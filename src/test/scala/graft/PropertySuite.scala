@@ -457,6 +457,18 @@ class PropertySuite extends SparkTestBase {
     val ng = api.GraftOps.ngramCounts(docs, "body", 2, 2L).collect()
     assert(ng.length == 6 && ng.forall(_.getLong(1) == 2L),
       s"expected 6 bigrams of count 2: ${ng.toSeq}")
+    // LangId fit/assign on the colliding frame ("toks" is both an
+    // input column and the fit's former helper name): every doc's
+    // tokens are exact markers of its own language, so the argmax
+    // recovers the label for all 4 docs; passing the label column as
+    // the carried column yields confusion rows directly.
+    val mkModel = api.GraftOps.langMarkersFit(docs, "tongue", "body", 20)
+    assert(mkModel.map(_._1) == Seq("de", "en"),
+      s"model must be lang-sorted: ${mkModel.map(_._1)}")
+    val cm = api.GraftOps.langIdAssign(docs, "tongue", "body", mkModel)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(cm.length == 4 && cm.forall(p => p._1 == p._2),
+      s"self-markers must classify perfectly: ${cm.toSeq}")
     // Quality gate on the colliding frame: all docs are unrepetitive
     // and stopword-free, so with a stopword floor of 0 only the token
     // bound bites — docs 3 (4 toks) and 4 (5 toks) fail bit 0.
