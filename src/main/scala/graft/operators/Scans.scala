@@ -266,6 +266,25 @@ object Scans {
       .orderBy("p_partkey")
   }
 
+  /** XML round trip on the mixed-type supplier table (int64, string,
+    * int32, double) — Spark 4's built-in XML source (the spark-xml
+    * package merged into core), completing the format matrix alongside
+    * parquet / partitioned parquet / JSONL / CSV / ORC / text. Written
+    * with explicit row tags and read back under the original schema
+    * (schema-on-read; never an inference pass at 100 TB — XML schema
+    * inference is a full extra read AND type-lossy). The oracle reads
+    * the ORIGINAL parquet, so any entity-escaping or numeric-repr loss
+    * in the XML writer/reader pair is a hash failure, not a silent
+    * corruption. */
+  def scanXmlRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.supplier(spark, sf)
+    val path = Tables.scratchDir("graft_xml_").resolve("supplier").toString
+    d.write.option("rowTag", "supplier").format("xml").save(path)
+    spark.read.schema(d.schema).option("rowTag", "supplier")
+      .format("xml").load(path)
+      .orderBy("s_suppkey")
+  }
+
   /** Schema EVOLUTION read: two parquet generations — an old one
     * without `p_retailprice` and a new one with it — read together
     * under `mergeSchema`. This is the multi-year data-lake reality at
@@ -337,6 +356,7 @@ object Scans {
     "scan_jsonl_roundtrip" -> scanJsonlRoundtrip,
     "scan_csv_roundtrip" -> scanCsvRoundtrip,
     "scan_orc_roundtrip" -> scanOrcRoundtrip,
+    "scan_xml_roundtrip" -> scanXmlRoundtrip,
     "scan_compact" -> scanCompact,
     "scan_partitioned_prune" -> scanPartitionedPrune,
     "filter_pred" -> filterPred,
@@ -349,7 +369,7 @@ object Scans {
     * every invocation. Declared here, next to the map, so adding a
     * write-path scan without declaring it fails PreparedSuite's
     * repeat-build-is-silent pin instead of silently memoizing a no-op. */
-  /** Queries whose per-call semantics INCLUDE a write: the four
+  /** Queries whose per-call semantics INCLUDE a write: the five
     * format round trips (the write is half the declared operator) and
     * compaction (the rewrite IS the operator). The corrupt-drop /
     * evolved-generations / partitioned reads left this set in r16 —
@@ -357,7 +377,7 @@ object Scans {
     * pure reads (PreparedSuite's silence convention now audits them). */
   val sideEffecting: Set[String] = Set(
     "scan_jsonl_roundtrip", "scan_csv_roundtrip", "scan_text_roundtrip",
-    "scan_orc_roundtrip", "scan_compact")
+    "scan_orc_roundtrip", "scan_xml_roundtrip", "scan_compact")
 
   val oracle: Map[String, String] = Map(
     // Content-preservation contract: the compacted copy must carry the
@@ -398,6 +418,8 @@ object Scans {
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "scan_orc_roundtrip" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part ORDER BY p_partkey",
+    "scan_xml_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "scan_schema_evolution" ->
       ("SELECT p_partkey, p_name, p_brand, " +
         "CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END AS p_retailprice " +

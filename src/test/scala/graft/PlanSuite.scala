@@ -256,8 +256,8 @@ class PlanSuite extends SparkTestBase {
       "ev_session_stream", "ev_custom_session_stream", "ev_join_stream",
       "ev_dedup_stream", "ev_enrich_stream", "ev_upsert_stream")
     val writeDemos = Set("scan_text_roundtrip", "scan_csv_roundtrip",
-      "scan_jsonl_roundtrip", "scan_orc_roundtrip", "scan_compact",
-      "scan_upsert_merge",
+      "scan_jsonl_roundtrip", "scan_orc_roundtrip", "scan_xml_roundtrip",
+      "scan_compact", "scan_upsert_merge",
       // Eager-materialize demos: the result is computed under a
       // conf-scoped plan (runtime bloom / DPP layout) and read back —
       // execution at construction is the declared semantics.
