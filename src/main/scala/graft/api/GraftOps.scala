@@ -933,4 +933,61 @@ object GraftOps {
         (size(col("_graft_seg")) - 1).cast("long").as("n_hits"),
         array_join(col("_graft_seg"), token).as("redacted"))
       .orderBy(idCol)
+
+  // ------------------------------------------------------------------
+  // Graph analytics
+  // ------------------------------------------------------------------
+
+  /** Canonicalize an arbitrary edge list to the undirected
+    * (x, y) x < y deduplicated form the graph cores consume
+    * (self-loops dropped, direction and duplicates collapsed;
+    * endpoints must be non-null integral keys). */
+  private def undirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("_graft_a"),
+        col(dstCol).cast("long").as("_graft_b"))
+      .filter(col("_graft_a") =!= col("_graft_b"))
+      .select(least(col("_graft_a"), col("_graft_b")).as("x"),
+        greatest(col("_graft_a"), col("_graft_b")).as("y"))
+      .distinct()
+
+  /** Bidirectional degree table (u, dg) of the canonical edge list. */
+  private def degreesOf(e0: DataFrame): DataFrame =
+    e0.select(col("x").as("u")).unionAll(e0.select(col("y").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+
+  /** Exact integer PageRank over an arbitrary undirected edge list:
+    * `iters` rounds of rank ← 0.15 + 0.85·Σ rank(u)/deg(u) in µ-rank
+    * BIGINTs (per-edge contribution (pr·85) div (100·dg) — floor
+    * arithmetic, order-independent sums, engine-exact; the scored
+    * graph_pagerank runs the same [[graft.operators.Graph.pagerankFold]]).
+    * Output: every node's (node, pr_micro). `broadcastRanks` hints the
+    * node-grain rank vector onto the adjacency each iteration — right
+    * below ~10 M nodes (16 B/row); pass false beyond, where the fold
+    * degrades to a plain equi-join under AQE. For big graphs persist
+    * the edge DataFrame first: each iteration's plan re-derives the
+    * adjacency from `edges` lineage. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, broadcastRanks: Boolean = true): DataFrame = {
+    val e0 = undirected(edges, srcCol, dstCol)
+    val deg = degreesOf(e0)
+    val adj = e0.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
+      .join(deg, "u")
+    val init = deg.select(col("u").as("n"), lit(1000000000000L).as("pr"))
+    graft.operators.Graph.pagerankFold(adj, init, iters, broadcastRanks)
+      .select(col("n").as("node"), col("pr").as("pr_micro"))
+  }
+
+  /** Global triangle census of an arbitrary undirected edge list:
+    * (n_edges, n_wedges, n_triangles, gcc) via the degree-ordered
+    * orientation (π-out-degree bounded by O(√m), so the intersection
+    * kernel never explodes on hub nodes; the scored graph_triangles
+    * runs the same [[graft.operators.Graph.triangleCensusOf]] core). */
+  def triangleCensus(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = undirected(edges, srcCol, dstCol)
+    graft.operators.Graph.triangleCensusOf(e0,
+      degreesOf(e0).select(col("u").as("n"), col("dg")))
+  }
 }

@@ -112,9 +112,16 @@ object Graph {
   /** Global triangle census: edge / wedge / triangle counts plus the
     * global clustering coefficient 3·T/W, combined from exact integers
     * in one fixed IEEE expression (D8). */
-  def graphTriangles(spark: SparkSession, sf: String): DataFrame = {
-    val e0 = edges(spark, sf)
-    val deg = degrees(spark, sf).select(col("u").as("n"), col("dg"))
+  def graphTriangles(spark: SparkSession, sf: String): DataFrame =
+    triangleCensusOf(edges(spark, sf),
+      degrees(spark, sf).select(col("u").as("n"), col("dg")))
+
+  /** The census core over a deduplicated undirected edge list
+    * e0 = (x, y) with x < y and its degree table deg = (n, dg) — the
+    * SHARED body the scored query and
+    * [[graft.api.GraftOps.triangleCensus]] both run. */
+  private[graft] def triangleCensusOf(e0: DataFrame,
+      deg: DataFrame): DataFrame = {
     // Orient x→y when π(x) < π(y) under π = (degree, id), else y→x.
     val or = e0
       .join(deg.select(col("n").as("x"), col("dg").as("dx")), "x")
@@ -180,7 +187,30 @@ object Graph {
     * attempt the hint regardless. */
   private[graft] val BroadcastNodeCap = 10000000L
 
-  /** The iteration fold, parameterized on the broadcast gate so
+  /** The iteration fold over a degree-attached bidirectional
+    * adjacency (u, v, dg) from an initial (n, pr) vector — the SHARED
+    * core the scored query and [[graft.api.GraftOps.pageRank]] both
+    * run (no parallel copies of the math). Each iteration: the rank
+    * vector (node-grain — orders smaller than edges) joins the
+    * adjacency — broadcast-hinted when `broadcastVec` (the per-edge
+    * contribution (pr·85) div (100·dg) evaluates inside the fused
+    * scan-join stage, bit-identical to a node-side pre-divide) — and
+    * the only shuffle is the partial-agg combine of contributions.
+    * When the hint is withheld the same fold runs as a plain
+    * equi-join under AQE — still one shuffle per iteration, never a
+    * forced over-cap broadcast. */
+  private[graft] def pagerankFold(adj: DataFrame, init: DataFrame,
+      iters: Int, broadcastVec: Boolean): DataFrame =
+    (1 to iters).foldLeft(init) { (pr, _) =>
+      val vec = pr.select(col("n").as("u"), col("pr"))
+      val gated = if (broadcastVec) broadcast(vec) else vec
+      adj.join(gated, "u")
+        .select(col("v"), expr("(pr * 85) div (100 * dg)").as("contrib"))
+        .groupBy(col("v")).agg(sum(col("contrib")).as("c"))
+        .select(col("v").as("n"), (col("c") + lit(150000000000L)).as("pr"))
+    }
+
+  /** The scored plan, parameterized on the broadcast gate so
     * PlanSuite can pin the plan on BOTH sides of the threshold. */
   private[graft] def pagerankPlan(spark: SparkSession, sf: String,
       broadcastNodeCap: Long): DataFrame = {
@@ -192,24 +222,9 @@ object Graph {
     // FIRST time any PageRank query is built in this session, zero
     // jobs after that.
     val nNodes = nodeCount(spark, sf)
-    // Each iteration: the rank vector (node-grain — 3 orders smaller
-    // than edges) — when the node count clears the size gate —
-    // broadcasts onto the degree-attached adjacency scan, the per-edge
-    // contribution (pr·85) div (100·dg) evaluates inside the fused
-    // scan-join stage (bit-identical to a node-side pre-divide), and
-    // the only shuffle is the partial-agg combine of contributions.
-    // Past the gate the hint is NOT applied: the same fold runs as a
-    // plain equi-join under AQE — still one shuffle per iteration,
-    // never a forced over-cap broadcast.
-    val ranks = (1 to 3).foldLeft(init) { (pr, _) =>
-      val vec = pr.select(col("n").as("u"), col("pr"))
-      val gated = if (nNodes <= broadcastNodeCap) broadcast(vec) else vec
-      adj.join(gated, "u")
-        .select(col("v"), expr("(pr * 85) div (100 * dg)").as("contrib"))
-        .groupBy(col("v")).agg(sum(col("contrib")).as("c"))
-        .select(col("v").as("n"), (col("c") + lit(150000000000L)).as("pr"))
-    }
-    ranks.orderBy(desc("pr"), asc("n"))
+    pagerankFold(adj, init, iters = 3,
+        broadcastVec = nNodes <= broadcastNodeCap)
+      .orderBy(desc("pr"), asc("n"))
       .limit(20)
       .select(col("n").as("part"), col("pr").as("pr_micro"))
   }

@@ -233,6 +233,30 @@ class PropertySuite extends SparkTestBase {
       "foldable-model marker-hit counts diverged from the spec")
   }
 
+  test("public graph API: exact census and pagerank on known graphs") {
+    import spark.implicits._
+    // K4 handed over as a MESSY edge list (every ordered pair incl.
+    // self-loops): undirected() must canonicalize to 6 edges. Exact
+    // census: 12 wedges (4 nodes × C(3,2)), 4 triangles, gcc = 1.
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L } yield (a, b)).toDF("s", "d")
+    val c = api.GraftOps.triangleCensus(k4, "s", "d").head()
+    assert(c.getLong(0) == 6 && c.getLong(1) == 12 && c.getLong(2) == 4
+      && c.getFloat(3) == 1.0f, s"K4 census: $c")
+    // PageRank on the vertex-transitive K4: all four nodes must hold
+    // the IDENTICAL exact integer — the uniform fixpoint of the floor
+    // arithmetic: (1e12·85) div 300 × 3 + 1.5e11 = 999_999_999_999.
+    val pr = api.GraftOps.pageRank(k4, "s", "d").collect()
+    assert(pr.length == 4 && pr.forall(_.getLong(1) == 999999999999L),
+      s"K4 ranks: ${pr.map(r => (r.getLong(0), r.getLong(1))).toSeq}")
+    // Star S3: the hub must outrank the (mutually equal) leaves, with
+    // the exact 3-iteration floor values.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val sp = api.GraftOps.pageRank(star, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp(0L) == 2483250000000L &&
+      Seq(1L, 2L, 3L).forall(sp(_) == 505583333333L), s"star ranks: $sp")
+  }
+
   test("raw-cosine prune is lossless: pair search equals its round-first spec") {
     // Ann.simAtLeast prunes candidates on the RAW cosine before the
     // BigDecimal-backed round(x, 6). The margin claim: Spark's round
