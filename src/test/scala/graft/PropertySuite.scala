@@ -481,6 +481,22 @@ class PropertySuite extends SparkTestBase {
     val ng = api.GraftOps.ngramCounts(docs, "body", 2, 2L).collect()
     assert(ng.length == 6 && ng.forall(_.getLong(1) == 2L),
       s"expected 6 bigrams of count 2: ${ng.toSeq}")
+    // Graph API on a frame whose columns are named like the cores'
+    // internals (x, y, u, v, dg, n, pr) AND whose src/dst args ARE
+    // two of those names: a triangle 1-2-3 plus a pendant 4, handed
+    // over messy (duplicates, reversed direction, a self-loop).
+    val gEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L),
+        (4L, 4L)).toDF("dg", "u")
+      .withColumn("x", lit(9)).withColumn("y", lit(9))
+      .withColumn("v", lit(9)).withColumn("n", lit(9))
+      .withColumn("pr", lit(9))
+    val gc = api.GraftOps.triangleCensus(gEdges, "dg", "u").head()
+    assert(gc.getLong(0) == 4 && gc.getLong(2) == 1,
+      s"triangle+pendant census: $gc")
+    val gpr = api.GraftOps.pageRank(gEdges, "dg", "u").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gpr.size == 4 && gpr(3L) > gpr(1L) && gpr(1L) == gpr(2L)
+      && gpr(3L) > gpr(4L), s"degree-3 node must outrank: $gpr")
     // LangId fit/assign on the colliding frame ("toks" is both an
     // input column and the fit's former helper name): every doc's
     // tokens are exact markers of its own language, so the argmax
