@@ -291,6 +291,46 @@ class EdgeCaseSuite extends SparkTestBase {
       "components over an empty pair list converge to an empty frame")
   }
 
+  test("XML round trip preserves markup-hostile text exactly") {
+    // The corpus supplier strings are XML-benign; this pins the
+    // escaping contract the scan_xml_roundtrip operator relies on —
+    // entities, angle brackets, quotes, a CDATA-lookalike and a
+    // multiline value must survive the writer/reader pair untouched.
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "a&b <tag> \"quoted\" 'single'"),
+      (2L, "]]> <![CDATA[not-cdata]]> &amp; &#x41;"),
+      (3L, "line1\nline2\ttabbed"),
+      (4L, "plain")).toDF("id", "s")
+    val path = Tables.scratchDir("graft_xmledge_").resolve("h").toString
+    hostile.write.option("rowTag", "r").format("xml").save(path)
+    val back = spark.read.schema(hostile.schema).option("rowTag", "r")
+      .format("xml").load(path)
+    assert(back.exceptAll(hostile).count() == 0 &&
+      hostile.exceptAll(back).count() == 0,
+      "markup-hostile strings did not survive the XML round trip")
+  }
+
+  test("langid model caps at 64 languages with a clear error") {
+    // MarkerHits packs language membership into one 64-bit mask per
+    // token; both the expression and the public API must refuse a
+    // wider model loudly instead of silently corrupting counts.
+    val wide = (0 until 65).map(i => (f"l$i%02d", Seq(s"tok$i")))
+    import spark.implicits._
+    val df = Seq((1L, "tok1 tok2")).toDF("id", "t")
+    val e = intercept[IllegalArgumentException] {
+      api.GraftOps.langIdAssign(df, "id", "t", wide)
+    }
+    assert(e.getMessage.contains("64"), s"unhelpful error: ${e.getMessage}")
+    // At exactly 64 the kernel works (bit 63 exercised).
+    val full = (0 until 64).map(i => (f"l$i%02d", Seq(s"tok$i")))
+    val hit = api.GraftOps.langIdAssign(
+        Seq((1L, "tok63")).toDF("id", "t"), "id", "t", full)
+      .collect()
+    assert(hit.length == 1 && hit.head.getString(1) == "l63",
+      s"bit-63 language not counted: ${hit.toSeq}")
+  }
+
   test("concurrent queries on a shared session match their serial results") {
     // A real deployment multiplexes query threads over one session.
     // This exercises the shared mutable surfaces at once: FitOnce
