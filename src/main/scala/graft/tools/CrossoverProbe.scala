@@ -222,10 +222,18 @@ object CrossoverProbe {
     java.nio.file.Files.write(outRoot.resolve("oracle_sql.json"),
       oracleJson.getBytes("UTF-8"))
 
+    // Box-speed calibration bracketing the Spark legs (the Bench
+    // kernel): sub-second ×100 legs drift ±50% with zero steal on this
+    // host (r16: ev_tumbling read 0.89–1.92× DuckDB across five mints
+    // of one binary), so the mint records its own speed — a reader
+    // divides an odd ratio into box drift vs plan change instead of
+    // guessing. The DuckDB merger stamps its own bracket the same way.
+    val calibPre = graft.Bench.calibKernel()
     val t1 = timeShapes(spark, base)
     val tN = timeShapes(spark, xDir)
     val t2 = if (factor2 > 0 && shapes2.nonEmpty)
       timeShapes(spark, x2Dir, shapes2) else Map.empty[String, Double]
+    val calibPost = graft.Bench.calibKernel()
     def j(m: Map[String, Double], ks: Seq[String]): String =
       ks.filter(m.contains).map(n => "\"" + n + "\":" + graft.Bench.fmt3(m(n)))
         .mkString("{", ",", "}")
@@ -237,6 +245,7 @@ object CrossoverProbe {
     val out = s"""{$mint"base":"$base","factor":$factor,"x_dir":"$xDir",""" +
       s""""factor2":$factor2,"x2_dir":"$x2Dir",""" +
       s""""protocol":"prepared count(), warm+min-of-3, local[32] bench config",""" +
+      s""""calib_spark":[${graft.Bench.fmt3(calibPre)},${graft.Bench.fmt3(calibPost)}],""" +
       s""""spark_x1":${j(t1, Shapes)},"spark_xN":${j(tN, Shapes)},""" +
       s""""spark_x2":${j(t2, shapes2)}}"""
     java.nio.file.Files.write(outRoot.resolve("crossover_spark.json"),

@@ -55,6 +55,25 @@ def time_shapes(d, oracle):
     return out
 
 
+def calib():
+    """DuckDB-side box-speed bracket (mirrors the Spark legs'
+    calib_spark): a fixed 20M-row integer aggregate at the BASELINE
+    thread count, warm + min-of-3. Sub-second legs drift with
+    zero-steal box noise; the per-engine bracket lets a reader divide
+    an odd ratio into drift vs plan change."""
+    con = duckdb.connect()
+    con.execute("SET threads=4")
+    q = "SELECT sum(i * i % 7) FROM range(20000000) t(i)"
+    con.execute(q).fetchall()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        ts.append(time.perf_counter() - t0)
+    con.close()
+    return round(min(ts), 3)
+
+
 def main():
     root = "target/crossover"
     spark = json.load(open(f"{root}/crossover_spark.json"))
@@ -62,10 +81,12 @@ def main():
     base, xdir, factor = spark["base"], spark["x_dir"], spark["factor"]
     factor2, x2dir = spark.get("factor2", 0), spark.get("x2_dir")
     spark_x2 = spark.get("spark_x2", {})
+    calib_pre = calib()
     d1 = time_shapes(base, oracle)
     dN = time_shapes(xdir, oracle)
     d2 = time_shapes(x2dir, {n: oracle[n] for n in spark_x2}) \
         if factor2 and spark_x2 else {}
+    calib_post = calib()
     shapes = {}
     for n in oracle:
         s1, sN = spark["spark_x1"].get(n, -1), spark["spark_xN"].get(n, -1)
@@ -87,6 +108,8 @@ def main():
         # commit) — carried through the merge so graft.Bench can flag a
         # silently-stale committed crossover.json.
         "mint_commit": spark.get("mint_commit"),
+        "calib_spark": spark.get("calib_spark"),
+        "calib_duckdb": [calib_pre, calib_post],
         "base": base, "factor": factor,
         "protocol": {
             "spark": spark["protocol"],
@@ -104,6 +127,8 @@ def main():
         print(f"{n:<{w}}  {s['ratio_x1']!s:>8}  {s[f'ratio_x{factor}']!s:>8}  "
               f"{s.get(f'ratio_x{factor2}', '-')!s:>8} "
               f"({s[f'spark_x{big}']} vs {s[f'duckdb_x{big}']})")
+    print(f"calib spark={spark.get('calib_spark')} "
+          f"duckdb=[{calib_pre}, {calib_post}]")
     print("wrote crossover.json")
 
 
