@@ -364,6 +364,15 @@ object GraftOps {
       model: Seq[(String, Seq[String])]): DataFrame = {
     require(model.size <= 64,
       "marker model supports at most 64 candidate languages")
+    // A language's markers are a SET: the kernel packs membership into
+    // one bit per language, so a duplicated token would silently count
+    // once where the documented explode⋈markers spec counts the join
+    // fan-out — refuse loudly instead ([[langMarkersFit]] never emits
+    // duplicates; this guards hand-built models).
+    model.find(p => p._2.distinct.size != p._2.size).foreach { p =>
+      throw new IllegalArgumentException(
+        s"marker model for language '${p._1}' contains duplicate tokens")
+    }
     graft.functions.VectorExprs.register(df.sparkSession)
     val m = model.sortBy(_._1) // lang-sorted ⇒ argmax ties break alphabetically
     val langsLit = typedlit(m.map(_._1))
@@ -961,21 +970,28 @@ object GraftOps {
     * BIGINTs (per-edge contribution (pr·85) div (100·dg) — floor
     * arithmetic, order-independent sums, engine-exact; the scored
     * graph_pagerank runs the same [[graft.operators.Graph.pagerankFold]]).
-    * Output: every node's (node, pr_micro). `broadcastRanks` hints the
-    * node-grain rank vector onto the adjacency each iteration — right
-    * below ~10 M nodes (16 B/row); pass false beyond, where the fold
-    * degrades to a plain equi-join under AQE. For big graphs persist
-    * the edge DataFrame first: each iteration's plan re-derives the
-    * adjacency from `edges` lineage. */
+    * Output: every node's (node, pr_micro). The rank vector is
+    * broadcast-hinted onto the adjacency each iteration only below
+    * the same ~10 M-node gate the scored query applies
+    * ([[graft.operators.Graph.BroadcastNodeCap]] — 16 B/row); the
+    * default `broadcastRanks = None` COUNTS the nodes once at build
+    * time to decide (one aggregation job — the safe default, never a
+    * forced over-cap broadcast). Pass `Some(true/false)` to skip the
+    * count and keep the builder lazy when the scale is known. For big
+    * graphs persist the edge DataFrame first: each iteration's plan
+    * re-derives the adjacency from `edges` lineage. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, broadcastRanks: Boolean = true): DataFrame = {
+      iters: Int = 3,
+      broadcastRanks: Option[Boolean] = None): DataFrame = {
     val e0 = undirected(edges, srcCol, dstCol)
     val deg = degreesOf(e0)
     val adj = e0.select(col("x").as("u"), col("y").as("v"))
       .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
       .join(deg, "u")
     val init = deg.select(col("u").as("n"), lit(1000000000000L).as("pr"))
-    graft.operators.Graph.pagerankFold(adj, init, iters, broadcastRanks)
+    val hint = broadcastRanks.getOrElse(
+      deg.count() <= graft.operators.Graph.BroadcastNodeCap)
+    graft.operators.Graph.pagerankFold(adj, init, iters, hint)
       .select(col("n").as("node"), col("pr").as("pr_micro"))
   }
 

@@ -145,20 +145,27 @@ object Graph {
     // smaller side: O(|a| + |b|) per edge, whole-stage codegen'd.
     val outadj = or.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nb"))
+    // Degenerate graphs (public-API inputs; the corpus always has
+    // triangles): a triangle-free orientation leaves both joins empty
+    // and sum() null — coalesce to exact zeros, and a wedge-free
+    // graph's gcc is 0, not a null from 0/0. On any graph with wedges
+    // the expressions are value-identical to the plain sums/ratio.
     val tri = or.select(col("src"), col("dst"))
       .join(outadj.select(col("src"), col("nb").as("nbu")), Seq("src"))
       .join(outadj.select(col("src").as("dst"), col("nb").as("nbv")),
         Seq("dst"))
-      .agg(sum(size(array_intersect(col("nbu"), col("nbv"))))
+      .agg(coalesce(sum(size(array_intersect(col("nbu"), col("nbv")))), lit(0))
         .cast("long").as("n_triangles"))
     val stats = e0.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(
-        sum(expr("dg * (dg - 1)")).cast("long").as("wedges2")))
+        coalesce(sum(expr("dg * (dg - 1)")), lit(0))
+          .cast("long").as("wedges2")))
       .select(col("n_edges"), (col("wedges2") / 2).cast("long").as("n_wedges"))
     stats.crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        expr("CAST(3.0 * CAST(n_triangles AS DOUBLE) / " +
-          "CAST(n_wedges AS DOUBLE) AS FLOAT)").as("gcc"))
+        expr("CAST(CASE WHEN n_wedges = 0 THEN 0.0 ELSE " +
+          "3.0 * CAST(n_triangles AS DOUBLE) / " +
+          "CAST(n_wedges AS DOUBLE) END AS FLOAT)").as("gcc"))
   }
 
   /** Integer PageRank over the co-purchase graph, 3 fixed iterations,

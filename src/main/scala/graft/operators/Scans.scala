@@ -280,7 +280,12 @@ object Scans {
     val d = Tables.supplier(spark, sf)
     val path = Tables.scratchDir("graft_xml_").resolve("supplier").toString
     d.write.option("rowTag", "supplier").format("xml").save(path)
+    // ignoreSurroundingSpaces defaults TRUE and would silently trim
+    // values with leading/trailing whitespace on read-back — benign on
+    // this corpus but a content-preservation break; pinned off
+    // (EdgeCaseSuite round-trips a space-padded value).
     spark.read.schema(d.schema).option("rowTag", "supplier")
+      .option("ignoreSurroundingSpaces", "false")
       .format("xml").load(path)
       .orderBy("s_suppkey")
   }

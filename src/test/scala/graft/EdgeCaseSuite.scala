@@ -301,10 +301,12 @@ class EdgeCaseSuite extends SparkTestBase {
       (1L, "a&b <tag> \"quoted\" 'single'"),
       (2L, "]]> <![CDATA[not-cdata]]> &amp; &#x41;"),
       (3L, "line1\nline2\ttabbed"),
-      (4L, "plain")).toDF("id", "s")
+      (4L, "  space-padded value  "),
+      (5L, "plain")).toDF("id", "s")
     val path = Tables.scratchDir("graft_xmledge_").resolve("h").toString
     hostile.write.option("rowTag", "r").format("xml").save(path)
     val back = spark.read.schema(hostile.schema).option("rowTag", "r")
+      .option("ignoreSurroundingSpaces", "false")
       .format("xml").load(path)
     assert(back.exceptAll(hostile).count() == 0 &&
       hostile.exceptAll(back).count() == 0,
@@ -322,6 +324,16 @@ class EdgeCaseSuite extends SparkTestBase {
       api.GraftOps.langIdAssign(df, "id", "t", wide)
     }
     assert(e.getMessage.contains("64"), s"unhelpful error: ${e.getMessage}")
+    // A duplicated marker token within one language must refuse
+    // loudly: the kernel's bitmask counts set MEMBERSHIP, and a
+    // silent once-per-instance count would diverge from the
+    // documented explode-join fan-out semantics.
+    val dup = intercept[IllegalArgumentException] {
+      api.GraftOps.langIdAssign(df, "id", "t",
+        Seq(("en", Seq("the", "the"))))
+    }
+    assert(dup.getMessage.contains("duplicate"),
+      s"unhelpful duplicate-marker error: ${dup.getMessage}")
     // At exactly 64 the kernel works (bit 63 exercised).
     val full = (0 until 64).map(i => (f"l$i%02d", Seq(s"tok$i")))
     val hit = api.GraftOps.langIdAssign(

@@ -255,6 +255,13 @@ class PropertySuite extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sp(0L) == 2483250000000L &&
       Seq(1L, 2L, 3L).forall(sp(_) == 505583333333L), s"star ranks: $sp")
+    // Triangle-free graph (the star): the census must return exact
+    // ZEROS, not the nulls an empty inner-join sum would produce —
+    // and the wedge-ful gcc is 0, not 0/0.
+    val sc = api.GraftOps.triangleCensus(star, "s", "d").head()
+    assert(!sc.isNullAt(2) && sc.getLong(2) == 0 && !sc.isNullAt(3)
+      && sc.getFloat(3) == 0.0f && sc.getLong(1) == 3,
+      s"triangle-free census must be exact zeros: $sc")
   }
 
   test("raw-cosine prune is lossless: pair search equals its round-first spec") {
