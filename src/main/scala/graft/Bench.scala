@@ -233,19 +233,44 @@ object Bench {
     * and the 1.10× ratchet — and NEVER the steal gates: minting under
     * hypervisor load is garbage regardless of intent. A forced mint is
     * stamped "_ref_forced":1 in the file and "ref_forced":true in the
-    * artifact. Pinned by BenchRefSuite. */
+    * artifact.
+    *
+    * The 1.10× ratchet is CALIBRATION-NORMALIZED (r16 verdict #1): it
+    * deadlocked once when a 19.01 s mint landed in the day's one fast
+    * box phase and pinned the bar at 20.91 s while the box settled at
+    * 21–24 s — every honest quiet re-mint was refused and the ref had
+    * to go through REF_FORCE. Both sides already measure box speed
+    * (the checksum-asserted calibKernel: candidate's `calib_s`, the
+    * ref's `_calib_s` stamp), so the candidate total is scaled to the
+    * REF's box speed — × calibRef/calibCandidate, the factor clamped
+    * to [0.67, 1.5] (covers every drift band observed on this box,
+    * r15's 23.4→27.1 s included, while a corrupt calib can never
+    * launder a ≥1.65× genuine regression through the gate) — before
+    * the 1.10× test. Symmetric: a candidate minted in a FAST window
+    * normalizes UP against a normal-speed ref, so box luck cannot
+    * slip a regression under the bar either. Missing calib on either
+    * side (pre-r15 refs) degrades to the raw test. Pinned by
+    * BenchRefSuite (including the 19.01-pin stranding repro). */
   def refMintRefusal(contaminated: Boolean, stealDelta: Option[Long],
       capacityJiffies: Double, candidate: Map[String, Double],
-      current: Map[String, Double], force: Boolean = false): Option[String] = {
+      current: Map[String, Double], force: Boolean = false,
+      calibCandidate: Double = -1.0,
+      calibRef: Option[Double] = None): Option[String] = {
     val common = candidate.keySet intersect current.keySet
     val candTot = common.toSeq.map(candidate).sum
     val curTot = common.toSeq.map(current).sum
+    val normFactor: Double = calibRef match {
+      case Some(cr) if cr > 0 && calibCandidate > 0 =>
+        math.max(0.67, math.min(1.5, cr / calibCandidate))
+      case _ => 1.0
+    }
+    val candAdj = candTot * normFactor
     if (stealDelta.isEmpty) Some("steal unreadable")
     else if (capacityJiffies > 0 && stealDelta.get > 0.01 * capacityJiffies)
       Some(f"sweep steal ${stealDelta.get} jiffies > 1%% of capacity $capacityJiffies%.0f")
     else if (!force && contaminated) Some("sweep verdict contaminated")
-    else if (!force && common.nonEmpty && curTot > 0 && candTot > 1.10 * curTot)
-      Some(f"candidate total $candTot%.2f s > 1.10x current ref $curTot%.2f s over ${common.size} shared keys")
+    else if (!force && common.nonEmpty && curTot > 0 && candAdj > 1.10 * curTot)
+      Some(f"candidate total $candTot%.2f s (calib-adjusted $candAdj%.2f, factor $normFactor%.3f) > 1.10x current ref $curTot%.2f s over ${common.size} shared keys")
     else None
   }
 
@@ -761,7 +786,8 @@ object Bench {
         case (k, v) if v >= 0 => k -> v }.toMap
       refMintRefusal(contaminated,
           if (stealDelta == "null") None else Some(stealDelta.toLong),
-          sweepCapacity, candidate, refTimes, force = refForce) match {
+          sweepCapacity, candidate, refTimes, force = refForce,
+          calibCandidate = calib, calibRef = calibRef) match {
         case Some(reason) =>
           System.err.println(s"[bench] NOT writing ref: $reason")
         case None =>

@@ -88,6 +88,57 @@ class BenchRefSuite extends AnyFunSuite {
       100000.0, slower, cur, force = true).nonEmpty)
   }
 
+  test("calibrated ratchet: a fast-window ref no longer strands an honest re-mint") {
+    // The r16 deadlock, reproduced with the round's real numbers: a
+    // 19.01 s mint landed in the day's one fast box phase (_calib_s
+    // 0.38) and pinned the raw 1.10x bar at 20.91 s while the box
+    // settled at calib 0.46 and honest quiet sweeps read 21-24 s —
+    // every re-mint was refused and the ref had to go through
+    // REF_FORCE. Normalizing the candidate total to the REF's box
+    // speed (x calibRef/calibCandidate) un-strands it without force.
+    val fastRef = Map("a" -> 10.0, "b" -> 9.01)    // total 19.01, calib 0.38
+    val honest = Map("a" -> 11.5, "b" -> 10.7)     // total 22.2,  calib 0.46
+    // The raw gate refused this (22.2 > 1.10 x 19.01 = 20.91)...
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, fastRef).exists(_.contains("1.10x")),
+      "without calib the raw ratchet must still refuse — the repro baseline")
+    // ...the calibrated gate accepts: 22.2 x (0.38/0.46) = 18.34 < 20.91.
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, fastRef,
+      calibCandidate = 0.46, calibRef = Some(0.38)).isEmpty,
+      "an honest slower-box re-mint must pass WITHOUT force")
+    // The regression direction is still refused: same settled box,
+    // genuinely slower binary (26.0 x 0.826 = 21.48 > 20.91)...
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, Map("a" -> 13.0, "b" -> 13.0), fastRef,
+      calibCandidate = 0.46, calibRef = Some(0.38)).exists(_.contains("1.10x")))
+    // ...and an equal-calib regression normalizes by 1.0 (raw test).
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, fastRef,
+      calibCandidate = 0.38, calibRef = Some(0.38)).exists(_.contains("1.10x")))
+    // Symmetric protection: a candidate minted in a FAST window
+    // normalizes UP against a settled ref — box luck cannot slip a
+    // genuinely-slower binary under the bar (19.5 x 1.5-clamped = 29.25).
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, Map("a" -> 10.0, "b" -> 9.5), fastRef,
+      calibCandidate = 0.30, calibRef = Some(0.46)).exists(_.contains("1.10x")))
+    // The factor is FLOOR-clamped at 0.67: a corrupt near-zero calibRef
+    // stamp (raw factor ~0.002 would shrink any total to nothing) can
+    // launder at most a 1.10/0.67 = 1.64x regression, never an
+    // arbitrary one — 35.0 x 0.67 = 23.45 stays over the 20.91 bar.
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, Map("a" -> 18.0, "b" -> 17.0), fastRef,   // 35.0 s, 1.84x
+      calibCandidate = 0.46, calibRef = Some(0.001)).exists(_.contains("1.10x")),
+      "floor clamp: a corrupt calib must not launder a 1.84x regression")
+    // Missing calib on either side degrades to the raw test.
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, fastRef, calibCandidate = -1.0,
+      calibRef = Some(0.38)).nonEmpty)
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, fastRef, calibCandidate = 0.46,
+      calibRef = None).nonEmpty)
+  }
+
   test("parseRef drops underscore-prefixed provenance keys (forced-mint stamp)") {
     val m = Bench.parseRef("""{"_ref_forced":1,"q1":0.5}""")
     assert(m == Map("q1" -> 0.5),
