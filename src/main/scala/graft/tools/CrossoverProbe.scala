@@ -155,8 +155,15 @@ object CrossoverProbe {
     java.nio.file.Files.write(done, Array.emptyByteArray)
   }
 
+  /** Warm + `passes` interleaved timed counts per shape; ALL samples
+    * are returned (chronological) — the committed artifact carries the
+    * full runs array per leg with the headline = min, so a reader sees
+    * the spread instead of one draw (r16 verdict #3: the sub-second
+    * ×100 legs drift ±50% with zero steal, and a single noisy draw
+    * could flip a shape's headline ratio across the 1.0× line). */
   private def timeShapes(spark: SparkSession, dir: String,
-      shapes: Seq[String] = Shapes): Map[String, Double] = {
+      shapes: Seq[String] = Shapes,
+      passes: Int = 3): Map[String, List[Double]] = {
     // Warm pass: builder + analysis into the prepared cache + one
     // execution (codegen/JIT for these plans on this corpus). The
     // built plans are PINNED for the timed loop — the prepared cache
@@ -169,15 +176,14 @@ object CrossoverProbe {
     }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to 3; n <- shapes) {
+    for (_ <- 1 to passes; n <- shapes) {
       val t0 = System.nanoTime()
       val ok = try { graft.api.Prepared.df(spark, dir, n).count(); true }
         catch { case _: Throwable => false }
       if (ok) samples(n) ::= (System.nanoTime() - t0) / 1e9
     }
     require(pin.length <= shapes.length) // keeps the pin live past the loop
-    shapes.map(n => n ->
-      (if (samples(n).isEmpty) -1.0 else samples(n).min)).toMap
+    shapes.map(n => n -> samples(n).reverse).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -231,11 +237,21 @@ object CrossoverProbe {
     val calibPre = graft.Bench.calibKernel()
     val t1 = timeShapes(spark, base)
     val tN = timeShapes(spark, xDir)
+    // The ×100 legs get FIVE interleaved passes (still well under a
+    // minute of timing for 8 sub-second shapes): they are the
+    // load-bearing "floor proven" evidence and ride the most box drift.
     val t2 = if (factor2 > 0 && shapes2.nonEmpty)
-      timeShapes(spark, x2Dir, shapes2) else Map.empty[String, Double]
+      timeShapes(spark, x2Dir, shapes2, passes = 5)
+      else Map.empty[String, List[Double]]
     val calibPost = graft.Bench.calibKernel()
+    def mins(m: Map[String, List[Double]]): Map[String, Double] =
+      m.map { case (k, v) => k -> (if (v.isEmpty) -1.0 else v.min) }
     def j(m: Map[String, Double], ks: Seq[String]): String =
       ks.filter(m.contains).map(n => "\"" + n + "\":" + graft.Bench.fmt3(m(n)))
+        .mkString("{", ",", "}")
+    def jRuns(m: Map[String, List[Double]], ks: Seq[String]): String =
+      ks.filter(m.contains).map(n => "\"" + n + "\":" +
+          m(n).map(graft.Bench.fmt3).mkString("[", ",", "]"))
         .mkString("{", ",", "}")
     // Mint provenance (r14 verdict #2): the commit this binary was
     // built from rides the file (and the merged crossover.json) so
@@ -246,8 +262,11 @@ object CrossoverProbe {
       s""""factor2":$factor2,"x2_dir":"$x2Dir",""" +
       s""""protocol":"prepared count(), warm+min-of-3, local[32] bench config",""" +
       s""""calib_spark":[${graft.Bench.fmt3(calibPre)},${graft.Bench.fmt3(calibPost)}],""" +
-      s""""spark_x1":${j(t1, Shapes)},"spark_xN":${j(tN, Shapes)},""" +
-      s""""spark_x2":${j(t2, shapes2)}}"""
+      s""""spark_x1":${j(mins(t1), Shapes)},"spark_xN":${j(mins(tN), Shapes)},""" +
+      s""""spark_x2":${j(mins(t2), shapes2)},""" +
+      s""""spark_x1_runs":${jRuns(t1, Shapes)},""" +
+      s""""spark_xN_runs":${jRuns(tN, Shapes)},""" +
+      s""""spark_x2_runs":${jRuns(t2, shapes2)}}"""
     java.nio.file.Files.write(outRoot.resolve("crossover_spark.json"),
       (out + "\n").getBytes("UTF-8"))
     println(out)

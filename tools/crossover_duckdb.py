@@ -36,23 +36,35 @@ def connect(d):
     return con
 
 
-def time_shapes(d, oracle):
+def time_shapes(d, oracle, passes=3):
+    """Warm + `passes` interleaved timed runs per shape. Returns
+    {name: [run, ...]} — ALL samples, so the merged artifact carries the
+    spread per leg with the headline = min (r16 verdict #3: the
+    sub-second x100 legs drift +/-50% with zero steal; one committed
+    draw could flip a headline ratio across the 1.0x line)."""
     con = connect(d)
-    out = {}
+    runs = {name: [] for name in oracle}
+    bad = set()
     for name, sql in oracle.items():
         try:
             con.execute(sql).fetchall()           # warm
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                ts.append(time.perf_counter() - t0)
-            out[name] = round(min(ts), 3)
         except Exception as e:
             print(f"[crossover] duckdb {name} FAILED on {d}: {e}", file=sys.stderr)
-            out[name] = -1.0
+            bad.add(name)
+    for _ in range(passes):                       # interleaved passes
+        for name, sql in oracle.items():
+            if name in bad:
+                continue
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                runs[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as e:
+                print(f"[crossover] duckdb {name} FAILED on {d}: {e}",
+                      file=sys.stderr)
+                bad.add(name)
     con.close()
-    return out
+    return {n: (rs if rs else [-1.0]) for n, rs in runs.items()}
 
 
 def calib():
@@ -84,23 +96,35 @@ def main():
     calib_pre = calib()
     d1 = time_shapes(base, oracle)
     dN = time_shapes(xdir, oracle)
-    d2 = time_shapes(x2dir, {n: oracle[n] for n in spark_x2}) \
+    # The x100 legs get 5 passes, mirroring the Spark side: they are
+    # the load-bearing "floor proven" evidence and sub-second, so the
+    # extra passes cost seconds while halving a single-draw flip risk.
+    d2 = time_shapes(x2dir, {n: oracle[n] for n in spark_x2}, passes=5) \
         if factor2 and spark_x2 else {}
     calib_post = calib()
     shapes = {}
     for n in oracle:
         s1, sN = spark["spark_x1"].get(n, -1), spark["spark_xN"].get(n, -1)
-        r1 = round(s1 / d1[n], 2) if s1 > 0 and d1[n] > 0 else None
-        rN = round(sN / dN[n], 2) if sN > 0 and dN[n] > 0 else None
-        shapes[n] = {"spark_x1": s1, "duckdb_x1": d1[n], "ratio_x1": r1,
-                     f"spark_x{factor}": sN, f"duckdb_x{factor}": dN[n],
-                     f"ratio_x{factor}": rN}
+        r1 = round(s1 / min(d1[n]), 2) if s1 > 0 and min(d1[n]) > 0 else None
+        rN = round(sN / min(dN[n]), 2) if sN > 0 and min(dN[n]) > 0 else None
+        shapes[n] = {"spark_x1": s1, "duckdb_x1": min(d1[n]), "ratio_x1": r1,
+                     f"spark_x{factor}": sN, f"duckdb_x{factor}": min(dN[n]),
+                     f"ratio_x{factor}": rN,
+                     # full per-leg runs arrays: headline = min, spread
+                     # visible (r16 verdict #3)
+                     "spark_runs_x1": spark.get("spark_x1_runs", {}).get(n),
+                     "duckdb_runs_x1": d1[n],
+                     f"spark_runs_x{factor}": spark.get("spark_xN_runs", {}).get(n),
+                     f"duckdb_runs_x{factor}": dN[n]}
         if n in d2:
             s2 = spark_x2.get(n, -1)
             shapes[n][f"spark_x{factor2}"] = s2
-            shapes[n][f"duckdb_x{factor2}"] = d2[n]
+            shapes[n][f"duckdb_x{factor2}"] = min(d2[n])
             shapes[n][f"ratio_x{factor2}"] = \
-                round(s2 / d2[n], 2) if s2 > 0 and d2[n] > 0 else None
+                round(s2 / min(d2[n]), 2) if s2 > 0 and min(d2[n]) > 0 else None
+            shapes[n][f"spark_runs_x{factor2}"] = \
+                spark.get("spark_x2_runs", {}).get(n)
+            shapes[n][f"duckdb_runs_x{factor2}"] = d2[n]
     out = {
         "claim": ("the >2x-at-sf0.1 shapes are fixed-cost-bound in Spark; "
                    "their ratio collapses as the corpus grows"),
