@@ -331,9 +331,21 @@ object GraftOps {
     * membership into one 64-bit mask per token). The fit is one
     * explode + keyed count — hash-shuffles on (lang, token) — run
     * once, not per scoring batch; feed the result to
-    * [[langIdAssign]]. */
+    * [[langIdAssign]].
+    *
+    * Degenerate labels are REJECTED loudly: a null in `langCol` throws
+    * (a null is not a language — silently fitting a "null" class or
+    * NPE-ing in the driver-side sort were both wrong; same convention
+    * as [[langIdAssign]]'s degenerate-model guards). Rows whose
+    * `textCol` is null contribute no tokens and are dropped from the
+    * fit — explode() of a null split is empty, the standard SQL
+    * semantics. */
   def langMarkersFit(df: DataFrame, langCol: String, textCol: String,
       topN: Int = 20): Seq[(String, Seq[String])] = {
+    val nullLangs = df.filter(col(langCol).isNull).limit(1).count()
+    require(nullLangs == 0,
+      s"langMarkersFit: label column '$langCol' contains nulls — " +
+        "filter or impute labels before fitting")
     val tok = df.select(col(langCol).as("_graft_lang"),
       explode(split(col(textCol), " ")).as("_graft_tok"))
     tok.groupBy(col("_graft_lang"), col("_graft_tok"))
@@ -359,7 +371,15 @@ object GraftOps {
     * native `graft_marker_hits` expression counts every language's
     * marker instances in ONE byte pass per document — serving is
     * embarrassingly parallel over input splits with no explode, no
-    * join and no shuffle before the caller's own aggregation. */
+    * join and no shuffle before the caller's own aggregation.
+    *
+    * Multi-model serving is bounded by construction: a model shipped
+    * as a plan literal (this method's shape) is decoded once per
+    * expression instance, and the kernel's fallback per-thread decode
+    * cache for NON-literal model columns holds at most the 4
+    * most-recently-used models per executor thread (MRU eviction —
+    * a host alternating among many distinct models re-decodes on
+    * re-encounter instead of retaining every model forever). */
   def langIdAssign(df: DataFrame, idCol: String, textCol: String,
       model: Seq[(String, Seq[String])]): DataFrame = {
     require(model.size <= 64,

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -372,13 +373,25 @@ object VectorExprs {
 
   /** Static eval body of [[RollHash]] — called from generated code.
     * One pass over the code points: h = fold(chars,
-    * (a, c) => (a*mult + cp(c)) mod (2^31-1)), identical to the
+    * (a, c) => (a*mult + cp(c)) mod (2^31-1)), without materializing
+    * a per-character array through thousands of interpreted lambda
+    * calls per document; empty text folds to the 0 seed, like the HOF.
+    *
+    * SEMANTICS ARE PER-CODE-POINT ON ANY INPUT — and all three
+    * implementations agree, probed rather than assumed (r16 advice
+    * questioned the non-ASCII claim): Spark 4.1's `ascii()` returns
+    * the Unicode CODE POINT of the first character (pre-Spark-4
+    * releases returned the signed first UTF-8 byte — the stale
+    * behavior the concern was based on), its `split(text, '')` splits
+    * per code point (astral characters stay whole), and DuckDB's
+    * `ascii()`/`string_split(t, '')` match. So the native kernel, the
     * interpreted `aggregate(transform(split(text,''), ascii), ...)`
-    * HOF fold (and the DuckDB list_reduce oracle) without
-    * materializing a per-character array through thousands of
-    * interpreted lambda calls per document. Code-point iteration (not
-    * bytes) keeps the semantics of ascii()-per-character on any
-    * input; empty text folds to the 0 seed, like the HOF. */
+    * HOF arm, and the DuckDB list_reduce oracle are bit-equal on
+    * Latin-1, CJK, and astral (surrogate-pair) text alike —
+    * PropertySuite pins native ≡ Spark-HOF ≡ an explicit code-point
+    * fold on exactly those classes, plus the corpus and the empty
+    * string. (DuckDB side re-verified manually: all six probe strings
+    * match with BIGINT-cast accumulators.) */
   def rollHashEval(str: UTF8String, mult: Int): Long = {
     val s = str.toString
     var h = 0L
@@ -392,10 +405,22 @@ object VectorExprs {
   }
 
   /** Whole-text polynomial rolling hash mod 2^31-1 — the native twin
-    * of the per-character HOF fold (see [[rollHashEval]]); `right` is
-    * the multiplier (31/131 in this library). */
+    * of the per-character code-point fold (see [[rollHashEval]] for
+    * the exact semantics incl. the non-ASCII contract); `right` is
+    * the multiplier (31/131 in this library). Input types are
+    * declared so a SQL caller passing e.g. a BIGINT multiplier fails
+    * at analysis time instead of ClassCastException at execution
+    * (r16 advice). */
   case class RollHash(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure(
+          s"text argument must be STRING, got ${left.dataType.catalogString}")
+      else if (right.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"multiplier must be INT, got ${right.dataType.catalogString}")
+      else TypeCheckResult.TypeCheckSuccess
     override def dataType: DataType = LongType
     override def nullSafeEval(l: Any, r: Any): Any =
       rollHashEval(l.asInstanceOf[UTF8String], r.asInstanceOf[Int])
@@ -421,13 +446,22 @@ object VectorExprs {
       var i = 0
       while (i < n) {
         val st = model.getStruct(i, 2)
-        langs(i) = st.getUTF8String(0).clone()
+        val lang = st.getUTF8String(0)
+        // Loud decode-time guards (r16 advice): a null lang or null
+        // token would otherwise NPE deep in clone()/probe or silently
+        // skew counts — fail with the defect named, once per decode.
+        require(lang != null, s"marker model entry $i has a null lang")
+        langs(i) = lang.clone()
         val ta = st.getArray(1)
+        require(ta != null, s"marker model entry $i has a null token array")
         val m = ta.numElements()
         val arr = new Array[UTF8String](m)
         var t = 0
         while (t < m) {
-          val tok = ta.getUTF8String(t).clone()
+          val rawTok = ta.getUTF8String(t)
+          require(rawTok != null,
+            s"marker model entry $i (lang ${langs(i)}) has a null token at $t")
+          val tok = rawTok.clone()
           arr(t) = tok
           val prev = map.get(tok)
           val bit = java.lang.Long.valueOf(
@@ -462,17 +496,49 @@ object VectorExprs {
   /** Per-thread decoded marker-model cache — same discipline as the
     * packed-cosine [[tlTable]]: the cache lives outside the immutable
     * expression tree, full-content identity check, task-scoped
-    * lifetime. */
-  private val tlMarkers = new ThreadLocal[MarkerModel]
+    * lifetime. Bounded to the [[MarkerCacheCap]] most-recently-used
+    * models per thread (r16 verdict #4: an unbounded last-model slot
+    * is bytes with one ≤100-pair model, but a host scoring MANY
+    * distinct models through long-lived executor threads would retain
+    * one decoded model per thread indefinitely — the explicit MRU
+    * bound makes multi-model serving safe by construction). Eviction
+    * only drops a decoded copy; a re-encounter re-decodes. */
+  private[graft] val MarkerCacheCap = 4
+  private val tlMarkers =
+    new ThreadLocal[java.util.ArrayDeque[MarkerModel]]
 
-  private def markerModelFor(model: ArrayData): MarkerModel = {
-    var m = tlMarkers.get()
-    if ((m eq null) || !m.sameAs(model)) {
-      m = new MarkerModel(model)
-      tlMarkers.set(m)
+  /** Current thread's decoded-model count — test probe for the
+    * retention bound (EdgeCaseSuite). */
+  private[graft] def markerCacheSize(): Int = {
+    val dq = tlMarkers.get()
+    if (dq eq null) 0 else dq.size()
+  }
+
+  private[graft] def markerModelFor(model: ArrayData): MarkerModel = {
+    var dq = tlMarkers.get()
+    if (dq eq null) {
+      dq = new java.util.ArrayDeque[MarkerModel](MarkerCacheCap)
+      tlMarkers.set(dq)
       val tc = org.apache.spark.TaskContext.get()
       if (tc != null) tc.addTaskCompletionListener[Unit](_ => tlMarkers.remove())
     }
+    // Fast path: the single-model workload hits the MRU head with one
+    // sameAs (the pre-cap behavior, unchanged cost).
+    val head = dq.peekFirst()
+    if ((head ne null) && head.sameAs(model)) return head
+    val it = dq.iterator()
+    if (it.hasNext) it.next() // head already checked
+    while (it.hasNext) {
+      val m = it.next()
+      if (m.sameAs(model)) {
+        it.remove()      // promote to MRU head (iterator abandoned below)
+        dq.addFirst(m)
+        return m
+      }
+    }
+    val m = new MarkerModel(model)
+    dq.addFirst(m)
+    if (dq.size() > MarkerCacheCap) dq.removeLast()
     m
   }
 
@@ -529,6 +595,32 @@ object VectorExprs {
       extends BinaryExpression {
     override def dataType: DataType =
       ArrayType(IntegerType, containsNull = false)
+
+    /** Structural input check (r16 advice): [[MarkerModel]] decodes
+      * the model struct POSITIONALLY, so a swapped field order or a
+      * wrong leaf type must fail at analysis time with the expected
+      * shape named — not as an executor ClassCastException/NPE. Field
+      * NAMES are deliberately not constrained (positional decode is
+      * the contract; langIdAssign ships unnamed typedlit structs). */
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def modelOk(dt: DataType): Boolean = dt match {
+        case ArrayType(StructType(fields), _) if fields.length == 2 =>
+          fields(0).dataType == StringType &&
+            (fields(1).dataType match {
+              case ArrayType(StringType, _) => true
+              case _ => false
+            })
+        case _ => false
+      }
+      if (left.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure(
+          s"text argument must be STRING, got ${left.dataType.catalogString}")
+      else if (!modelOk(right.dataType))
+        TypeCheckResult.TypeCheckFailure(
+          "model argument must be ARRAY<STRUCT<lang: STRING, " +
+            s"toks: ARRAY<STRING>>>, got ${right.dataType.catalogString}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
     /** Decoded once per instance when the model is a compile-time
       * constant; null when the model is non-foldable or folds to null.

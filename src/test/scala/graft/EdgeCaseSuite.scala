@@ -343,6 +343,90 @@ class EdgeCaseSuite extends SparkTestBase {
       s"bit-63 language not counted: ${hit.toSeq}")
   }
 
+  test("langMarkersFit rejects null labels loudly and drops null texts") {
+    import spark.implicits._
+    // A null lang previously survived the groupBy and NPE'd in the
+    // driver-side sort (r16 advice) — now refused with the column named.
+    val withNullLang = Seq((Option("en"), "the cat"),
+      (Option.empty[String], "der hund")).toDF("lang", "t")
+    val e = intercept[IllegalArgumentException] {
+      api.GraftOps.langMarkersFit(withNullLang, "lang", "t")
+    }
+    assert(e.getMessage.contains("lang") && e.getMessage.contains("null"),
+      s"unhelpful null-label error: ${e.getMessage}")
+    // Null TEXT rows contribute no tokens (documented SQL semantics:
+    // explode of a null split is empty) — the fit still succeeds.
+    val withNullText = Seq(("en", Option("the cat the")),
+      ("en", Option.empty[String])).toDF("lang", "t")
+    assert(api.GraftOps.langMarkersFit(withNullText, "lang", "t", topN = 2)
+      == Seq(("en", Seq("cat", "the"))))
+  }
+
+  test("marker kernel: analysis-time shape errors, alternating models, bounded cache") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, when}
+    graft.functions.VectorExprs.register(spark)
+    // Wrong multiplier type fails at ANALYSIS (was a ClassCastException
+    // at execution, r16 advice).
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("t")
+        .select(expr("graft_rollhash(t, cast(31 as bigint))")).collect()
+    }
+    // A swapped model struct order fails at analysis with the expected
+    // shape named (MarkerModel decodes positionally).
+    val ae = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("t").select(expr(
+        "graft_marker_hits(t, array(named_struct(" +
+          "'toks', array('a'), 'lang', 'en')))")).collect()
+    }
+    assert(ae.getMessage.contains("ARRAY<STRUCT"),
+      s"shape not named in: ${ae.getMessage}")
+    // Two distinct models ALTERNATING per row through the non-foldable
+    // path on one session: each row scores against its own model.
+    val m1 = "array(named_struct('lang','en','toks',array('the','and'))," +
+      "named_struct('lang','de','toks',array('der')))"
+    val m2 = "array(named_struct('lang','fr','toks',array('le'))," +
+      "named_struct('lang','en','toks',array('the')))"
+    val out = (0L to 3L).toDF("id")
+      .withColumn("t", org.apache.spark.sql.functions.lit("the cat and the dog"))
+      .withColumn("mk", when(col("id") % 2 === 0, expr(m1)).otherwise(expr(m2)))
+      .select(col("id"), expr("graft_marker_hits(t, mk)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(0L) == Seq(3, 0) && out(2L) == Seq(3, 0),
+      s"model-1 rows miscounted: $out")   // the,and,the
+    assert(out(1L) == Seq(0, 2) && out(3L) == Seq(0, 2),
+      s"model-2 rows miscounted: $out")   // le=0, the=2
+    // Retention bound (r16 verdict #4): ten distinct models through
+    // one thread's cache retain at most MarkerCacheCap decoded copies;
+    // evicted models still score correctly on re-encounter (re-decode).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def model(tag: Int) = new GenericArrayData(Array[Any](
+      InternalRow(UTF8String.fromString(s"l$tag"),
+        new GenericArrayData(Array[Any](UTF8String.fromString(s"tok$tag"))))))
+    val text = UTF8String.fromString("tok3 x tok9")
+    for (i <- 0 until 10)
+      graft.functions.VectorExprs.markerHitsEval(text, model(i))
+    val sz = graft.functions.VectorExprs.markerCacheSize()
+    assert(sz <= graft.functions.VectorExprs.MarkerCacheCap,
+      s"per-thread marker cache grew past the bound: $sz")
+    assert(graft.functions.VectorExprs.markerHitsEval(text, model(9))
+      .toIntArray()(0) == 1, "MRU model miscounts")
+    assert(graft.functions.VectorExprs.markerHitsEval(text, model(3))
+      .toIntArray()(0) == 1, "evicted model must re-decode and count")
+    // A null token inside a model is refused at decode with the defect
+    // named (was an NPE deep in clone()).
+    val nullTok = new GenericArrayData(Array[Any](
+      InternalRow(UTF8String.fromString("en"),
+        new GenericArrayData(Array[Any](null)))))
+    val iae = intercept[IllegalArgumentException] {
+      graft.functions.VectorExprs.markerHitsEval(text, nullTok)
+    }
+    assert(iae.getMessage.contains("null token"),
+      s"unhelpful null-token error: ${iae.getMessage}")
+  }
+
   test("concurrent queries on a shared session match their serial results") {
     // A real deployment multiplexes query threads over one session.
     // This exercises the shared mutable surfaces at once: FitOnce

@@ -320,6 +320,45 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad docs where native rollhash != HOF rollhash")
   }
 
+  test("rollhash is per-CODE-POINT on non-ASCII — native ≡ Spark HOF ≡ spec") {
+    // The r16 advice questioned the non-ASCII equivalence claim on the
+    // grounds that Spark's ascii() returns the signed first UTF-8
+    // byte. That is PRE-Spark-4 behavior: probed on this binary,
+    // Spark 4.1's ascii('é') = 233 (the code point) and split(t, '')
+    // keeps astral characters whole — so the native kernel, the
+    // interpreted HOF arm, and an explicit code-point fold agree on
+    // Latin-1, CJK, and surrogate-pair text alike (the DuckDB oracle
+    // matches too, re-verified manually with BIGINT accumulators).
+    // This pin extends the corpus-ASCII equality test to exactly those
+    // classes, and fails loudly if a future Spark reverts ascii().
+    graft.functions.VectorExprs.register(spark)
+    def spec(s: String, mult: Int): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * mult + cp) % 2147483647L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val texts = Seq("é", "héllo wörld", "日本語 テスト",
+      "astral 𝕊 pair", "🙂🙂", "mixed ascii ü end")
+    import spark.implicits._
+    val got = texts.toDF("text")
+      .select(expr("graft_rollhash(text, 31)").as("h31"),
+        expr("graft_rollhash(text, 131)").as("h131"),
+        expr(api.GraftOps.rollHashHof("text", 31)).as("hof31"),
+        expr(api.GraftOps.rollHashHof("text", 131)).as("hof131"))
+      .collect()
+    texts.zip(got).foreach { case (s, r) =>
+      assert(r.getLong(0) == spec(s, 31) && r.getLong(1) == spec(s, 131),
+        s"native rollhash != code-point spec on '$s'")
+      assert(r.getLong(2) == spec(s, 31) && r.getLong(3) == spec(s, 131),
+        s"Spark-HOF rollhash != code-point spec on '$s' — did Spark's " +
+          "ascii() semantics change? rollHashEval's doc claims equivalence")
+    }
+  }
+
   test("native Rademacher bucket equals the interpreted HOF bucket") {
     graft.functions.VectorExprs.register(spark)
     val bad = Tables.embeddings(spark, sf)
