@@ -360,7 +360,18 @@ object Dedup {
     * consumer of the LSH stage (components, keep, degree audit) — the
     * checkpoint carries the verification's (c, na, nb), so the profile
     * is a file scan plus exact-integer divisions both engines evaluate
-    * identically. */
+    * identically.
+    *
+    * BENCH SERIES NOTE (r16 advice): before r16 this query re-ran the
+    * full LSH pipeline per invocation (~0.36 s at sf0.1); from r16 it
+    * reads the fit-once checkpoint (~0.04-0.08 s). Timings across that
+    * boundary measure DIFFERENT work — the r16 drop is the serving-
+    * shape change, not an optimization of the LSH path itself (whose
+    * honest full cost stays measured by llm_near_dedup, deliberately
+    * uncached). The engine-vs-oracle ratio likewise compares a file
+    * scan on the Spark side against DuckDB running its full oracle
+    * SQL. bench_ref.json was re-minted at the boundary, so the
+    * per-query ref trigger is calibrated to the new shape. */
   def containment(spark: SparkSession, sf: String): DataFrame =
     Tables.readCached(spark, nearDupPairsPath(spark, sf))
       .select(col("x"), col("y"), col("c"), col("na"), col("nb"),
