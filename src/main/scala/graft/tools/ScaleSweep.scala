@@ -34,25 +34,25 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("ERROR")
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
 
-    def sweep(dir: String): Map[String, Double] = {
+    def sweep(dir: String, qnames: Seq[String] = names): Map[String, Double] = {
       // warm (fills Prepared + FitOnce checkpoints for this dir); the
       // built plans are pinned for the timed loop — the prepared cache
       // holds them weakly (session-leak guard).
-      val pin = names.flatMap { n =>
+      val pin = qnames.flatMap { n =>
         try { val df = graft.api.Prepared.df(spark, dir, n); df.count(); Some(df) }
         catch { case e: Throwable =>
           System.err.println(s"[scale] warm $n @$dir failed: ${e.getMessage}"); None }
       }
       val t = scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
-      for (_ <- 1 to 2; n <- names) {
+      for (_ <- 1 to 2; n <- qnames) {
         val t0 = System.nanoTime()
         val ok = try { graft.api.Prepared.df(spark, dir, n).count(); true }
           catch { case _: Throwable => false }
         if (ok) t(n) ::= (System.nanoTime() - t0) / 1e9
       }
-      require(pin.length <= names.length) // keeps the pin live past the loop
-      names.map(n => n -> (if (t(n).isEmpty) -1.0 else t(n).min)).toMap
+      require(pin.length <= qnames.length) // keeps the pin live past the loop
+      qnames.map(n => n -> (if (t(n).isEmpty) -1.0 else t(n).min)).toMap
     }
 
     val tBase = sweep(base)
@@ -84,10 +84,45 @@ object ScaleSweep {
     val flaggedJson = flagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val factor = "x(\\d+)$".r.findFirstMatchIn(xDir.stripSuffix("/"))
       .map(_.group(1)).getOrElse("0")
+    // Optional deeper spot leg for NAMED queries (r16 verdict item:
+    // the iterative graph pair were the only non-by-design shapes
+    // above 3x at x10 — superstep/orientation overhead, claimed
+    // fixed-ish; a x100 measurement adjudicates flatten-vs-real-work
+    // the way the q5/tumbling probes did in r14). Runs only when the
+    // x2 corpus exists (CrossoverProbe synthesizes it) and every named
+    // query's tables are present there; results ride scalesweep.json
+    // as x2_* keys.
+    val x2Dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_X2_DIR",
+      "target/crossover/x100")
+    val x2Queries = sys.env.getOrElse("SPARK_GRAFT_SCALE_X2_QUERIES",
+        "graph_pagerank,graph_triangles")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq.filter(names.contains)
+    val x2Ready = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(x2Dir, "_GRAFT_X_DONE"))
+    val x2Block: String =
+      if (!x2Ready || x2Queries.isEmpty) {
+        if (!x2Ready) System.err.println(
+          s"[scale] x2 leg skipped: $x2Dir not synthesized (run CrossoverProbe)")
+        ""
+      } else {
+        val t2 = sweep(x2Dir, x2Queries)
+        val x2Factor = "x(\\d+)$".r.findFirstMatchIn(x2Dir.stripSuffix("/"))
+          .map(_.group(1)).getOrElse("0")
+        val r2 = x2Queries.map { n =>
+          val (b, x) = (tBase.getOrElse(n, -1.0), t2(n))
+          n -> (if (b > 0 && x > 0) x / b else -1.0)
+        }.toMap
+        x2Queries.foreach { n =>
+          println(f"[x$x2Factor] $n%-26s base ${graft.Bench.fmt3(tBase.getOrElse(n, -1.0))}%8s  " +
+            f"x$x2Factor ${graft.Bench.fmt3(t2(n))}%8s  ratio ${graft.Bench.fmt3(r2(n))}%6s")
+        }
+        s""","x2_factor":$x2Factor,"x2_dir":"$x2Dir",""" +
+          s""""x2_ratios":${jm(r2)},"x2_s":${jm(t2)}"""
+      }
     val outJson = s"""{$mint"factor":$factor,"x_dir":"$xDir",""" +
       s""""flag_ratio":$flagRatio,"flagged":$flaggedJson,""" +
       s""""protocol":"prepared count(), warm+min-of-2 per corpus, local[32] bench config",""" +
-      s""""ratios":${jm(ratios)},"base_s":${jm(tBase)},"x_s":${jm(tX)}}"""
+      s""""ratios":${jm(ratios)},"base_s":${jm(tBase)},"x_s":${jm(tX)}$x2Block}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALESWEEP_OUT", "scalesweep.json"))
     java.nio.file.Files.write(outPath,
