@@ -299,6 +299,17 @@ class BenchRefSuite extends AnyFunSuite {
     }
     assert(Bench.crossoverBlock(read("crossover.json")) != "null")
     assert(Bench.scalesweepEmbed(read("scalesweep.json")) != "null")
+    // The committed crossover must carry the per-leg runs arrays (r16
+    // verdict #3: the x100 legs are the load-bearing floor-proven
+    // evidence and used to ride ONE draw against ±50% box drift —
+    // headline = min, spread visible). A re-mint from an older binary
+    // would silently drop them; refuse that commit.
+    val xTxt = read("crossover.json")
+    for (k <- Seq("spark_runs_x100", "duckdb_runs_x100",
+        "spark_runs_x10", "duckdb_runs_x10", "spark_runs_x1"))
+      assert(xTxt.contains("\"" + k + "\""),
+        s"crossover.json lost its $k runs arrays — re-mint with the " +
+          "current CrossoverProbe + crossover_duckdb.py")
     assert(Bench.parseRef(read("bench_ref.json")).size > 150,
       "bench_ref.json lost its per-query entries")
     // The committed scalesweep must cover the CURRENT inventory — a
