@@ -226,10 +226,16 @@ object GraftOps {
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)
-    df.withColumn("_graft_toks", split(col(textCol), " "))
-      .filter(size(col("_graft_toks")) >= n)
+    // Token count as #spaces + 1 via a length difference (two byte
+    // scans, one allocation) — the token ARRAY was built here purely
+    // to read its size, once in the filter and once in the projection.
+    // size(split(t, ' ', -1)) ≡ count(' ') + 1 exactly (split on the
+    // single-space separator, empty segments kept).
+    val nTok = length(col(textCol)) -
+      length(expr(s"replace($textCol, ' ', '')")) + 1
+    df.filter(nTok >= n)
       .select(col(idCol).as("doc_id"),
-        (size(col("_graft_toks")) - (n - 1)).cast("long").as("total_ngrams"),
+        (nTok - (n - 1)).cast("long").as("total_ngrams"),
         expr(s"size(graft_wordshingle_hashes($textCol, $n))")
           .cast("long").as("distinct_ngrams"))
       .withColumn("rep_milli",
@@ -539,8 +545,12 @@ object GraftOps {
     * is bounded by distinct-ngram count, not corpus size. */
   def ngramCounts(df: DataFrame, textCol: String, n: Int,
       minCount: Long): DataFrame =
-    df.withColumn("_graft_toks", split(col(textCol), " "))
-      .filter(size(col("_graft_toks")) >= n)
+    // limit-n split in the filter: ⟺ `size(full split) >= n` (size of
+    // a limit-n split is n exactly when the text has ≥ n-1 separators)
+    // but stops scanning at the (n-1)th space instead of building the
+    // whole token array once for the filter and again for the project.
+    df.filter(size(split(col(textCol), " ", n)) >= n)
+      .withColumn("_graft_toks", split(col(textCol), " "))
       .select(explode(expr(
         s"transform(sequence(0, size(_graft_toks) - $n), " +
           s"i -> array_join(slice(_graft_toks, i + 1, $n), ' '))"))
@@ -591,10 +601,22 @@ object GraftOps {
     */
   def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
-    val toks = df.select(split(col(textCol), " ").as("_graft_toks"))
-    val uni = toks.select(explode(col("_graft_toks")).as("w"))
+    // Explode the split INLINE (the tfidf shape): exploding a
+    // projection-defined toks COLUMN makes InferFiltersFromGenerate
+    // insert `size(toks) > 0 AND isnotnull(toks)` which pushdown then
+    // substitutes through the projection — the full split() ran THREE
+    // times per row on the unigram pass (plan-read, the same class as
+    // near-dedup's triple MinHashBands). Inline generator children
+    // skip the infer rule, so the split runs once.
+    val uni = df.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val biOcc = toks.filter(size(col("_graft_toks")) >= 2)
+    // `size(split(t, ' ', 2)) >= 2` ⟺ at least one space ⟺ the full
+    // split has ≥ 2 tokens — but the limit-2 split stops scanning at
+    // the first separator instead of materializing the whole token
+    // array a second time just for the filter.
+    val toks = df.filter(size(split(col(textCol), " ", 2)) >= 2)
+      .select(split(col(textCol), " ").as("_graft_toks"))
+    val biOcc = toks
       .select(explode(expr(
         "transform(sequence(0, size(_graft_toks) - 2), " +
           "i -> struct(_graft_toks[i] as w1, _graft_toks[i+1] as w2))"))
