@@ -333,10 +333,17 @@ object Events {
       .withColumn("ce", least(col("e"),
         expr("cast(day + INTERVAL 1 DAY as timestamp_ntz)")))
       .filter(col("cs") < col("ce"))
-    val deltas = clipped.select(col("day"), col("cs").as("pt"),
-        lit(1L).as("delta"), col("user_id"))
-      .unionAll(clipped.select(col("day"), col("ce").as("pt"),
-        lit(-1L).as("delta"), col("user_id")))
+    // Both endpoint deltas from ONE pass: the previous unionAll of two
+    // projections duplicated the whole upstream — two events scans,
+    // two session-window aggregates, two clip explodes (plan-read;
+    // runtime exchange reuse only saves the scan-side shuffle write).
+    // Exploding a 2-struct array emits the same (day, pt, delta,
+    // user_id) bag from a single subtree.
+    val deltas = clipped.select(col("day"), col("user_id"),
+        explode(expr("array(struct(cs as pt, cast(1 as bigint) as delta), " +
+          "struct(ce as pt, cast(-1 as bigint) as delta))")).as("_graft_d"))
+      .select(col("day"), col("_graft_d.pt"), col("_graft_d.delta"),
+        col("user_id"))
     val w = Window.partitionBy("day")
       .orderBy(asc("pt"), asc("delta"), asc("user_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
