@@ -1093,4 +1093,32 @@ class PropertySuite extends SparkTestBase {
     assert(changed, "salt sample left every text unchanged — the pin is unarmed")
   }
 
+  test("tokenization shortcuts ≡ full-split semantics on adversarial strings") {
+    // r17 replaced full tokenizations with two shortcuts, both
+    // load-bearing for the n-gram family's correctness:
+    //   (a) filter: size(split(t, ' ', n)) >= n  ⟺  size(split(t)) >= n
+    //       (a limit-n split has size n exactly when t has ≥ n-1
+    //        single-space separators)
+    //   (b) count:  length(t) − length(replace(t, ' ', '')) + 1
+    //        ≡ size(split(t, ' ', -1))  (split keeps empty segments,
+    //        so tokens = spaces + 1)
+    // The oracle corpus is well-formed prose; this pin locks the
+    // equivalences on the degenerate shapes prose never exercises.
+    import spark.implicits._
+    val adversarial = Seq(
+      "", " ", "  ", "a", "a b", " a", "a ", " a b  c ", "a  b",
+      "     ", "word", "a b c d e", "\ta\tb", "é ü", "日本 語",
+      "🙂 🙂 🙂", "a\nb c", "  leading and trailing  ")
+    for (n <- Seq(2, 3, 5)) {
+      val bad = adversarial.toDF("t").filter(
+        (size(split(col("t"), " ", n)) >= n) =!=
+          (size(split(col("t"), " ")) >= n)).count()
+      assert(bad == 0, s"limit-$n split filter diverges from full split")
+    }
+    val badCnt = adversarial.toDF("t").filter(
+      (length(col("t")) - length(expr("replace(t, ' ', '')")) + 1) =!=
+        size(split(col("t"), " "))).count()
+    assert(badCnt == 0, "length-diff token count diverges from size(split)")
+  }
+
 }
