@@ -317,12 +317,17 @@ object GraftOps {
     val dfreq = tf.filter(col("tf") >= 1)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("_graft_n"))
-    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    // Per-doc ranking through the one-pass heap operator instead of a
+    // row_number window: the window plan sorts every (doc_id)
+    // partition in full to keep k rows, the heap exec keeps
+    // O(docs × k) state in one streaming pass — same
+    // (score DESC, term ASC) total order, same appended LongType rn
+    // (row-identical asserted in the A/B; the scale argument is
+    // TopKPerKey's raison d'être, see win_topk_native).
+    val joined = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * log(col("_graft_n").cast("double") / col("df"))).cast("float"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKPerKey(joined, Seq("doc_id"), "score", "term", k)
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
         col("score"))
       .orderBy("doc_id", "rn")
