@@ -468,6 +468,19 @@ class PropertySuite extends SparkTestBase {
     val pairs = api.GraftOps.cosineNearDup(vecs, "vid", "emb", 0.9).collect()
     assert(pairs.length == 1 && pairs(0).getLong(0) == 7L
       && pairs(0).getLong(1) == 8L, "only (7,8) are near-parallel")
+    // The r17 tokenization-shortcut rewrites thread the text column
+    // through interpolated SQL (replace/limit-split) — drive them with
+    // the foreign name too.
+    val rep = api.GraftOps.repetitionRatio(docs, "docno", "body", 2)
+      .filter(col("doc_id") === 100L).collect()
+    assert(rep.length == 1 && rep(0).getLong(1) == 6L
+      && rep(0).getLong(3) == 0L,
+      s"7 tokens -> 6 bigrams, all distinct -> rep_milli 0: ${rep.toSeq}")
+    val ng = api.GraftOps.ngramCounts(docs, "body", 2, 2).collect()
+    assert(ng.exists(r => r.getString(0) == "a b" && r.getLong(1) == 2L),
+      s"'a b' occurs in both duplicate bodies: ${ng.toSeq}")
+    assert(api.GraftOps.pmiBigrams(docs, "body", 1, 5).count() == 5,
+      "pmi top-5 over foreign-named text")
   }
 
   test("GraftOps operators tolerate input columns named like internals") {
