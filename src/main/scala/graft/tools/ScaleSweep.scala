@@ -105,19 +105,26 @@ object ScaleSweep {
           s"[scale] x2 leg skipped: $x2Dir not synthesized (run CrossoverProbe)")
         ""
       } else {
+        // The base side is RE-TIMED here, adjacent to the x2 leg: the
+        // full-sweep tBase draw runs ~10 minutes earlier under sweep
+        // pressure and has read 2-3x high for the iterative graph
+        // plans (one mint: pagerank base 1.52 s vs the 0.66 s clean
+        // ref), skewing a ratio whose two legs then came from
+        // different box phases. Both draws ride the artifact.
+        val t2base = sweep(base, x2Queries)
         val t2 = sweep(x2Dir, x2Queries)
         val x2Factor = "x(\\d+)$".r.findFirstMatchIn(x2Dir.stripSuffix("/"))
           .map(_.group(1)).getOrElse("0")
         val r2 = x2Queries.map { n =>
-          val (b, x) = (tBase.getOrElse(n, -1.0), t2(n))
+          val (b, x) = (t2base.getOrElse(n, -1.0), t2(n))
           n -> (if (b > 0 && x > 0) x / b else -1.0)
         }.toMap
         x2Queries.foreach { n =>
-          println(f"[x$x2Factor] $n%-26s base ${graft.Bench.fmt3(tBase.getOrElse(n, -1.0))}%8s  " +
+          println(f"[x$x2Factor] $n%-26s base ${graft.Bench.fmt3(t2base.getOrElse(n, -1.0))}%8s  " +
             f"x$x2Factor ${graft.Bench.fmt3(t2(n))}%8s  ratio ${graft.Bench.fmt3(r2(n))}%6s")
         }
         s""","x2_factor":$x2Factor,"x2_dir":"$x2Dir",""" +
-          s""""x2_ratios":${jm(r2)},"x2_s":${jm(t2)}"""
+          s""""x2_ratios":${jm(r2)},"x2_base_s":${jm(t2base)},"x2_s":${jm(t2)}"""
       }
     val outJson = s"""{$mint"factor":$factor,"x_dir":"$xDir",""" +
       s""""flag_ratio":$flagRatio,"flagged":$flaggedJson,""" +
