@@ -310,6 +310,15 @@ class BenchRefSuite extends AnyFunSuite {
       assert(xTxt.contains("\"" + k + "\""),
         s"crossover.json lost its $k runs arrays — re-mint with the " +
           "current CrossoverProbe + crossover_duckdb.py")
+    // The committed scalesweep must carry the x100 graph spot leg with
+    // its ADJACENT base draw (r17: a ratio whose legs came from
+    // different box phases read 11.7x where adjacent draws read ~50x).
+    val ssTxt2 = read("scalesweep.json")
+    for (k <- Seq("x2_factor", "x2_ratios", "x2_base_s", "x2_s"))
+      assert(ssTxt2.contains("\"" + k + "\""),
+        s"scalesweep.json lost its $k x2-leg key — re-mint with the " +
+          "x100 corpus synthesized (CrossoverProbe) so ScaleSweep's " +
+          "spot leg runs")
     assert(Bench.parseRef(read("bench_ref.json")).size > 150,
       "bench_ref.json lost its per-query entries")
     // The committed scalesweep must cover the CURRENT inventory — a
