@@ -353,13 +353,18 @@ object GraftOps {
     * semantics. */
   def langMarkersFit(df: DataFrame, langCol: String, textCol: String,
       topN: Int = 20): Seq[(String, Seq[String])] = {
-    val nullLangs = df.filter(col(langCol).isNull).limit(1).count()
-    require(nullLangs == 0,
-      s"langMarkersFit: label column '$langCol' contains nulls — " +
-        "filter or impute labels before fitting")
+    // Null-label refusal is folded into the fit's own single pass
+    // (r17 advice — the old eager filter.limit(1).count() pre-scan ran
+    // a full extra job over the input): explode_outer keeps one
+    // sentinel row for null/empty-split texts, so EVERY null-label row
+    // reaches the aggregation and is refused at collect. Null tokens
+    // from non-null labels are dropped before the ranking window so a
+    // corpus of null texts can't displace genuine markers from topN;
+    // null-label rows keep flowing regardless of their token.
     val tok = df.select(col(langCol).as("_graft_lang"),
-      explode(split(col(textCol), " ")).as("_graft_tok"))
-    tok.groupBy(col("_graft_lang"), col("_graft_tok"))
+      explode_outer(split(col(textCol), " ")).as("_graft_tok"))
+      .filter(col("_graft_tok").isNotNull || col("_graft_lang").isNull)
+    val rows = tok.groupBy(col("_graft_lang"), col("_graft_tok"))
       .agg(count(lit(1)).as("_graft_cnt"))
       .withColumn("_graft_rn", row_number().over(
         Window.partitionBy("_graft_lang")
@@ -368,7 +373,11 @@ object GraftOps {
       .groupBy(col("_graft_lang"))
       .agg(sort_array(collect_list(col("_graft_tok"))).as("_graft_toks"))
       .collect()
-      .map(r => (r.getString(0), r.getSeq[String](1)))
+    if (rows.exists(_.isNullAt(0)))
+      throw new IllegalArgumentException(
+        s"langMarkersFit: label column '$langCol' contains nulls — " +
+          "filter or impute labels before fitting")
+    rows.map(r => (r.getString(0), r.getSeq[String](1)))
       .sortBy(_._1)
       .toSeq
   }

@@ -446,6 +446,7 @@ object VectorExprs {
       var i = 0
       while (i < n) {
         val st = model.getStruct(i, 2)
+        require(st != null, s"marker model entry $i is null")
         val lang = st.getUTF8String(0)
         // Loud decode-time guards (r16 advice): a null lang or null
         // token would otherwise NPE deep in clone()/probe or silently

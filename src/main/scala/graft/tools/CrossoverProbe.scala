@@ -250,9 +250,14 @@ object CrossoverProbe {
       ks.filter(m.contains).map(n => "\"" + n + "\":" + graft.Bench.fmt3(m(n)))
         .mkString("{", ",", "}")
     def jRuns(m: Map[String, List[Double]], ks: Seq[String]): String =
-      ks.filter(m.contains).map(n => "\"" + n + "\":" +
-          m(n).map(graft.Bench.fmt3).mkString("[", ",", "]"))
-        .mkString("{", ",", "}")
+      ks.filter(m.contains).map { n =>
+        // A shape whose timed passes all failed has an empty samples
+        // list; mins() reports -1.0 for it, and the DuckDB merger
+        // normalizes the same case to [-1.0] — mirror that here so the
+        // two runs encodings in the merged crossover.json agree.
+        val rs = if (m(n).isEmpty) List(-1.0) else m(n)
+        "\"" + n + "\":" + rs.map(graft.Bench.fmt3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     // Mint provenance (r14 verdict #2): the commit this binary was
     // built from rides the file (and the merged crossover.json) so
     // Bench can flag silently-stale evidence.
@@ -260,7 +265,7 @@ object CrossoverProbe {
       .map(h => s""""mint_commit":"$h",""").getOrElse("")
     val out = s"""{$mint"base":"$base","factor":$factor,"x_dir":"$xDir",""" +
       s""""factor2":$factor2,"x2_dir":"$x2Dir",""" +
-      s""""protocol":"prepared count(), warm+min-of-3, local[32] bench config",""" +
+      s""""protocol":"prepared count(), warm, min-of-3 (x1/xN) and min-of-5 (x2), local[32] bench config",""" +
       s""""calib_spark":[${graft.Bench.fmt3(calibPre)},${graft.Bench.fmt3(calibPost)}],""" +
       s""""spark_x1":${j(mins(t1), Shapes)},"spark_xN":${j(mins(tN), Shapes)},""" +
       s""""spark_x2":${j(mins(t2), shapes2)},""" +

@@ -354,6 +354,16 @@ class EdgeCaseSuite extends SparkTestBase {
     }
     assert(e.getMessage.contains("lang") && e.getMessage.contains("null"),
       s"unhelpful null-label error: ${e.getMessage}")
+    // The refusal is folded into the fit's single pass (r17 advice) —
+    // a null label whose TEXT is also null must still be caught (the
+    // explode_outer sentinel row carries it to the aggregation).
+    val bothNull = Seq((Option("en"), Option("the cat")),
+      (Option.empty[String], Option.empty[String])).toDF("lang", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      api.GraftOps.langMarkersFit(bothNull, "lang", "t")
+    }
+    assert(e2.getMessage.contains("null"),
+      s"null-label+null-text row escaped the folded check: ${e2.getMessage}")
     // Null TEXT rows contribute no tokens (documented SQL semantics:
     // explode of a null split is empty) — the fit still succeeds.
     val withNullText = Seq(("en", Option("the cat the")),
@@ -425,6 +435,27 @@ class EdgeCaseSuite extends SparkTestBase {
     }
     assert(iae.getMessage.contains("null token"),
       s"unhelpful null-token error: ${iae.getMessage}")
+    // A null struct ELEMENT in the model array is likewise refused at
+    // decode (r17 advice: getStruct returns null for a null entry and
+    // the lang read NPE'd before any require fired; checkInputDataTypes
+    // accepts containsNull arrays so SQL can build this shape).
+    val nullEntry = new GenericArrayData(Array[Any](
+      InternalRow(UTF8String.fromString("en"),
+        new GenericArrayData(Array[Any](UTF8String.fromString("the")))),
+      null))
+    val nee = intercept[IllegalArgumentException] {
+      graft.functions.VectorExprs.markerHitsEval(text, nullEntry)
+    }
+    assert(nee.getMessage.contains("entry 1") && nee.getMessage.contains("null"),
+      s"unhelpful null-entry error: ${nee.getMessage}")
+    // ...and through the SQL surface (array(named_struct(...), null)).
+    val sqlNee = intercept[Exception] {
+      Seq("the cat").toDF("t").select(expr(
+        "graft_marker_hits(t, array(named_struct(" +
+          "'lang','en','toks',array('the')), null))")).collect()
+    }
+    assert(sqlNee.getMessage.contains("null"),
+      s"SQL null-entry not refused loudly: ${sqlNee.getMessage}")
   }
 
   test("concurrent queries on a shared session match their serial results") {

@@ -1,14 +1,23 @@
 #!/usr/bin/env python3
 """Local differential checker emulating the driver's DuckDB oracle gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py [--json out.json] <sfDir> <verifyOutDir> [query ...]
 
 Registers each corpus table as a DuckDB view named after the table, runs
 every statement in <verifyOutDir>/oracle_sql.json, and compares against
 the Spark result parquet dumped by graft.Verify: columns sorted by name,
 rows compared in order, exact equality (Decimal/ts normalized).
+
+Tables may be single parquet files (the driver's testdata layout) or
+Spark-written directories of part files (the crossover ×10/×100 corpora);
+a table absent from <sfDir> is skipped with a warning and any query whose
+oracle references it records err="table missing" instead of failing the
+whole gate (the ×100 corpus has no embeddings table by construction).
+
+--json writes a driver-style correctness artifact: {name: {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}}.
 """
-import sys, json, glob, decimal, math, datetime
+import sys, os, json, glob, decimal, math, datetime
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -46,26 +55,56 @@ def table_rows(t: pa.Table):
     return t.column_names, [tuple(canon(c[i]) for c in cols) for i in range(t.num_rows)]
 
 def main():
-    sf, out = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf, out = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
+    missing = set()
     for t in TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):
+            src = f"read_parquet('{p}/*.parquet')"
+        elif os.path.isfile(p):
+            src = f"read_parquet('{p}')"
+        else:
+            missing.add(t)
+            print(f"WARN table {t} absent from {sf} — queries referencing it are recorded as skipped")
+            continue
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    report = {}
+    def record(name, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         if only and name not in only:
             continue
         sql = oracle[name]
+        refs = [t for t in missing
+                if f" {t}" in sql.lower() or f"({t}" in sql.lower() or f",{t}" in sql.lower()]
+        if refs:
+            print(f"SKIP {name}: references absent table(s) {sorted(refs)}")
+            record(name, err=f"table missing: {sorted(refs)}")
+            n_skip += 1
+            continue
         try:
             odf = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, err=f"oracle SQL error: {e}")
             n_fail += 1
             continue
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output at {out}/{name}")
+            record(name, err="no spark output")
             n_fail += 1
             continue
         sdf = pa.concat_tables([pq.read_table(f) for f in files],
@@ -87,16 +126,22 @@ def main():
             # declared query emits a decimal-typed column at all.
             print(f"FAIL {name}: decimal-typed output column(s) {sorted(set(dec_cols))} — "
                   "the driver hash is float-repr sensitive; final-cast to DOUBLE on both sides")
+            record(name, err=f"decimal-typed output column(s) {sorted(set(dec_cols))}")
             n_fail += 1
             continue
         oc, orows = table_rows(odf)
         sc, srows = table_rows(sdf)
         if oc != sc:
             print(f"FAIL {name}: columns differ  oracle={oc}  spark={sc}")
+            record(name, rows_match=len(orows) == len(srows),
+                   spark_rows=len(srows), oracle_rows=len(orows),
+                   err=f"columns differ: oracle={oc} spark={sc}")
             n_fail += 1
             continue
         if len(orows) != len(srows):
             print(f"FAIL {name}: row count  oracle={len(orows)}  spark={len(srows)}")
+            record(name, schema_match=True,
+                   spark_rows=len(srows), oracle_rows=len(orows))
             n_fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(orows, srows)) if a != b]
@@ -106,11 +151,20 @@ def main():
             print(f"  cols   : {oc}")
             print(f"  oracle : {a}")
             print(f"  spark  : {b}")
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=len(srows), oracle_rows=len(orows),
+                   err=f"{len(bad)}/{len(orows)} rows differ; first at row {i}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(orows)} rows)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(srows), oracle_rows=len(orows))
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skipped (absent tables) ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
