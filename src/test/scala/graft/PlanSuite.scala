@@ -313,31 +313,55 @@ class PlanSuite extends SparkTestBase {
   }
 
   test("tfidf: DF branch reuses the TF exchange (1 corpus explode, not 2)") {
-    // The vacuous tf >= 1 filter on the DF branch keeps its inner
-    // (doc_id, term) aggregate producing tf, so the partial-agg +
-    // exchange subtree canonicalizes with the TF branch's; without it
-    // column pruning turns the inner agg into a bare distinct and the
-    // corpus is exploded twice. AQE finalizes reuse at execution.
+    // The TF aggregate is persisted (r17 verdict #7), so BOTH the
+    // per-doc stream and the document-frequency branch read the one
+    // materialization: the executed plan carries two InMemoryTableScans
+    // of the same cached relation and ZERO live corpus explodes (the
+    // single Generate lives inside the cached plan and runs once at
+    // fill). This is structural — no exchange-reuse canonical-equality
+    // dependence — and the cache is keyed by canonical plan, so
+    // repeated calls per session share one entry.
     val df = graft.api.GraftOps.tfidfTopTerms(
       Tables.documents(spark, sf), "doc_id", "text", 5)
     df.collect()
-    var gens = 0; var reused = 0
+    var gens = 0
+    val cached = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.SparkPlan]
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
       p match {
-        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          reused += 1; return
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan); return
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           walk(q.plan); return
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          cached += m.relation.cachedPlan
         case _: org.apache.spark.sql.execution.GenerateExec => gens += 1
         case _ =>
       }
       p.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    assert(reused >= 1, s"expected >=1 ReusedExchange, got $reused")
-    assert(gens == 1, s"expected exactly 1 live corpus explode, got $gens")
+    assert(gens == 0, s"expected 0 live corpus explodes (cached TF), got $gens")
+    assert(cached.size == 2,
+      s"expected both branches to scan the TF cache, got ${cached.size} scans")
+    assert(cached.toSet.size == 1,
+      "the two cache scans must read the SAME cached relation")
+    // The one corpus explode lives inside the cached plan.
+    var cachedGens = 0
+    def walkC(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walkC(a.executedPlan); return
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walkC(q.plan); return
+        case _: org.apache.spark.sql.execution.GenerateExec => cachedGens += 1
+        case _ =>
+      }
+      p.children.foreach(walkC)
+    }
+    walkC(cached.head)
+    assert(cachedGens == 1,
+      s"expected the single explode inside the cached TF plan, got $cachedGens")
   }
 
   test("simhash neardup: one shared band exchange, one corpus fingerprint pass") {
