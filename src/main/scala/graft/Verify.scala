@@ -10,7 +10,7 @@ object Verify {
     // local iteration aid; the driver always passes exactly two args.
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -18,6 +18,46 @@ object Verify {
       // Bench.scala) — avoids janino recompilation churn mid-dump.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_STARVE=1: the spill-path attestation config (r17
+    // verdict #2). At 100 TB every buffer spills; the ≤sf0.1 gate never
+    // executes those paths, so once per round the full inventory is
+    // re-dumped with execution memory squeezed (memory.fraction 0.2),
+    // every per-operator buffer pushed off its in-memory array after
+    // 512 rows, planner broadcasts disabled so joins take the SMJ
+    // buffers (explicit broadcast() hints still win — that IS their
+    // contract), hash aggregation forced onto its sort-based fallback
+    // after 512 distinct keys per partition, and the unsafe sorters
+    // force-spilling every 100k elements. Results must hash-match
+    // DuckDB exactly as in the default-config gate.
+    //
+    // Threshold floors are deliberate: UnsafeSorterSpillReader holds a
+    // ~1 MB read buffer PER SPILL FILE and the merge opens all files at
+    // once, so a 1000-element force-spill on a 600k-distinct aggregate
+    // OOMs on reader buffers (~600 files × 8 tasks × 1 MB) before any
+    // engine code runs — measured live on agg_approx_distinct. 100k
+    // still yields multi-file merges on every sf0.1 heavy shape without
+    // turning the gate into a reader-buffer stress test.
+    val spark = (if (!sys.env.get("SPARK_GRAFT_STARVE").contains("1")) b0
+      else Seq(
+        "spark.memory.fraction" -> "0.2",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "512,512",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "512",
+        "spark.shuffle.spill.numElementsForceSpillThreshold" -> "100000",
+        "spark.sql.windowExec.buffer.in.memory.threshold" -> "512",
+        "spark.sql.windowExec.buffer.spill.threshold" -> "4096",
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "512",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "4096",
+        "spark.sql.sessionWindow.buffer.in.memory.threshold" -> "512",
+        "spark.sql.sessionWindow.buffer.spill.threshold" -> "4096",
+        // spill.threshold (the operator sorters' force-spill element
+        // count) sits at 4096, not 512: a session-window pass over the
+        // 1M-event corpus at 512 rows/file is ~250 concurrent 1 MB
+        // reader buffers per task at merge time — the same OOM class
+        // as above, not a more honest spill test.
+        "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "512",
+        "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "4096"
+      ).foldLeft(b0) { case (b, (k, v)) => b.config(k, v) })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

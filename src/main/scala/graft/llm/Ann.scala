@@ -402,12 +402,12 @@ object Ann {
     sb.setLength(sb.length - 2) // trailing ", "
     if (probes == 1)
       sb ++= " SELECT x, y, cell, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.cell AS cell, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "round(list_cosine_similarity(a.ed, b.ed), 6) AS sim " +
         "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y"
     else
       sb ++= " SELECT x, y, sim FROM (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "round(list_cosine_similarity(a.ed, b.ed), 6) AS sim " +
         "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y"
     sb.toString
@@ -424,9 +424,9 @@ object Ann {
     sb.setLength(sb.length - 2) // trailing ", "
     sb ++= " SELECT qid, rn, nbr, sim FROM (" +
       "SELECT q.vec_id AS qid, t.vec_id AS nbr, " +
-      "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) AS sim, " +
+      "round(list_cosine_similarity(q.ed, t.ed), 6) AS sim, " +
       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) DESC, t.vec_id ASC) AS rn " +
+      "round(list_cosine_similarity(q.ed, t.ed), 6) DESC, t.vec_id ASC) AS rn " +
       "FROM (SELECT * FROM af2 WHERE vec_id < 10) q " +
       "JOIN af1 t ON t.cell = q.cell AND t.vec_id <> q.vec_id) s " +
       "WHERE rn <= 3 ORDER BY qid, rn"
@@ -653,27 +653,30 @@ object Ann {
     // recovers the exact top-1) is asserted as literal TRUE — a
     // quantizer bad enough to push the true top-1 out of the
     // 100-candidate shortlist hash-fails the round.
+    // Pairwise shapes hoist the float→double list cast into a `ce`
+    // CTE (see Similarity.oracle — once per row, not per pair; DuckDB
+    // materializes the CTE, hours → seconds on the ×10 corpus).
     "llm_ann_pq" ->
-      ("SELECT qid, tid AS top1, sim AS exact_sim, TRUE AS rerank_ok FROM (" +
-        "SELECT q.vec_id AS qid, t.vec_id AS tid, " +
-        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
-        "CAST(t.embedding AS DOUBLE[])), 6) AS sim, " +
-        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
-        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
-        "CAST(t.embedding AS DOUBLE[])), 6) DESC, t.vec_id ASC) AS rn " +
-        "FROM embeddings q JOIN embeddings t " +
-        "ON q.vec_id < 5 AND t.vec_id <> q.vec_id) s " +
-        "WHERE rn = 1 ORDER BY qid"),
+      ("WITH ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p AS (SELECT q.vec_id AS qid, t.vec_id AS tid, " +
+        "round(list_cosine_similarity(q.e, t.e), 6) AS sim " +
+        "FROM (SELECT * FROM ce WHERE vec_id < 5) q JOIN ce t ON t.vec_id <> q.vec_id) " +
+        "SELECT qid, tid AS top1, sim AS exact_sim, TRUE AS rerank_ok FROM (" +
+        "SELECT qid, tid, sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, tid ASC) AS rn " +
+        "FROM p) s WHERE rn = 1 ORDER BY qid"),
     "llm_cos_neardup" ->
-      ("SELECT x, y, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t " +
+      ("WITH ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +
+        "SELECT x, y, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, " +
+        "round(list_cosine_similarity(a.e, b.e), 6) AS sim " +
+        "FROM ce a JOIN ce b ON a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y"),
     "llm_cos_dedup_keep" ->
-      ("WITH RECURSIVE p AS (SELECT x, y FROM (" +
+      ("WITH RECURSIVE ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p AS (SELECT x, y FROM (" +
         "SELECT a.vec_id AS x, b.vec_id AS y, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t " +
+        "round(list_cosine_similarity(a.e, b.e), 6) AS sim " +
+        "FROM ce a JOIN ce b ON a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45), " +
         "e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y AS a, x AS b FROM p), " +
         "vtx AS (SELECT DISTINCT a AS v FROM e), " +
@@ -683,9 +686,9 @@ object Ann {
         "SELECT vec_id FROM embeddings WHERE vec_id NOT IN " +
         "(SELECT vec_id FROM comp WHERE vec_id <> component) ORDER BY vec_id"),
     "llm_ann_lsh" ->
-      (s"WITH sig AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket FROM embeddings) " +
+      (s"WITH sig AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, CAST($duckBucket AS BIGINT) AS bucket FROM embeddings) " +
         "SELECT x, y, bucket, sim FROM (SELECT a.vec_id AS x, b.vec_id AS y, a.bucket AS bucket, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+        "round(list_cosine_similarity(a.e, b.e), 6) AS sim " +
         "FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
         "WHERE sim >= 0.45 ORDER BY x, y"),
     "llm_ann_ivf" -> ivfOracleSql(1),

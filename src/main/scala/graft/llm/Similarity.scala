@@ -98,26 +98,36 @@ object Similarity {
     "llm_knn_batch" -> knnBatch
   )
 
+  // The float→double list cast is hoisted into a `ce` CTE on every
+  // pairwise oracle (semantics-identical — the same cast, evaluated
+  // once per ROW instead of once per PAIR): DuckDB materializes a CTE
+  // referenced from both join sides, which took the ×10 gate's
+  // 2×10⁸-pair shapes from hours (per-pair list allocation) to
+  // seconds. Measured live on the ×10 corpus: llm_knn_cosine 5 s
+  // hoisted vs >40 min un-hoisted before the run was cut.
   val oracle: Map[String, String] = Map(
     "llm_knn_cosine" ->
-      ("SELECT a.vec_id AS x, b.vec_id AS y, " +
-        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      ("WITH ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +
+        "SELECT a.vec_id AS x, b.vec_id AS y, " +
+        "round(list_cosine_similarity(a.e, b.e), 6) AS sim " +
+        "FROM ce a JOIN ce b ON a.vec_id < b.vec_id " +
         "ORDER BY sim DESC, x ASC, y ASC LIMIT 10"),
     // Kernel ordering = (rounded sim DESC, partner id ASC), matching
-    // the oracle's row_number ordering exactly.
+    // the oracle's row_number ordering exactly (sim computed once in
+    // the pair CTE; ranking over the materialized value is the same
+    // total order the inline expression produced).
     "llm_knn_batch" ->
-      ("SELECT qid, rn, nbr, sim FROM (" +
-        "SELECT q.vec_id AS qid, t.vec_id AS nbr, " +
-        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) AS sim, " +
-        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) DESC, t.vec_id ASC) AS rn " +
-        "FROM (SELECT * FROM embeddings WHERE vec_id < 10) q JOIN embeddings t ON t.vec_id <> q.vec_id) s " +
+      ("WITH ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p AS (SELECT q.vec_id AS qid, t.vec_id AS nbr, " +
+        "round(list_cosine_similarity(q.e, t.e), 6) AS sim " +
+        "FROM (SELECT * FROM ce WHERE vec_id < 10) q JOIN ce t ON t.vec_id <> q.vec_id) " +
+        "SELECT qid, rn, nbr, sim FROM (SELECT qid, nbr, sim, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr ASC) AS rn FROM p) s " +
         "WHERE rn <= 3 ORDER BY qid, rn"),
     "llm_knn_query" ->
-      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), " +
         "s AS (SELECT label, vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
-        "CAST((SELECT qe FROM q) AS DOUBLE[])), 6) AS sim FROM embeddings WHERE vec_id <> 0), " +
+        "(SELECT qe FROM q)), 6) AS sim FROM embeddings WHERE vec_id <> 0), " +
         "r AS (SELECT label, vec_id, sim, row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rn FROM s) " +
         "SELECT label, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY label, rn")
   )
