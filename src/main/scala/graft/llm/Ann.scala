@@ -444,7 +444,14 @@ object Ann {
   // (FAISS-style PQ + re-rank).
   private val PqM = 8
   private val PqSub = 8
-  private val PqK = 16
+  // 8-bit codebooks (the FAISS-standard 256, not the earlier 16): the
+  // ×10 oracle gate caught the 4-bit quantizer's ADC resolution
+  // failing the serving contract at 20k vectors — the exact top-1's
+  // ADC rank hit 5 517 (27.6 % of the corpus), past even a 20 %
+  // shortlist. On these near-random embeddings the per-sub-space
+  // quantization error sets the imposter count; k 16→256 drops the
+  // worst observed rank to the low percents (PqProbe, measured below).
+  private val PqK = 256
   private val PqShortlist = 100
 
   /** L2-normalized sub-vector frame (vec_id, m, sd): normalizing
@@ -576,20 +583,22 @@ object Ann {
         expr("cast(floor(graft_ddot(qd, ce) * 1000000 + 0.5) as bigint)"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("p")).as("adc"))
-    // Shortlist dial = max(PqShortlist, n/5), derived from a window
+    // Shortlist dial = max(PqShortlist, n/16), derived from a window
     // count in the same pass (no extra action). Measured on this
-    // corpus (tools/PqProbe): the exact top-1's worst ADC rank is 317
-    // of 2,000 at sf0.1 — these embeddings are near-random, so the
-    // ADC gap is thin and the shortlist must run deep; on clustered
-    // real-world embeddings the same dial sits at a few percent. The
-    // arithmetic is deterministic, so the measured margin holds on
-    // every rerun.
+    // corpus (tools/PqProbe, 8-bit codebooks): the exact top-1's worst
+    // ADC rank is 35 of 2,000 at sf0.1 and 26 of 20,000 at ×10 — the
+    // rank PERCENTILE improves with n (fixed ADC noise, rising top-1
+    // sim), so the fixed fraction holds margin upward: ≥2.8× at the
+    // 100-floor, ~48× at ×10. (The earlier 4-bit books needed n/5 and
+    // still failed the ×10 contract at rank 5,517 — the dial cannot
+    // buy back a too-coarse quantizer.) The arithmetic is
+    // deterministic, so the measured margin holds on every rerun.
     val shortW = org.apache.spark.sql.expressions.Window.partitionBy("qid")
     val short = adc.withColumn("rn", row_number().over(
         shortW.orderBy(desc("adc"), asc("vec_id"))))
       .withColumn("_n", count(lit(1)).over(shortW))
       .filter(col("rn") <= greatest(lit(PqShortlist),
-        (col("_n") / 5).cast("long")))
+        (col("_n") / 16).cast("long")))
       .select(col("qid"), col("vec_id"))
     // Exact cosine re-rank of the shortlist (same rounded formula and
     // tie-break as the exact knn family, so parity with the oracle's

@@ -313,55 +313,47 @@ class PlanSuite extends SparkTestBase {
   }
 
   test("tfidf: DF branch reuses the TF exchange (1 corpus explode, not 2)") {
-    // The TF aggregate is persisted (r17 verdict #7), so BOTH the
-    // per-doc stream and the document-frequency branch read the one
-    // materialization: the executed plan carries two InMemoryTableScans
-    // of the same cached relation and ZERO live corpus explodes (the
-    // single Generate lives inside the cached plan and runs once at
-    // fill). This is structural — no exchange-reuse canonical-equality
-    // dependence — and the cache is keyed by canonical plan, so
-    // repeated calls per session share one entry.
+    // The TF aggregate is a fit-once scratch-parquet artifact (r17
+    // verdict #7): BOTH the per-doc stream and the document-frequency
+    // branch are file scans of the SAME graft_tf_ materialization, and
+    // the serving plan contains ZERO corpus explodes (the single
+    // Generate ran once, at fill). This is structural — no
+    // exchange-reuse canonical-equality dependence, and no CacheManager
+    // entry left behind (a persist() form was rejected by the
+    // teardown-discipline pin). The fit key is the canonicalized TF
+    // plan's SHA-256, so a repeat call shares the artifact.
     val df = graft.api.GraftOps.tfidfTopTerms(
       Tables.documents(spark, sf), "doc_id", "text", 5)
     df.collect()
     var gens = 0
-    val cached = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.execution.SparkPlan]
+    val tfScans = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
       p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan); return
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           walk(q.plan); return
-        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          cached += m.relation.cachedPlan
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_tf_")) =>
+          tfScans += s.relation.location.rootPaths.mkString(",")
         case _: org.apache.spark.sql.execution.GenerateExec => gens += 1
         case _ =>
       }
       p.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    assert(gens == 0, s"expected 0 live corpus explodes (cached TF), got $gens")
-    assert(cached.size == 2,
-      s"expected both branches to scan the TF cache, got ${cached.size} scans")
-    assert(cached.toSet.size == 1,
-      "the two cache scans must read the SAME cached relation")
-    // The one corpus explode lives inside the cached plan.
-    var cachedGens = 0
-    def walkC(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walkC(a.executedPlan); return
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walkC(q.plan); return
-        case _: org.apache.spark.sql.execution.GenerateExec => cachedGens += 1
-        case _ =>
-      }
-      p.children.foreach(walkC)
-    }
-    walkC(cached.head)
-    assert(cachedGens == 1,
-      s"expected the single explode inside the cached TF plan, got $cachedGens")
+    assert(gens == 0, s"expected 0 live corpus explodes (materialized TF), got $gens")
+    assert(tfScans.size == 2,
+      s"expected both branches to scan the TF artifact, got ${tfScans.size}")
+    assert(tfScans.toSet.size == 1,
+      "the two TF scans must read the SAME scratch artifact")
+    // A second call on the same corpus must reuse the artifact, not
+    // re-fit (scratch allocations stay flat).
+    val before = Tables.scratchAllocs.get()
+    graft.api.GraftOps.tfidfTopTerms(
+      Tables.documents(spark, sf), "doc_id", "text", 5).collect()
+    assert(Tables.scratchAllocs.get() == before,
+      "repeat tfidf call on the same corpus re-fit its TF artifact")
   }
 
   test("simhash neardup: one shared band exchange, one corpus fingerprint pass") {

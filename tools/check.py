@@ -63,6 +63,11 @@ def main():
     sf, out = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
+    # Big-corpus oracles (x10/x100 shingle joins) can spill hundreds of
+    # GB of DuckDB temp; point it somewhere roomy via DUCKDB_TMP.
+    if os.environ.get("DUCKDB_TMP"):
+        os.makedirs(os.environ["DUCKDB_TMP"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
     missing = set()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
