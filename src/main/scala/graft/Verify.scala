@@ -60,6 +60,24 @@ object Verify {
       ).foldLeft(b0) { case (b, (k, v)) => b.config(k, v) })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The starved gate must carry POSITIVE evidence that the spill /
+    // fallback paths actually executed — a too-roomy config silently
+    // degrades to the ordinary gate. Spill bytes are summed across
+    // every task of the dump and written into the output dir; the
+    // starved run REFUSES (exit 3) a zero-spill dump.
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            memSpilled.addAndGet(m.memoryBytesSpilled): Unit
+            diskSpilled.addAndGet(m.diskBytesSpilled): Unit
+          }
+        }
+      })
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
@@ -97,6 +115,19 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/failures.json"), fjson)
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED — see failures.json")
+    // Drain the listener bus so late task-end events are counted.
+    org.apache.spark.GraftSparkHooks.drainListenerBus(spark.sparkContext)
+    val starved = sys.env.get("SPARK_GRAFT_STARVE").contains("1")
+    val spillJson = s"""{"starved": $starved, """ +
+      s""""memory_bytes_spilled": ${memSpilled.get()}, """ +
+      s""""disk_bytes_spilled": ${diskSpilled.get()}}"""
+    Files.writeString(Paths.get(s"$outDir/spill_metrics.json"), spillJson)
+    println(s"[verify] spill metrics: $spillJson")
     spark.stop()
+    if (starved && diskSpilled.get() == 0L) {
+      System.err.println("[verify] STARVED run recorded ZERO disk spill — " +
+        "the spill paths did not execute; gate refused")
+      sys.exit(3)
+    }
   }
 }
