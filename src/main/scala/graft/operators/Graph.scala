@@ -42,7 +42,7 @@ object Graph {
     * consumer is a scan of a node-grain file. */
   private val degCache = new graft.FitOnce[(String, String), String]
 
-  private def degrees(spark: SparkSession, sf: String): DataFrame = {
+  private[graft] def degrees(spark: SparkSession, sf: String): DataFrame = {
     val p = degCache((spark.sparkContext.applicationId, sf)) {
       val path = Tables.scratchDir("graft_deg_").resolve("deg").toString
       val e0 = edges(spark, sf)
@@ -80,7 +80,7 @@ object Graph {
     * Pregel-style engine builds once and iterates against. */
   private val adjCache = new graft.FitOnce[(String, String), String]
 
-  private def adjacency(spark: SparkSession, sf: String): DataFrame = {
+  private[graft] def adjacency(spark: SparkSession, sf: String): DataFrame = {
     val p = adjCache((spark.sparkContext.applicationId, sf)) {
       val path = Tables.scratchDir("graft_adj_").resolve("adj").toString
       val e0 = edges(spark, sf)
