@@ -7,8 +7,10 @@ import org.apache.spark.sql.types._
 /** Cross-engine differential fuzzer (r17 verdict #3): seeded random
   * micro-frames — nulls, empties, extreme longs, NaN/±Inf doubles,
   * Latin-1/CJK/astral unicode — through random parameterizations of
-  * eight relational shapes (filter, group-agg, distinct, join flavors,
-  * window ranks, sort+limit, set ops, tokenize+count), each emitted as
+  * ten shapes (filter, group-agg, distinct, join flavors, window
+  * ranks, sort+limit, set ops, tokenize+count, and two GraftOps text
+  * surfaces — fingerprintDedup's native RollHash kernel and
+  * parameterized ngramCounts), each emitted as
   * BOTH a Spark DataFrame plan and the equivalent DuckDB SQL over the
   * same input parquet bits. `tools/check.py` is the comparator, so the
   * fuzz corpus extends the oracle gate beyond the 168 hand-declared
@@ -94,7 +96,7 @@ object Fuzz {
   def genCase(spark: SparkSession, dir: String, seed: Int): (String, DataFrame, String) = {
     val r = rng(seed)
     val a = genFrame(spark, dir, seed, 0)
-    val shape = seed % 8
+    val shape = seed % 10
     val nm = f"fz${seed}%04d"
     shape match {
       case 0 => // filter + project, modulus predicate on v, null-k arm
@@ -199,6 +201,31 @@ object Fuzz {
           s"string_split(k, ' ')) AS tok FROM ${rp(a)} WHERE k IS NOT NULL) " +
           "GROUP BY tok ORDER BY tok NULLS FIRST"
         (s"${nm}_tokens", df, sql)
+      case 8 => // GraftOps.fingerprintDedup — the native RollHash kernel
+        // on arbitrary pool strings (unicode classes beyond the three
+        // PropertySuite pins) vs the portable-LCG DuckDB fold. Null
+        // texts pre-filtered identically on both sides.
+        val df = graft.api.GraftOps.fingerprintDedup(
+          a.df.filter(col("k").isNotNull), "id", "k")
+        val sql = "SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS cnt FROM (" +
+          "SELECT id AS doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(string_split(k, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+          s"(x, y) -> (x * 31 + y) % 2147483647) AS fp FROM ${rp(a)} " +
+          "WHERE k IS NOT NULL) t GROUP BY fp ORDER BY keeper_id"
+        (s"${nm}_rollhash", df, sql)
+      case 9 => // GraftOps.ngramCounts — parameterized n and minCount
+        val n = 2 + r.nextInt(2); val mc = 1 + r.nextInt(2)
+        val df = graft.api.GraftOps.ngramCounts(
+          a.df.filter(col("k").isNotNull), "k", n, mc)
+        val concat = (0 until n).map(j => s"ts[i+${j + 1}]")
+          .mkString(" || ' ' || ")
+        val sql = s"WITH ts AS (SELECT string_split(k, ' ') AS ts FROM ${rp(a)} " +
+          s"WHERE k IS NOT NULL AND len(string_split(k, ' ')) >= $n), " +
+          s"g AS (SELECT $concat AS ngram FROM ts, " +
+          s"LATERAL (SELECT unnest(range(len(ts) - ${n - 1})) AS i) t) " +
+          "SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram " +
+          s"HAVING COUNT(*) >= $mc ORDER BY ngram"
+        (s"${nm}_ngrams", df, sql)
     }
   }
 

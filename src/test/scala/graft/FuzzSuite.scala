@@ -5,7 +5,7 @@ import graft.tools.Fuzz
 /** Differential-fuzzer regression pins (r17 verdict #3). The full gate
   * is 1000 seeded cases hash-matched against DuckDB via tools/check.py
   * (minted as FUZZ.json); this suite re-executes the first 48 seeds —
-  * 6 per shape — and compares each case's content hash against the
+  * 4-5 per shape — and compares each case's content hash against the
   * committed goldens, which were DuckDB-attested by the same minted
   * run. Any engine or generator change that alters a fuzz result fails
   * here first, and a failing seed IS the reproducer:
@@ -44,7 +44,7 @@ class FuzzSuite extends SparkTestBase {
 
   test("every shape family appears in the pinned seed range") {
     for (s <- Seq("filter", "agg", "distinct", "join", "window",
-        "sortlimit", "set", "tokens"))
+        "sortlimit", "set", "tokens", "rollhash", "ngrams"))
       assert(golden.keySet.exists(_.contains(s"_$s")),
         s"no pinned seed exercises shape $s")
   }
