@@ -297,9 +297,52 @@ object GraftOps {
       .orderBy("doc_id", "chunk_idx")
 
   /** Scratch paths of materialized TF aggregates, per (applicationId,
-    * canonical-plan SHA-256) — the arbitrary-DataFrame analogue of the
-    * named-corpus FitOnce fits. */
+    * canonical-plan + data-identity SHA-256) — the arbitrary-DataFrame
+    * analogue of the named-corpus FitOnce fits. */
   private val tfidfTfCache = new graft.FitOnce[(String, String), String]
+
+  /** Stable data identity of every leaf relation in an analyzed plan,
+    * or None when ANY leaf has no stable identity — in which case the
+    * caller must fit fresh and never cache. A canonicalized plan
+    * string alone is NOT a data identity: LogicalRelation prints only
+    * `Relation [cols] parquet` with no path and LocalRelation prints
+    * no rows, so two same-schema corpora in one application would
+    * collide (and the second would be served the first corpus's
+    * materialized artifact). Identity sources, per leaf kind:
+    * file relations → sorted root paths; RDD-backed plans → the RDD
+    * id (unique per SparkContext); literal LocalRelations → a SHA-256
+    * of schema + every row's bytes; `spark.range` → its parameters.
+    * Anything else is unidentifiable → None. */
+  private[graft] def leafDataIdentity(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[String] = {
+    val ids = plan.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some("fs:" +
+              fs.location.rootPaths.map(_.toString).sorted.mkString(","))
+          case _ => None
+        }
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        Some("rdd:" + r.rdd.id)
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.update(loc.schema.json.getBytes("UTF-8"))
+        loc.data.foreach { row =>
+          // InternalRow.toString is deterministic per row content for
+          // both Generic (field values) and Unsafe (hex bytes) rows.
+          md.update(row.toString.getBytes("UTF-8"))
+          md.update(0.toByte)
+        }
+        Some("local:" + md.digest().map("%02x".format(_)).mkString)
+      case rg: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        Some(s"range:${rg.start}:${rg.end}:${rg.step}")
+      case _ => None
+    }
+    if (ids.nonEmpty && ids.forall(_.isDefined)) Some(ids.flatten.mkString(";"))
+    else None
+  }
 
   /** Top-k TF-IDF terms per document (integer tf/df/N, FLOAT-narrowed
     * score, term-text tie-break). */
@@ -320,23 +363,36 @@ object GraftOps {
     // after the query returns, which the teardown-discipline pin
     // rightly refuses (executor storage held without the caller's
     // consent). The corpus has no stable name, so the fit key is the
-    // SHA-256 of the TF plan's canonicalized form — exprId-normalized,
-    // equal for repeated calls on the same frame, and collision-safe
-    // where a 32-bit semanticHash would not be.
+    // SHA-256 of (the TF plan's canonicalized form ++ the full input
+    // schema json ++ the leaf data identity). The canonicalized string
+    // is exprId-normalized and equal for repeated calls on the same
+    // frame, but it carries NO data identity (no paths, no rows) and
+    // its field lists truncate at spark.sql.debug.maxToStringFields —
+    // so [[leafDataIdentity]] supplies paths / RDD ids / local-row
+    // hashes, and schema.json supplies the untruncated column list.
+    // A frame whose leaves have no stable identity is fitted FRESH and
+    // never cached (serving corpus A's TF artifact to same-schema
+    // corpus B is a correctness bug, reproduced in FitOnceSuite).
     val spark = df.sparkSession
     val tfPlan = df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val planKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((s"tfidf|$idCol|$textCol|" +
-        tfPlan.queryExecution.analyzed.canonicalized.toString)
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val tfPath = tfidfTfCache((spark.sparkContext.applicationId, planKey)) {
+    def materializeTf(): String = {
       val p = graft.Tables.scratchDir("graft_tf_").resolve("tf").toString
       tfPlan.write.parquet(p)
       p
+    }
+    val tfPath = leafDataIdentity(df.queryExecution.analyzed) match {
+      case Some(dataId) =>
+        val planKey = java.security.MessageDigest.getInstance("SHA-256")
+          .digest((s"tfidf|$idCol|$textCol|" +
+            tfPlan.queryExecution.analyzed.canonicalized.toString +
+            "|schema:" + df.schema.json + "|data:" + dataId)
+            .getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        tfidfTfCache((spark.sparkContext.applicationId, planKey))(materializeTf())
+      case None => materializeTf()
     }
     val tf = graft.Tables.readCached(spark, tfPath)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -158,4 +158,95 @@ class FitOnceSuite extends SparkTestBase {
     assert(delta == 0,
       s"warm cross-session race allocated $delta new scratch dirs — a fit re-ran")
   }
+
+  // -------------------------------------------------------------------
+  // r18 advice (high): tfidfTopTerms' fit key must carry DATA identity,
+  // not just plan shape — two same-schema corpora in one application
+  // collided on the canonical-plan hash and the second was served the
+  // first corpus's materialized TF artifact.
+  // -------------------------------------------------------------------
+
+  test("tfidfTopTerms on two same-schema local corpora does not cross-serve") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta alpha"), (2L, "beta beta alpha zeta"))
+      .toDF("id", "text")
+    val b = Seq((1L, "gamma delta gamma"), (2L, "delta delta epsilon"))
+      .toDF("id", "text")
+    val ta = graft.api.GraftOps.tfidfTopTerms(a, "id", "text", 3).collect()
+    val tb = graft.api.GraftOps.tfidfTopTerms(b, "id", "text", 3).collect()
+    val termsA = ta.map(_.getAs[String]("term")).toSet
+    val termsB = tb.map(_.getAs[String]("term")).toSet
+    assert(termsA.subsetOf(Set("alpha", "beta", "zeta")), s"corpus A terms: $termsA")
+    assert(termsB.subsetOf(Set("gamma", "delta", "epsilon")),
+      s"corpus B was served a stale TF artifact — terms: $termsB")
+    // df must come from corpus B's own document frequencies: delta is
+    // in both B docs (df=2), gamma/epsilon in one each (df=1).
+    val dfByTerm = tb.map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(dfByTerm.get("delta").contains(2L) &&
+      dfByTerm.get("gamma").contains(1L),
+      s"corpus B document frequencies are stale: $dfByTerm")
+    // Same local frame again: identical rows (the local-data hash is
+    // deterministic, so the fit is served, not re-run — and even a
+    // re-fit must reproduce the rows bit-for-bit).
+    val tb2 = graft.api.GraftOps.tfidfTopTerms(b, "id", "text", 3).collect()
+    assert(tb2.map(_.toString).toSeq == tb.map(_.toString).toSeq)
+  }
+
+  test("tfidfTopTerms parquet identity: same path reuses the fit, sibling path refits") {
+    import spark.implicits._
+    val root = Tables.scratchDir("graft_tfid_id_")
+    val p1 = root.resolve("c1").toString
+    val p2 = root.resolve("c2").toString
+    Seq((1L, "red blue red"), (2L, "blue blue green")).toDF("id", "text")
+      .write.parquet(p1)
+    Seq((1L, "cyan teal cyan"), (2L, "teal teal navy")).toDF("id", "text")
+      .write.parquet(p2)
+    val r1 = graft.api.GraftOps
+      .tfidfTopTerms(spark.read.parquet(p1), "id", "text", 2).collect()
+    val before = Tables.scratchAllocs.get()
+    // A fresh read of the SAME path is a new plan object but the same
+    // data identity — the materialized TF must be served, not re-fit.
+    val r1b = graft.api.GraftOps
+      .tfidfTopTerms(spark.read.parquet(p1), "id", "text", 2).collect()
+    assert(Tables.scratchAllocs.get() == before,
+      "re-reading the same parquet path re-materialized the TF artifact")
+    assert(r1b.map(_.toString).toSeq == r1.map(_.toString).toSeq)
+    // The sibling path has the same schema and the same plan shape —
+    // only the rootPaths differ. It must fit ITS OWN artifact.
+    val r2 = graft.api.GraftOps
+      .tfidfTopTerms(spark.read.parquet(p2), "id", "text", 2).collect()
+    val terms2 = r2.map(_.getAs[String]("term")).toSet
+    assert(terms2.subsetOf(Set("cyan", "teal", "navy")),
+      s"sibling-path corpus was served the first corpus's TF: $terms2")
+  }
+
+  test("tfidfTopTerms with no stable leaf identity fits fresh and never caches") {
+    // OneRowRelation (spark.sql with no FROM) has no data identity —
+    // leafDataIdentity must refuse, and tfidfTopTerms must still
+    // answer correctly by fitting fresh per call.
+    val q = spark.sql("SELECT 1 AS id, 'solo solo uno' AS text")
+    assert(graft.api.GraftOps.leafDataIdentity(q.queryExecution.analyzed).isEmpty,
+      "OneRowRelation should have no stable identity")
+    val before = Tables.scratchAllocs.get()
+    val r1 = graft.api.GraftOps.tfidfTopTerms(q, "id", "text", 2).collect()
+    val r2 = graft.api.GraftOps.tfidfTopTerms(q, "id", "text", 2).collect()
+    assert(Tables.scratchAllocs.get() - before >= 2,
+      "an unidentifiable frame was cached — stale-serve risk")
+    assert(r1.map(_.getAs[String]("term")).toSet == Set("solo", "uno"))
+    assert(r2.map(_.toString).toSeq == r1.map(_.toString).toSeq)
+  }
+
+  test("leafDataIdentity distinguishes data, not just schema") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "text")
+    val b = Seq((1L, "y")).toDF("id", "text")
+    val ia = graft.api.GraftOps.leafDataIdentity(a.queryExecution.analyzed)
+    val ib = graft.api.GraftOps.leafDataIdentity(b.queryExecution.analyzed)
+    assert(ia.isDefined && ib.isDefined && ia != ib,
+      s"same-schema local corpora share an identity: $ia")
+    val pq = spark.read.parquet(s"$sf/documents.parquet")
+    val ip = graft.api.GraftOps.leafDataIdentity(pq.queryExecution.analyzed)
+    assert(ip.exists(_.contains("documents.parquet")),
+      s"parquet identity should carry the root path: $ip")
+  }
 }
