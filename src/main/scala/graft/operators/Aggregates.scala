@@ -31,27 +31,24 @@ object Aggregates {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         // Final output casts: all sums stay exact decimals until the
-        // last projection. The RAW-column sums (scale 2) cast to DOUBLE
-        // — their scaled magnitudes stay < 2^53 through ×100 of sf0.1,
-        // so the decimal→double cast is correctly rounded and identical
-        // in both engines. The computed-PRODUCT sums (scale 4/6) narrow
-        // to FLOAT per D8: sum_charge's scale-6 scaled magnitude passes
-        // 2^53 already at ×10 (the x10 gate caught the last-ulp
-        // int128÷double divergence live — DuckDB divides in double,
-        // Java rounds the decimal correctly), and float rounding
-        // absorbs double-ulp noise on both sides.
+        // last projection, then cast to DOUBLE — full double precision
+        // at EVERY scale factor (r18 advice: the earlier FLOAT
+        // narrowing cut oracle discrimination to ~7 significant digits
+        // and could not represent ×10 charge totals to cents). The
+        // decimal→double cast is correctly rounded on BOTH sides even
+        // past 2^53-scaled magnitudes: Spark's Decimal.toDouble goes
+        // through BigDecimal.doubleValue (correctly rounded — verified
+        // on the x10 witness 109090414712.738008), and the ORACLE side
+        // routes through a VARCHAR hop (CAST(CAST(x AS VARCHAR) AS
+        // DOUBLE)) because DuckDB's direct decimal→double divides the
+        // int128 by 10^scale in double arithmetic and lands one ulp
+        // off in ~25% of >2^53 cases (measured: 5134/20000 direct
+        // misrounds, 0/20000 through the VARCHAR hop — strtod is
+        // correctly rounded).
         sumDec(col("l_quantity")).cast("double").as("sum_qty"),
         sumDec(col("l_extendedprice")).cast("double").as("sum_base_price"),
-        // NOTE the double HOP decimal→double→float, spelled on both
-        // sides: a direct decimal→float rounds ONCE from the exact
-        // value, and the two engines disagree exactly at float-halfway
-        // points (seen live at sf0.01: 280970144 vs 280970112, adjacent
-        // floats). decimal→double is correctly rounded in both engines
-        // below 2^53-scaled... which sum_charge exceeds — that last-ulp
-        // double noise is then absorbed by the float rounding, the
-        // standard D8 chain.
-        sum(price * disc1).cast("double").cast("float").as("sum_disc_price"),
-        sum(price * disc1 * tax1).cast("double").cast("float").as("sum_charge"),
+        sum(price * disc1).cast("double").as("sum_disc_price"),
+        sum(price * disc1 * tax1).cast("double").as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double")
           / count(lit(1)).cast("double")).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double")
@@ -605,8 +602,8 @@ object Aggregates {
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
-        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS FLOAT) AS sum_disc_price, " +
-        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS FLOAT) AS sum_charge, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price, " +
         "COUNT(*) AS count_order " +

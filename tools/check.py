@@ -17,7 +17,7 @@ whole gate (the ×100 corpus has no embeddings table by construction).
 --json writes a driver-style correctness artifact: {name: {rows_match,
 schema_match, hash_match, spark_rows, oracle_rows, err}}.
 """
-import sys, os, json, glob, decimal, math, datetime
+import sys, os, json, glob, decimal, math, datetime, re
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -92,8 +92,13 @@ def main():
         if only and name not in only:
             continue
         sql = oracle[name]
+        # Word-boundary match on FROM/JOIN positions only: a bare
+        # substring test made a missing `part` table match every
+        # " partition by" window query, silently shrinking the gate
+        # (r18 advice). Table references can only follow FROM, JOIN or
+        # a comma inside a FROM list.
         refs = [t for t in missing
-                if f" {t}" in sql.lower() or f"({t}" in sql.lower() or f",{t}" in sql.lower()]
+                if re.search(rf"\b(from|join|,)\s*\(*\s*{t}\b", sql, re.I)]
         if refs:
             print(f"SKIP {name}: references absent table(s) {sorted(refs)}")
             record(name, err=f"table missing: {sorted(refs)}")
