@@ -162,6 +162,59 @@ object Dedup {
       bandsExpr = expr("graft_bands_from_slots(sl)"))
   }
 
+  /** Sampled-pair exact char-8-gram Jaccard — the ×10-tractable
+    * cross-engine projection of [[ngramJaccard]] (r18 verdict #1: the
+    * full query's exact all-pairs oracle is Σn_s² ≈ 3.6e10 joined rows
+    * at ×10, so it was the one inventory entry with no DuckDB check
+    * above sf0.1). The pair SELECTION is a portable rule both engines
+    * compute independently and cheaply: all (x < y) document pairs
+    * sharing at least one RARE gram — a char-8-gram present in 2–3
+    * documents globally — so the candidate join fans out at most 9
+    * rows per rare gram (bounded like an LSH bucket join, never
+    * all-pairs). Near-dup documents share template grams no third
+    * document has, so the planted high-J pairs are captured (×10:
+    * 7,382 pairs, 229 of them J ≥ 0.9, background down to 0.011),
+    * and the exact-Jaccard verification kernel is then cross-checked
+    * on every sampled pair with NO threshold filter — unlike the full
+    * query, low-J arithmetic is attested too. Raw substring grams
+    * (not the native hashed shingles) so the oracle computes the
+    * identical sets. */
+  def ngramJaccardSampled(spark: SparkSession, sf: String): DataFrame = {
+    // One materialized gram table (sigTable) — five plan branches
+    // (counts, both rare-join sides, both verify sides) otherwise each
+    // re-run the explode over the documents scan.
+    val g = sigTable(spark, sf, "rawchar8")(
+      Tables.documents(spark, sf)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, length(text) - 7)")).as("_graft_i"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, _graft_i, 8)").as("s"))
+        .distinct())
+    val rare = g.groupBy(col("s")).agg(count(lit(1)).as("_graft_c"))
+      .filter(col("_graft_c").between(2, 3))
+      .select(col("s"))
+    val rg = g.join(rare, "s")
+    val pairs = rg.as("a").join(rg.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(g.as("ga"), col("x") === col("ga.doc_id"))
+      .join(g.as("gb"),
+        col("y") === col("gb.doc_id") && col("ga.s") === col("gb.s"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
+      .select(col("x"), col("y"), col("c"),
+        col("sa.n").as("na"), col("sb.n").as("nb"),
+        (col("c").cast("double") /
+          (col("sa.n") + col("sb.n") - col("c")).cast("double")).as("j"))
+      .orderBy("x", "y")
+  }
+
   /** Connected components over the near-duplicate pair graph — the
     * canonical-keeper step of a real dedup pipeline: near-dup PAIRS
     * are not directly actionable (keeping "one of each pair" over
@@ -459,6 +512,7 @@ object Dedup {
     "llm_exact_dedup" -> exactDedup,
     "llm_near_dedup" -> nearDedup,
     "llm_ngram_jaccard" -> ngramJaccard,
+    "llm_ngram_jaccard_sampled" -> ngramJaccardSampled,
     "llm_dedup_components" -> dedupComponents,
     "llm_dedup_keep" -> dedupKeep,
     "llm_minhash_est" -> minhashEst,
@@ -533,6 +587,28 @@ object Dedup {
         "JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT x, y, c, sa.n AS na, sb.n AS nb, c * 1.0 / (sa.n + sb.n - c) AS j " +
         "FROM common JOIN sizes sa ON sa.doc_id = x JOIN sizes sb ON sb.doc_id = y " +
-        "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9 ORDER BY x, y")
+        "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9 ORDER BY x, y"),
+    // Sampled-pair projection: same exact-Jaccard arithmetic, but the
+    // pair set is rare-gram-bounded (grams in 2-3 docs, <= 9 joined
+    // rows per gram) instead of all-pairs — tractable in DuckDB at ×10
+    // where the full oracle needs ~1 TB of temp. No threshold filter:
+    // low-J pairs attest the arithmetic below the 0.9 cut too.
+    "llm_ngram_jaccard_sampled" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8), " +
+        "g AS (SELECT DISTINCT doc_id, substring(text, i + 1, 8) AS s " +
+        "FROM d, LATERAL (SELECT unnest(range(length(text) - 7)) AS i) t), " +
+        "rare AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM g GROUP BY s) " +
+        "WHERE c BETWEEN 2 AND 3), " +
+        "rg AS (SELECT g.doc_id, g.s FROM g JOIN rare USING (s)), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y " +
+        "FROM rg a JOIN rg b ON a.s = b.s AND a.doc_id < b.doc_id), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), " +
+        "common AS (SELECT p.x, p.y, COUNT(*) AS c FROM pairs p " +
+        "JOIN g ga ON ga.doc_id = p.x JOIN g gb ON gb.doc_id = p.y AND gb.s = ga.s " +
+        "GROUP BY 1, 2) " +
+        "SELECT c.x, c.y, c.c, sa.n AS na, sb.n AS nb, " +
+        "c.c * 1.0 / (sa.n + sb.n - c.c) AS j " +
+        "FROM common c JOIN sizes sa ON sa.doc_id = c.x " +
+        "JOIN sizes sb ON sb.doc_id = c.y ORDER BY x, y")
   )
 }
