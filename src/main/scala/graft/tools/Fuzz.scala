@@ -7,10 +7,15 @@ import org.apache.spark.sql.types._
 /** Cross-engine differential fuzzer (r17 verdict #3): seeded random
   * micro-frames — nulls, empties, extreme longs, NaN/±Inf doubles,
   * Latin-1/CJK/astral unicode — through random parameterizations of
-  * ten shapes (filter, group-agg, distinct, join flavors, window
-  * ranks, sort+limit, set ops, tokenize+count, and two GraftOps text
+  * fourteen shapes (filter, group-agg, distinct, join flavors, window
+  * ranks, sort+limit, set ops, tokenize+count, two GraftOps text
   * surfaces — fingerprintDedup's native RollHash kernel and
-  * parameterized ngramCounts), each emitted as
+  * parameterized ngramCounts — and, new in r19 per the r18 verdict:
+  * RANGE-frame window aggregates with frame radii up to
+  * Long.MaxValue/2, tumbling `window()` vs `time_bucket` at epoch
+  * edges and multi-millennium NTZ extremes, `session_window` vs a
+  * lag-gap SQL rebuild including the exact-gap merge boundary, and
+  * the dyadic-integer EWMA kernel at random depths), each emitted as
   * BOTH a Spark DataFrame plan and the equivalent DuckDB SQL over the
   * same input parquet bits. `tools/check.py` is the comparator, so the
   * fuzz corpus extends the oracle gate beyond the 168 hand-declared
@@ -96,7 +101,7 @@ object Fuzz {
   def genCase(spark: SparkSession, dir: String, seed: Int): (String, DataFrame, String) = {
     val r = rng(seed)
     val a = genFrame(spark, dir, seed, 0)
-    val shape = seed % 10
+    val shape = seed % 14
     val nm = f"fz${seed}%04d"
     shape match {
       case 0 => // filter + project, modulus predicate on v, null-k arm
@@ -226,6 +231,94 @@ object Fuzz {
           "SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram " +
           s"HAVING COUNT(*) >= $mc ORDER BY ngram"
         (s"${nm}_ngrams", df, sql)
+      case 10 => // RANGE-frame window aggregates, radii up to Long.MaxValue/2
+        // (frame-boundary arithmetic must not overflow or misalign at
+        // extreme radii; peers share frames by value so ties are safe).
+        // v is the ordering key (|v| <= 1e6 keeps v±W in long range for
+        // W <= Long.MaxValue/2 on both engines — DuckDB ERRORS on
+        // BIGINT overflow where Spark wraps, so the generator stays in
+        // range by construction). Null ordering keys are pre-filtered:
+        // the null-peer-group frame is engine-specific by the standard.
+        import org.apache.spark.sql.expressions.Window
+        val radii = IndexedSeq(0L, 1L, 3L, 1000L, 1000000L,
+          1000000000L, Long.MaxValue / 2)
+        val rad = radii(r.nextInt(radii.size))
+        val w = Window.partitionBy("k").orderBy("v").rangeBetween(-rad, rad)
+        val df = a.df.filter(col("v").isNotNull)
+          .select(col("id"), col("k"), col("v"),
+            sum(col("v")).over(w).as("sv"),
+            count(lit(1)).over(w).cast("long").as("c"),
+            min(col("big")).over(w).as("mnb"))
+          .orderBy("id")
+        val sql = "SELECT id, k, v, CAST(SUM(v) OVER w AS BIGINT) AS sv, " +
+          "COUNT(*) OVER w AS c, MIN(big) OVER w AS mnb " +
+          s"FROM ${rp(a)} WHERE v IS NOT NULL " +
+          s"WINDOW w AS (PARTITION BY k ORDER BY v RANGE BETWEEN $rad PRECEDING " +
+          s"AND $rad FOLLOWING) ORDER BY id"
+        (s"${nm}_rangeframe", df, sql)
+      case 11 => // tumbling window() vs time_bucket at timestamp extremes
+        // big % 6.2e16 µs spans ~year 5 AD to ~3935 AD (both inside
+        // python datetime's comparator range) and lands exact bucket
+        // edges from the pool's 0/±1 — Spark's window() floors
+        // negative epochs and time_bucket with an 1970-01-01 origin
+        // matches it bit-for-bit (probed on ±6.2e16, ±7s, ±1µs).
+        // TimestampNTZ on the Spark side so parquet round-trips naive.
+        val m = 62000000000000000L
+        val sec = 1 + r.nextInt(13)
+        val e = a.df.filter(col("big").isNotNull)
+          .select(timestamp_micros(col("big") % m).cast("timestamp_ntz").as("ts"),
+            col("v"))
+        val df = e.groupBy(window(col("ts"), s"$sec seconds"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+          .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+            col("cnt"), col("sv"))
+          .orderBy("wstart")
+        val sql = s"WITH e AS (SELECT make_timestamp(big % $m) AS ts, v " +
+          s"FROM ${rp(a)} WHERE big IS NOT NULL) " +
+          s"SELECT time_bucket(INTERVAL $sec SECOND, ts, TIMESTAMP '1970-01-01') AS wstart, " +
+          s"time_bucket(INTERVAL $sec SECOND, ts, TIMESTAMP '1970-01-01') + INTERVAL $sec SECOND AS wend, " +
+          "COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sv " +
+          "FROM e GROUP BY 1 ORDER BY wstart"
+        (s"${nm}_tumbling", df, sql)
+      case 12 => // session_window vs a lag-gap SQL rebuild
+        // Exact-gap boundary pinned by probe: an event at prev + gap
+        // MERGES into the session (new session only when the gap is
+        // strictly exceeded), and session end = last event + gap.
+        val m = 62000000000000000L
+        val g = 1 + r.nextInt(5)
+        val e = a.df.filter(col("big").isNotNull)
+          .select(timestamp_micros(col("big") % m).cast("timestamp_ntz").as("ts"),
+            col("v"))
+        val df = e.groupBy(session_window(col("ts"), s"$g seconds"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+          .select(col("session_window.start").as("wstart"),
+            col("session_window.end").as("wend"), col("cnt"), col("sv"))
+          .orderBy("wstart")
+        val sql = s"WITH e AS (SELECT make_timestamp(big % $m) AS ts, v " +
+          s"FROM ${rp(a)} WHERE big IS NOT NULL), " +
+          "s AS (SELECT ts, v, CASE WHEN LAG(ts) OVER (ORDER BY ts) IS NULL " +
+          s"OR ts - LAG(ts) OVER (ORDER BY ts) > INTERVAL $g SECOND " +
+          "THEN 1 ELSE 0 END AS brk FROM e), " +
+          "t AS (SELECT ts, v, SUM(brk) OVER (ORDER BY ts " +
+          "ROWS UNBOUNDED PRECEDING) AS sid FROM s) " +
+          s"SELECT MIN(ts) AS wstart, MAX(ts) + INTERVAL $g SECOND AS wend, " +
+          "COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sv " +
+          "FROM t GROUP BY sid ORDER BY wstart"
+        (s"${nm}_session", df, sql)
+      case 13 => // GraftOps.ewma — dyadic-integer kernel, random depth
+        // Null values PASS THROUGH (current-row null ⇒ null ewma in
+        // both engines; lagged nulls coalesce to 0) — the kernel's
+        // null algebra is part of the contract under test.
+        val depth = 2 + r.nextInt(7)
+        val df = graft.api.GraftOps.ewma(a.df, "k", Seq("id"), "v", depth)
+          .select(col("id"), col("k"), col("v"), col("ewma"))
+          .orderBy("id")
+        val terms = s"v * ${1L << (depth - 1)}" +:
+          (1 until depth).map(j =>
+            s"coalesce(lag(v, $j) OVER w, 0) * ${1L << (depth - 1 - j)}")
+        val sql = s"SELECT id, k, v, ${terms.mkString(" + ")} AS ewma " +
+          s"FROM ${rp(a)} WINDOW w AS (PARTITION BY k ORDER BY id) ORDER BY id"
+        (s"${nm}_ewma", df, sql)
     }
   }
 
