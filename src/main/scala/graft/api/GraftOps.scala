@@ -529,9 +529,20 @@ object GraftOps {
   /** The packed broadcast side for the cosine kernels: the whole
     * (id, norm, vector) table in ONE row. Broadcastable to ~1M
     * vectors; beyond that use [[lshBuckets]]. */
+  /** Rows a cosine kernel can score: non-null id, non-null vector, no
+    * null ENTRIES (a null vector has no direction; a null entry makes
+    * the dot product undefined). Dropped on both the packed-index and
+    * the query side — the adversarial-input suite pins that a null row
+    * silently contributes nothing rather than NPE-ing the kernel. */
+  private def scorableVecs(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+      !expr(s"exists($vecCol, x -> x IS NULL)"))
+
   def packVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)
-    df.select(struct(col(idCol).cast("long").as("vec_id"),
+    scorableVecs(df, idCol, vecCol)
+      .select(struct(col(idCol).cast("long").as("vec_id"),
         sqrt(expr(s"graft_dot($vecCol, $vecCol)")).as("nrm"),
         col(vecCol).as("embedding")).as("v"))
       .agg(collect_list(col("v")).as("_graft_vs"))
@@ -542,7 +553,7 @@ object GraftOps {
     * row scanning the packed broadcast once — no n² materialization. */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame =
-    df.withColumn("_graft_j", lit(0))
+    scorableVecs(df, idCol, vecCol).withColumn("_graft_j", lit(0))
       .join(broadcast(packVectors(df, idCol, vecCol)), "_graft_j")
       .select(col(idCol).cast("long").as("x"),
         explode(expr(s"graft_cos_topk($idCol, $vecCol, _graft_vs, $k)")).as("p"))
@@ -551,7 +562,7 @@ object GraftOps {
   /** Exact cosine near-duplicate pairs (x < y, sim >= thr). */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
       thr: Double): DataFrame =
-    df.withColumn("_graft_j", lit(0))
+    scorableVecs(df, idCol, vecCol).withColumn("_graft_j", lit(0))
       .join(broadcast(packVectors(df, idCol, vecCol)), "_graft_j")
       .select(col(idCol).cast("long").as("x"),
         explode(expr(
