@@ -194,6 +194,12 @@ object Windows {
     * discipline: the at-scale behavior is IN the operator, not a
     * doc footnote. */
   private[graft] val RfmNtileMaxOrders = 2L * 1000 * 1000
+
+  /** Accuracy of the above-cap tier's percentile sketch: boundary
+    * displacement is bounded by 1/RfmPercentileAccuracy of the
+    * quantile range — the documented "≤1/10,000" contract in README
+    * §Design and the X100 gate's exclusion note. Suite-pinned. */
+  private[graft] val RfmPercentileAccuracy = 10000
   private val rfmBigGate = new graft.FitOnce[(String, String), Boolean]
 
   /** RFM customer segmentation: recency (days since last order,
@@ -243,7 +249,7 @@ object Windows {
             Window.orderBy(desc("m_cents"), asc("o_custkey"))).cast("long"))
       else {
         val qs = array(lit(0.25), lit(0.5), lit(0.75))
-        val acc = lit(10000)
+        val acc = lit(RfmPercentileAccuracy)
         val b = withR.agg(
           percentile_approx(col("r_days"), qs, acc).as("rb"),
           percentile_approx(col("f"), qs, acc).as("fb"),

@@ -660,6 +660,26 @@ class PlanSuite extends SparkTestBase {
     * at tie runs (ntile splits ties across buckets; boundary
     * comparison keeps them together), so the label assertion is
     * shape-level: three digits, each 1–4. */
+  /** The README §Design disclosure of the ONE approximate-above-cap
+    * operator must stay true to the code: the gate constant, the
+    * sketch accuracy (the "≤1/10,000 boundary displacement" bound is
+    * 1/RfmPercentileAccuracy by the percentile_approx contract), and
+    * the README text itself naming both values. */
+  test("win_rfm_segment approximate-tier contract matches its README disclosure") {
+    assert(operators.Windows.RfmNtileMaxOrders == 2L * 1000 * 1000,
+      "RfmNtileMaxOrders moved — update README §Design and the X100 exclusion note")
+    assert(operators.Windows.RfmPercentileAccuracy == 10000,
+      "RfmPercentileAccuracy moved — the documented 1/10,000 bound no longer holds")
+    assert(1.0 / operators.Windows.RfmPercentileAccuracy <= 1.0 / 10000)
+    val readme = java.nio.file.Paths.get("README.md").toAbsolutePath
+    assert(java.nio.file.Files.exists(readme),
+      s"README.md not found at $readme — run tests from the repo root")
+    val text = new String(java.nio.file.Files.readAllBytes(readme), "UTF-8")
+    assert(text.contains("RfmPercentileAccuracy") &&
+      text.contains("1/10,000") && text.contains("RfmNtileMaxOrders"),
+      "README §Design no longer discloses the RFM approximate tier")
+  }
+
   test("win_rfm_segment above-cap tier drops every window (no global sort)") {
     val big = operators.Windows.winRfmSegmentAt(spark, sf, big = true)
     val p = plan(big)
