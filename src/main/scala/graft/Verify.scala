@@ -37,27 +37,42 @@ object Verify {
     // engine code runs — measured live on agg_approx_distinct. 100k
     // still yields multi-file merges on every sf0.1 heavy shape without
     // turning the gate into a reader-buffer stress test.
+    //
+    // SPARK_GRAFT_STARVE_SCALE=<k> (default 1) multiplies every
+    // COUNT-based threshold by k when starving a corpus k× the attested
+    // sf0.1 mass, holding spill-FILES-per-byte constant. Running the
+    // ×10 corpus at the unscaled thresholds reproduced the same OOM
+    // class at 24 g heap (measured r19: switchToSortBasedAggregation →
+    // UnsafeSorterSpillReader → ReadAheadInputStream, stage 401, 8
+    // tasks × ~10× the per-merge file count) — the crash is reader
+    // buffers, a local[n] artifact, not engine spill logic; the scaled
+    // config still forces the identical fallback/spill code paths at
+    // the per-partition event rate the sf0.1 gate attests.
+    // memory.fraction and the broadcast ban are deliberately NOT
+    // scaled — memory pressure is the point of the gate.
+    val k = sys.env.getOrElse("SPARK_GRAFT_STARVE_SCALE", "1").toInt
+    require(k >= 1, s"SPARK_GRAFT_STARVE_SCALE must be >= 1, got $k")
     val spark = (if (!sys.env.get("SPARK_GRAFT_STARVE").contains("1")) b0
       else Seq(
         "spark.memory.fraction" -> "0.2",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "512,512",
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "512",
-        "spark.shuffle.spill.numElementsForceSpillThreshold" -> "100000",
-        "spark.sql.windowExec.buffer.in.memory.threshold" -> "512",
-        "spark.sql.windowExec.buffer.spill.threshold" -> "4096",
-        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "512",
-        "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "4096",
-        "spark.sql.sessionWindow.buffer.in.memory.threshold" -> "512",
-        "spark.sql.sessionWindow.buffer.spill.threshold" -> "4096",
+        "spark.sql.TungstenAggregate.testFallbackStartsAt" -> s"${512 * k},${512 * k}",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> s"${512 * k}",
+        "spark.shuffle.spill.numElementsForceSpillThreshold" -> s"${100000 * k}",
+        "spark.sql.windowExec.buffer.in.memory.threshold" -> s"${512 * k}",
+        "spark.sql.windowExec.buffer.spill.threshold" -> s"${4096 * k}",
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> s"${512 * k}",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> s"${4096 * k}",
+        "spark.sql.sessionWindow.buffer.in.memory.threshold" -> s"${512 * k}",
+        "spark.sql.sessionWindow.buffer.spill.threshold" -> s"${4096 * k}",
         // spill.threshold (the operator sorters' force-spill element
         // count) sits at 4096, not 512: a session-window pass over the
         // 1M-event corpus at 512 rows/file is ~250 concurrent 1 MB
         // reader buffers per task at merge time — the same OOM class
         // as above, not a more honest spill test.
-        "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "512",
-        "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "4096"
-      ).foldLeft(b0) { case (b, (k, v)) => b.config(k, v) })
+        "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> s"${512 * k}",
+        "spark.sql.cartesianProductExec.buffer.spill.threshold" -> s"${4096 * k}"
+      ).foldLeft(b0) { case (b, (k2, v)) => b.config(k2, v) })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The starved gate must carry POSITIVE evidence that the spill /
@@ -118,7 +133,7 @@ object Verify {
     // Drain the listener bus so late task-end events are counted.
     org.apache.spark.GraftSparkHooks.drainListenerBus(spark.sparkContext)
     val starved = sys.env.get("SPARK_GRAFT_STARVE").contains("1")
-    val spillJson = s"""{"starved": $starved, """ +
+    val spillJson = s"""{"starved": $starved, "starve_scale": $k, """ +
       s""""memory_bytes_spilled": ${memSpilled.get()}, """ +
       s""""disk_bytes_spilled": ${diskSpilled.get()}}"""
     Files.writeString(Paths.get(s"$outDir/spill_metrics.json"), spillJson)

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * the dyadic-integer EWMA kernel at random depths), each emitted as
   * BOTH a Spark DataFrame plan and the equivalent DuckDB SQL over the
   * same input parquet bits. `tools/check.py` is the comparator, so the
-  * fuzz corpus extends the oracle gate beyond the 168 hand-declared
+  * fuzz corpus extends the oracle gate beyond the 169 hand-declared
   * queries and catches dialect drift on inputs nobody pinned.
   *
   * Determinism rules inherited from NOTES.md D1–D10:
