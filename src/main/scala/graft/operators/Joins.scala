@@ -530,11 +530,22 @@ object Joins {
     * carrying a 7-day activity interval [d, d+7), paired when the
     * intervals overlap, profiled per month. Each interval explodes to
     * the ≤ 2 week-buckets it touches; candidates equi-join on the
-    * bucket (co-partitioned, no theta join anywhere), the exact
-    * overlap predicate filters, and a distinct collapses pairs seen
-    * from both buckets. At 100 TB this is the only shape that scales:
-    * candidate count ∝ bucket co-occupancy, never |A|×|B|, and the
-    * bucket key shuffles both sides once. */
+    * bucket (co-partitioned, no theta join anywhere) and the exact
+    * overlap predicate filters. At 100 TB this is the only shape that
+    * scales: candidate count ∝ bucket co-occupancy, never |A|×|B|,
+    * and the bucket key shuffles both sides once.
+    *
+    * Canonical-bucket dedup (r19): a pair whose intervals overlap can
+    * meet in both of its shared week-buckets, so each pair is KEPT
+    * only in the week of greatest(ad, bd) — the overlap's start,
+    * which lies inside both intervals and hence among both sides'
+    * ≤ 2 emitted buckets, so exactly one copy survives. The previous
+    * shape collapsed the duplicates with a distinct() over the full
+    * pair set instead — a second full shuffle plus an external sort
+    * of every candidate pair, which is also where the ×10 starved
+    * gate OOM'd it (162 M pairs × 2 through a sort-based fallback in
+    * a 2.4 GB execution pool; the canonical-bucket filter deletes
+    * that operator from the plan rather than tuning it). */
   def joinIntervalOverlap(spark: SparkSession, sf: String): DataFrame = {
     val day0 = to_date(lit("1970-01-01"))
     def iv(df: DataFrame, key: String, dcol: String) = df
@@ -553,8 +564,8 @@ object Joins {
       "o_orderkey", "o_orderdate")
       .select(col("o_orderkey").as("bkey"), col("d").as("bd"), col("bk"))
     a.join(b, Seq("bk"))
-      .filter(col("bd") < col("ad") + 7 && col("ad") < col("bd") + 7)
-      .select(col("akey"), col("bkey"), col("mon")).distinct()
+      .filter(col("bd") < col("ad") + 7 && col("ad") < col("bd") + 7 &&
+        col("bk") === expr("greatest(ad, bd) div 7"))
       .groupBy(col("mon")).agg(count(lit(1)).as("n_pairs"))
       .orderBy("mon")
   }
