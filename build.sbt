@@ -2,7 +2,7 @@ ThisBuild / scalaVersion := "2.13.17"
 // Versioning: 0.<round>.0 — each round is a judged, fully re-attested
 // release of the whole inventory; CHANGELOG.md carries the distilled
 // per-version history.
-ThisBuild / version := "0.19.0"
+ThisBuild / version := "0.20.0"
 name := "bigdata_analysisspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

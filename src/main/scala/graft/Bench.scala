@@ -173,6 +173,45 @@ object Bench {
     runs.map(_._1).min
   }
 
+  /** Memory-BANDWIDTH calibration kernel (r19 verdict #2): a STREAM-
+    * style triad (a(i) = b(i) + 3·c(i)) over three 32M-long arrays
+    * (256 MB each, 768 MB total — far past any LLC on this box), with
+    * a checksum fold so the stores cannot be eliminated. Motivation:
+    * calibKernel is register/ALU-bound and reads FLAT through the
+    * ~15% memory-subsystem box drift NOTES r19 measured (whole-sweep
+    * totals 21.8→25 s with calib_s unchanged and zero steal) — which
+    * deadlocked an honest bench_ref re-mint against the calibration-
+    * normalized ratchet. Shuffle-heavy sweeps are bandwidth-bound, so
+    * the mint gate now normalizes by the geometric mean of BOTH
+    * ratios (see refMintRefusal); this kernel rides the artifact as
+    * "calib_mem_s" and the minted ref as "_calib_mem_s". Like the CPU
+    * kernel it is advisory-plus-mint-gate only: no per-query trigger
+    * keys off it. */
+  def calibMemKernel(): Double = {
+    val n = 32 * 1024 * 1024
+    val a = new Array[Long](n); val b = new Array[Long](n); val c = new Array[Long](n)
+    var i = 0
+    var x = 0x9e3779b97f4a7c15L
+    while (i < n) { // deterministic fill (also pre-faults the pages)
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      b(i) = x; c(i) = x * 0x2545f4914f6cdd1dL; i += 1
+    }
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < n) { a(j) = b(j) + 3L * c(j); j += 1 }
+      var acc = 0L; var k = 0
+      while (k < n) { acc += a(k); k += 262144 } // 128-sample fold
+      ((System.nanoTime() - t0) / 1e9, acc)
+    }
+    val warm = once()
+    require(warm._2 != 0L)
+    val runs = Seq(once(), once(), once())
+    require(runs.map(_._2).distinct.size == 1,
+      "memory calibration kernel nondeterministic")
+    runs.map(_._1).min
+  }
+
   /** One timed sweep's verdict surface, for the retry decision. */
   final case class SweepSummary(total: Double, contaminated: Boolean,
     steal: Option[Long], flaggedN: Int)
@@ -255,14 +294,33 @@ object Bench {
       capacityJiffies: Double, candidate: Map[String, Double],
       current: Map[String, Double], force: Boolean = false,
       calibCandidate: Double = -1.0,
-      calibRef: Option[Double] = None): Option[String] = {
+      calibRef: Option[Double] = None,
+      calibMemCandidate: Double = -1.0,
+      calibMemRef: Option[Double] = None): Option[String] = {
     val common = candidate.keySet intersect current.keySet
     val candTot = common.toSeq.map(candidate).sum
     val curTot = common.toSeq.map(current).sum
-    val normFactor: Double = calibRef match {
-      case Some(cr) if cr > 0 && calibCandidate > 0 =>
-        math.max(0.67, math.min(1.5, cr / calibCandidate))
-      case _ => 1.0
+    // DUAL calibration normalization (r19 verdict #2): the sweep's
+    // cost is a blend of ALU work and memory traffic, and the two
+    // drift independently on this box (r19: ~15% whole-sweep slowdown
+    // with calib_s FLAT — pure memory-subsystem drift the CPU kernel
+    // cannot see, which stranded an honest re-mint). When both sides
+    // carry both kernels, the factor is the GEOMETRIC MEAN of the two
+    // ratios — an even blend that neither kernel can dominate and a
+    // corrupt single kernel can only pull by its square root. Degrades
+    // to the CPU-only ratio against pre-r20 refs, and to raw (1.0)
+    // against pre-r15 refs. Same [0.67, 1.5] clamp as before.
+    def ratio(ref: Option[Double], cand: Double): Option[Double] =
+      ref.filter(_ > 0).flatMap(r => if (cand > 0) Some(r / cand) else None)
+    val normFactor: Double = {
+      val cpu = ratio(calibRef, calibCandidate)
+      val mem = ratio(calibMemRef, calibMemCandidate)
+      val blended = (cpu, mem) match {
+        case (Some(c), Some(m)) => math.sqrt(c * m)
+        case (Some(c), None)    => c
+        case _                  => 1.0
+      }
+      math.max(0.67, math.min(1.5, blended))
     }
     val candAdj = candTot * normFactor
     if (stealDelta.isEmpty) Some("steal unreadable")
@@ -493,6 +551,11 @@ object Bench {
     val calibRef: Option[Double] =
       refTxt.flatMap("\"_calib_s\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(_))
         .map(_.group(1).toDouble)
+    // The bandwidth twin (r19 verdict #2) — see calibMemKernel.
+    val calibMem = try calibMemKernel() catch { case _: Throwable => -1.0 }
+    val calibMemRef: Option[Double] =
+      refTxt.flatMap("\"_calib_mem_s\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(_))
+        .map(_.group(1).toDouble)
     // The CPU config the reference was minted under (parseRef-inert
     // stamp, like _calib_s). Motivation: a cpus=4 run against a
     // cpus=32-minted ref reads over_ref→contaminated by DESIGN (the
@@ -620,6 +683,35 @@ object Bench {
     // carry the burst number with no recourse. Both attempts ride the
     // artifact ("sweep_attempts"); the env knob exists so a doctored
     // validation run can pin the single-attempt path.
+    // JIT-settle before the first timed pass (r19 verdict #7
+    // experiment): warmPin runs every plan once, but HotSpot's C2
+    // queue drains ASYNCHRONOUSLY — with 169 fresh query shapes the
+    // first timed pass historically ran against a compile backlog
+    // (NOTES r19: in-sweep pagerank 2-3 s vs 1.2-1.6 s isolated;
+    // min-of-passes absorbs the draw but the sweep still pays the
+    // wall). Poll the CompilationMXBean's cumulative compile time
+    // until it goes quiet (<50 ms progress over 1 s), capped at 60 s,
+    // and stamp the wait in the artifact so the A/B is readable.
+    // SPARK_GRAFT_JIT_SETTLE=off pins the old behavior.
+    val jitSettleS: Double =
+      if (Set("false", "0", "off").contains(
+          sys.env.getOrElse("SPARK_GRAFT_JIT_SETTLE", "true").toLowerCase)) -1.0
+      else {
+        val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+        if (jit == null || !jit.isCompilationTimeMonitoringSupported) -1.0
+        else {
+          val t0 = System.nanoTime()
+          var last = jit.getTotalCompilationTime
+          var quiet = false
+          while (!quiet && (System.nanoTime() - t0) < 60e9) {
+            Thread.sleep(1000)
+            val now = jit.getTotalCompilationTime
+            quiet = now - last < 50
+            last = now
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+      }
     val attempt1 = timedSweep()
     val retryOn = !Set("false", "0", "off").contains(
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_RETRY", "true").toLowerCase)
@@ -750,6 +842,9 @@ object Bench {
       s""""scratch_tier":"$scratchTier",""" +
       s""""calib_s":${fmt3(calib)},""" +
       s""""calib_ref":${calibRef.map(fmt3).getOrElse("null")},""" +
+      s""""calib_mem_s":${fmt3(calibMem)},""" +
+      s""""calib_mem_ref":${calibMemRef.map(fmt3).getOrElse("null")},""" +
+      s""""jit_settle_s":${fmt3(jitSettleS)},""" +
       s""""ref_cpus":${refCpus.getOrElse("null")},""" +
       s""""prepared_pinned":${warmPin.size},""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
@@ -787,7 +882,8 @@ object Bench {
       refMintRefusal(contaminated,
           if (stealDelta == "null") None else Some(stealDelta.toLong),
           sweepCapacity, candidate, refTimes, force = refForce,
-          calibCandidate = calib, calibRef = calibRef) match {
+          calibCandidate = calib, calibRef = calibRef,
+          calibMemCandidate = calibMem, calibMemRef = calibMemRef) match {
         case Some(reason) =>
           System.err.println(s"[bench] NOT writing ref: $reason")
         case None =>
@@ -796,6 +892,7 @@ object Bench {
           // commit ever arms a trigger or joins ratchet totals.
           val prov = gitHead().map(h => s""""_mint_commit":"$h"""").toSeq ++
             (if (calib > 0) Seq(s""""_calib_s":${fmt3(calib)}""") else Seq.empty) ++
+            (if (calibMem > 0) Seq(s""""_calib_mem_s":${fmt3(calibMem)}""") else Seq.empty) ++
             (if (cpus.forall(_.isDigit)) Seq(s""""_cpus":$cpus""") else Seq.empty) ++
             (if (refForce) Seq(""""_ref_forced":1""") else Seq.empty)
           val body = (prov ++ results.collect { case (k, v) if v >= 0 =>

@@ -50,9 +50,22 @@ object Verify {
     // the per-partition event rate the sf0.1 gate attests.
     // memory.fraction and the broadcast ban are deliberately NOT
     // scaled — memory pressure is the point of the gate.
-    val k = sys.env.getOrElse("SPARK_GRAFT_STARVE_SCALE", "1").toInt
-    require(k >= 1, s"SPARK_GRAFT_STARVE_SCALE must be >= 1, got $k")
-    val spark = (if (!sys.env.get("SPARK_GRAFT_STARVE").contains("1")) b0
+    // Parsed only when the starved config is actually applied: a stale
+    // STARVE_SCALE left in the environment must not crash (or silently
+    // colour the metadata of) an unstarved dump (r19 advice). When
+    // unstarved, k stays 1 — which is also what spill_metrics.json then
+    // truthfully records: no threshold scaling was applied.
+    val starveOn = sys.env.get("SPARK_GRAFT_STARVE").contains("1")
+    val k = if (!starveOn) 1 else {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_STARVE_SCALE", "1")
+      val parsed = try raw.toInt catch {
+        case _: NumberFormatException => sys.error(
+          s"SPARK_GRAFT_STARVE_SCALE must be a positive integer, got '$raw'")
+      }
+      require(parsed >= 1, s"SPARK_GRAFT_STARVE_SCALE must be >= 1, got $parsed")
+      parsed
+    }
+    val spark = (if (!starveOn) b0
       else Seq(
         "spark.memory.fraction" -> "0.2",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -132,7 +145,7 @@ object Verify {
       System.err.println(s"[verify] ${failures.size} queries FAILED — see failures.json")
     // Drain the listener bus so late task-end events are counted.
     org.apache.spark.GraftSparkHooks.drainListenerBus(spark.sparkContext)
-    val starved = sys.env.get("SPARK_GRAFT_STARVE").contains("1")
+    val starved = starveOn
     val spillJson = s"""{"starved": $starved, "starve_scale": $k, """ +
       s""""memory_bytes_spilled": ${memSpilled.get()}, """ +
       s""""disk_bytes_spilled": ${diskSpilled.get()}}"""

@@ -29,7 +29,9 @@ object PagerankVar {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val q = graft.SparkEntry.queries(name)
+    val q = graft.SparkEntry.queries.getOrElse(name, sys.error(
+      s"unknown query '$name'; known: " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     for (i <- 1 to n) {
       val g0 = gcMillis(); val s0 = steal(); val t0 = System.nanoTime()
       q(spark, dir).count(): Unit

@@ -139,6 +139,53 @@ class BenchRefSuite extends AnyFunSuite {
       calibRef = None).nonEmpty)
   }
 
+  test("dual calibration: memory-bandwidth kernel joins the ratchet normalization (r19 verdict #2)") {
+    // The r19 deadlock: whole-sweep totals drifted 21.8 -> 25 s with
+    // calib_s (CPU kernel) FLAT and zero steal — pure memory-subsystem
+    // drift. The CPU-only gate refused every honest re-mint. With the
+    // bandwidth kernel stamped on both sides, the factor is the
+    // geometric mean of the two ratios.
+    val fastRef = Map("a" -> 10.0, "b" -> 9.01)    // total 19.01, bar 20.91
+    val honest = Map("a" -> 11.5, "b" -> 10.7)     // total 22.2
+    // CPU flat (0.46/0.46 = 1.0) — the old gate refuses...
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, fastRef,
+      calibCandidate = 0.46, calibRef = Some(0.46)).exists(_.contains("1.10x")),
+      "CPU-only normalization cannot see bandwidth drift — the repro baseline")
+    // ...but the mem kernel reads the drift (ref 0.60 s vs candidate
+    // 1.00 s): geo mean sqrt(1.0 * 0.60) = 0.775, 22.2 x 0.775 = 17.2
+    // < 20.91 — the honest re-mint passes without force.
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, fastRef,
+      calibCandidate = 0.46, calibRef = Some(0.46),
+      calibMemCandidate = 1.00, calibMemRef = Some(0.60)).isEmpty,
+      "dual normalization must un-strand the bandwidth-drift re-mint")
+    // A genuine regression under EQUAL calibs still refuses (both
+    // ratios 1.0 -> raw test).
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, Map("a" -> 18.0, "b" -> 17.0), fastRef,
+      calibCandidate = 0.46, calibRef = Some(0.46),
+      calibMemCandidate = 0.60, calibMemRef = Some(0.60)).exists(_.contains("1.10x")))
+    // A corrupt mem kernel pulls only by its square root and the floor
+    // clamp still holds: sqrt(1.0 * 0.001) = 0.032 -> clamped 0.67;
+    // 35.0 x 0.67 = 23.45 > 20.91 — refused.
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, Map("a" -> 18.0, "b" -> 17.0), fastRef,
+      calibCandidate = 0.46, calibRef = Some(0.46),
+      calibMemCandidate = 1.00, calibMemRef = Some(0.001)).exists(_.contains("1.10x")),
+      "floor clamp: a corrupt mem calib must not launder a 1.84x regression")
+    // Missing mem calib on either side degrades to the CPU-only rule
+    // (pre-r20 refs keep their exact r16 behavior).
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, fastRef,
+      calibCandidate = 0.46, calibRef = Some(0.38),
+      calibMemCandidate = 1.00, calibMemRef = None).isEmpty,
+      "mem-missing must reproduce the r16 CPU-only acceptance")
+    // _calib_mem_s is parseRef-inert like every provenance stamp.
+    assert(Bench.parseRef("""{"_calib_mem_s":0.9,"_calib_s":0.31,"q1":0.5}""")
+      == Map("q1" -> 0.5))
+  }
+
   test("parseRef drops underscore-prefixed provenance keys (forced-mint stamp)") {
     val m = Bench.parseRef("""{"_ref_forced":1,"q1":0.5}""")
     assert(m == Map("q1" -> 0.5),
@@ -321,6 +368,13 @@ class BenchRefSuite extends AnyFunSuite {
           "spot leg runs")
     assert(Bench.parseRef(read("bench_ref.json")).size > 150,
       "bench_ref.json lost its per-query entries")
+    // r20: the ref must stamp BOTH calibration kernels — without
+    // _calib_mem_s the ratchet degrades to the CPU-only rule that
+    // deadlocked the r19 re-mint (see refMintRefusal).
+    for (k <- Seq("_calib_s", "_calib_mem_s"))
+      assert(read("bench_ref.json").contains("\"" + k + "\""),
+        s"bench_ref.json lost its $k calibration stamp — re-mint with " +
+          "the current Bench (dual-kernel normalization)")
     // The committed scalesweep must cover the CURRENT inventory — a
     // file minted against a stale query set would silently audit the
     // wrong engine. (ratios is the first {...} map in the file whose
