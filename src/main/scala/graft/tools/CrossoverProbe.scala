@@ -108,10 +108,12 @@ object CrossoverProbe {
     else salted
   }
 
-  private def synthesize(spark: SparkSession, base: String, xDir: String,
+  private[tools] def synthesize(spark: SparkSession, base: String, xDir: String,
       factor: Int, tables: Seq[(String, Seq[String])] = specs): Unit = {
     val done = java.nio.file.Paths.get(xDir, "_GRAFT_X_DONE")
-    if (java.nio.file.Files.exists(done)) return
+    if (java.nio.file.Files.exists(done) &&
+        tables.forall { case (name, _) => new java.io.File(
+          s"$xDir/$name.parquet", "_SUCCESS").isFile }) return
     // One stride per ENTITY, read from the owning PK table in the base
     // corpus (shared across every referencing column).
     val strideOf = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -125,6 +127,13 @@ object CrossoverProbe {
       })
     }
     tables.foreach { case (name, offCols) =>
+      // Per-table idempotence (r20): an existing corpus can be EXTENDED
+      // with a table a previous round's shape list didn't need (the ×100
+      // dir shipped without embeddings) without rewriting the heavy
+      // tables already on disk.
+      if (new java.io.File(s"$xDir/$name.parquet", "_SUCCESS").isFile) {
+        System.err.println(s"[crossover] x$factor $name already present — kept")
+      } else {
       val df = spark.read.parquet(s"$base/$name.parquet")
       val out =
         if (offCols.isEmpty) df // dims stay single-copy (TPC-H scaling)
@@ -151,8 +160,30 @@ object CrossoverProbe {
         }
       out.write.mode("overwrite").parquet(s"$xDir/$name.parquet")
       System.err.println(s"[crossover] wrote x$factor $name")
+      }
     }
     java.nio.file.Files.write(done, Array.emptyByteArray)
+  }
+
+  /** Extend an existing ×N corpus with tables its original shape list
+    * didn't need — `runMain graft.tools.SynthTables <factor> <table>
+    * [table ...]` (r20: the ×100 full-inventory oracle gate needs
+    * `embeddings`, which the crossover ×100 spot shapes never did).
+    * Heavy tables already on disk are kept as-is. */
+  private[tools] def extendCorpus(factor: Int, names: Seq[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val xDir = java.nio.file.Paths.get("target", "crossover", s"x$factor")
+      .toAbsolutePath.toString
+    val picked = specs.filter(s => names.contains(s._1))
+    require(picked.map(_._1).toSet == names.toSet,
+      s"unknown table(s): ${names.toSet -- picked.map(_._1)}")
+    synthesize(spark, base, xDir, factor, picked)
+    spark.stop()
   }
 
   /** Warm + `passes` interleaved timed counts per shape; ALL samples
