@@ -685,17 +685,23 @@ object Bench {
     // validation run can pin the single-attempt path.
     // JIT-settle before the first timed pass (r19 verdict #7
     // experiment): warmPin runs every plan once, but HotSpot's C2
-    // queue drains ASYNCHRONOUSLY — with 169 fresh query shapes the
-    // first timed pass historically ran against a compile backlog
-    // (NOTES r19: in-sweep pagerank 2-3 s vs 1.2-1.6 s isolated;
-    // min-of-passes absorbs the draw but the sweep still pays the
-    // wall). Poll the CompilationMXBean's cumulative compile time
-    // until it goes quiet (<50 ms progress over 1 s), capped at 60 s,
-    // and stamp the wait in the artifact so the A/B is readable.
-    // SPARK_GRAFT_JIT_SETTLE=off pins the old behavior.
+    // queue drains ASYNCHRONOUSLY — the hypothesis was that the first
+    // timed pass runs against a compile backlog (NOTES r19: in-sweep
+    // pagerank 2-3 s vs 1.2-1.6 s isolated). MEASURED A/B (r20,
+    // adjacent scored-style sweeps at sf0.1): the drain found the
+    // queue ALREADY QUIET — jit_settle_s read 1.001 s, i.e. one poll
+    // interval — so there is no post-warmup backlog to drain (the
+    // calib kernels alone give C2 ~10 s of runway after warmPin);
+    // the in-sweep recompile draws must be LAZY tier-up during the
+    // sweep itself, which a pre-sweep wait cannot touch. Totals
+    // (settle-on 27.98 s/12 retimes vs off 26.01 s/3) differ by box
+    // drift, not the 1 s wait. NOT adopted: default OFF, knob +
+    // "jit_settle_s" artifact key remain for re-runs.
+    // Poll rule when enabled: CompilationMXBean cumulative compile
+    // time quiet (<50 ms progress over 1 s), capped at 60 s.
     val jitSettleS: Double =
-      if (Set("false", "0", "off").contains(
-          sys.env.getOrElse("SPARK_GRAFT_JIT_SETTLE", "true").toLowerCase)) -1.0
+      if (!Set("true", "1", "on").contains(
+          sys.env.getOrElse("SPARK_GRAFT_JIT_SETTLE", "false").toLowerCase)) -1.0
       else {
         val jit = java.lang.management.ManagementFactory.getCompilationMXBean
         if (jit == null || !jit.isCompilationTimeMonitoringSupported) -1.0

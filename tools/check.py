@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
 """Local differential checker emulating the driver's DuckDB oracle gate.
 
-Usage: python3 tools/check.py [--json out.json] <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py [--json out.json] [--budget SECONDS]
+       <sfDir> <verifyOutDir> [query ...]
+
+--budget N interrupts any single oracle statement after N seconds
+(duckdb connection.interrupt() from a timer thread) and records the
+query as err="oracle budget exceeded (Ns)" — a triage signal for the
+big-corpus gates, NOT a pass and NOT a fail: the wrapper artifact must
+list each budget-out as a documented exclusion.
 
 Registers each corpus table as a DuckDB view named after the table, runs
 every statement in <verifyOutDir>/oracle_sql.json, and compares against
@@ -57,8 +64,12 @@ def table_rows(t: pa.Table):
 def main():
     argv = list(sys.argv[1:])
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
+    budget = None
+    while argv and argv[0] in ("--json", "--budget"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+        else:
+            budget = float(argv[1])
         argv = argv[2:]
     sf, out = argv[0], argv[1]
     only = set(argv[2:])
@@ -104,13 +115,33 @@ def main():
             record(name, err=f"table missing: {sorted(refs)}")
             n_skip += 1
             continue
+        timer = None
+        timed_out = []
+        if budget:
+            import threading
+            def interrupt():
+                timed_out.append(True)
+                con.interrupt()
+            timer = threading.Timer(budget, interrupt)
+            timer.start()
         try:
             odf = con.execute(sql).arrow()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            record(name, err=f"oracle SQL error: {e}")
-            n_fail += 1
+            if timer:
+                timer.cancel()
+            if timed_out:
+                print(f"BUDGET {name}: oracle exceeded {budget:.0f}s — "
+                      "triage as a documented exclusion, not a fail")
+                record(name, err=f"oracle budget exceeded ({budget:.0f}s)")
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                record(name, err=f"oracle SQL error: {e}")
+                n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output at {out}/{name}")

@@ -25,7 +25,9 @@ def main():
     rep = json.load(open(report_p))
     n_pass = sum(1 for r in rep.values() if r.get("hash_match"))
     n_skip = sum(1 for r in rep.values()
-                 if not r.get("hash_match") and str(r.get("err", "")).startswith("table missing"))
+                 if not r.get("hash_match") and
+                 (str(r.get("err", "")).startswith("table missing") or
+                  str(r.get("err", "")).startswith("oracle budget exceeded")))
     n_fail = len(rep) - n_pass - n_skip
     out = {
         "mint_commit": subprocess.run(["git", "rev-parse", "HEAD"],
