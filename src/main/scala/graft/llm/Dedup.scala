@@ -176,42 +176,73 @@ object Dedup {
     * 7,382 pairs, 229 of them J ≥ 0.9, background down to 0.011),
     * and the exact-Jaccard verification kernel is then cross-checked
     * on every sampled pair with NO threshold filter — unlike the full
-    * query, low-J arithmetic is attested too. Raw substring grams
-    * (not the native hashed shingles) so the oracle computes the
-    * identical sets. */
+    * query, low-J arithmetic is attested too. Since r21 the Spark side
+    * serves from the shared char8 hashed-gram sketch (hashed-set
+    * counts ≡ string-set counts absent 64-bit collisions — the same
+    * contract the full query's verify runs on); the oracle states raw
+    * substring grams and the results hash-match at all attested SFs. */
   def ngramJaccardSampled(spark: SparkSession, sf: String): DataFrame = {
-    // One materialized gram table (sigTable) — five plan branches
-    // (counts, both rare-join sides, both verify sides) otherwise each
-    // re-run the explode over the documents scan.
-    val g = sigTable(spark, sf, "rawchar8")(
-      Tables.documents(spark, sf)
-        .filter(length(col("text")) >= 8)
-        .select(col("doc_id"),
-          explode(expr("sequence(1, length(text) - 7)")).as("_graft_i"),
-          col("text"))
-        .select(col("doc_id"), expr("substring(text, _graft_i, 8)").as("s"))
-        .distinct())
-    val rare = g.groupBy(col("s")).agg(count(lit(1)).as("_graft_c"))
-      .filter(col("_graft_c").between(2, 3))
-      .select(col("s"))
-    val rg = g.join(rare, "s")
-    val pairs = rg.as("a").join(rg.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+    // r21 restructure (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    // passes): the whole query now serves from the ONE char8 sigTable
+    // [[charGrams]] already shares with ngramJaccard — per-doc sorted
+    // DISTINCT hashed 8-gram arrays (CharGramHashes; hashed-set counts
+    // equal string-set counts absent 64-bit collisions, the same
+    // exactness contract lshJaccard's verify has always relied on, and
+    // the identical arithmetic llm_ngram_jaccard's scored c/na/nb are
+    // oracle-pinned with). The previous shape kept a SECOND scratch
+    // table of raw string grams and re-derived everything gram-grain:
+    // 8 scans of it per run, the rare-count aggregate and the per-doc
+    // size aggregate each built twice, the full gram table broadcast
+    // twice, and a pairs⋈grams fan-out (~900 rows per candidate pair)
+    // re-aggregated back down. Now:
+    //   - pair SELECTION is one explode of the hash arrays (longs,
+    //     never strings) + ONE keyed aggregate that collects the 2–3
+    //     doc ids per rare gram and emits the (x < y) combinations
+    //     inline — no gram-grain self-join, no second rare pass;
+    //   - pair VERIFICATION is one row per candidate: c = |hsa ∩ hsb|
+    //     via array_intersect, na/nb = the array sizes — doc-grain
+    //     keyed equi-joins at any scale, no fan-out.
+    // The sampled-pair rule itself is unchanged: grams in 2–3 docs
+    // globally, all (x < y) doc pairs sharing one, ≤ 3 pairs per rare
+    // gram, exact Jaccard with no threshold. Oracle-pinned
+    // (hash_match) at sf0.001/0.01/0.1.
+    val sets = charGrams(spark, sf).select(col("doc_id"), col("hs"))
+    // The 2–3 member doc ids of a rare gram are fully recoverable from
+    // codegen'd integer aggregates (count/min/max/sum: the middle of a
+    // 3-set is sum − min − max; ids are distinct within a gram, so the
+    // order is strict) — collect_list would put the whole explode
+    // through ObjectHashAggregate, which falls back to sort-based
+    // aggregation at 128 groups per partition (13k gram groups here).
+    // Measured (StageTimeProbe, sf0.1): the codegen'd aggregate runs
+    // the whole 1.35M-long explode in ~0.16 s on the sigTable's single
+    // split — a repartition(32) A/B spread it across tasks but paid
+    // ~0.14 s of fixed per-task cost each (4.7 CPU-s for 0.2 s of
+    // work) plus one more AQE stage, and lost. At real scale the
+    // sketch table is many splits and the map side parallelizes by
+    // file layout, so no pinned repartition is wanted here.
+    val rareDocs = sets
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("d1"),
+        max(col("doc_id")).as("d3"), sum(col("doc_id")).as("dsum"))
+      .filter(col("n").between(2, 3))
+    val pairs = rareDocs
+      .select(explode(expr(
+        "CASE WHEN n = 2 THEN array(struct(d1 as x, d3 as y)) " +
+          "ELSE array(struct(d1 as x, dsum - d1 - d3 as y), " +
+          "struct(d1 as x, d3 as y), " +
+          "struct(dsum - d1 - d3 as x, d3 as y)) END")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
       .distinct()
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = pairs
-      .join(g.as("ga"), col("x") === col("ga.doc_id"))
-      .join(g.as("gb"),
-        col("y") === col("gb.doc_id") && col("ga.s") === col("gb.s"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
-      .select(col("x"), col("y"), col("c"),
-        col("sa.n").as("na"), col("sb.n").as("nb"),
-        (col("c").cast("double") /
-          (col("sa.n") + col("sb.n") - col("c")).cast("double")).as("j"))
+    pairs
+      .join(sets.select(col("doc_id").as("x"), col("hs").as("hsa")), "x")
+      .join(sets.select(col("doc_id").as("y"), col("hs").as("hsb")), "y")
+      .select(col("x"), col("y"),
+        size(array_intersect(col("hsa"), col("hsb"))).cast("long").as("c"),
+        size(col("hsa")).cast("long").as("na"),
+        size(col("hsb")).cast("long").as("nb"))
+      .withColumn("j", col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double"))
       .orderBy("x", "y")
   }
 

@@ -122,6 +122,51 @@ class PropertySuite extends SparkTestBase {
     assert(bad == 0, s"$bad docs where native gram count != string gram count")
   }
 
+  test("sampled-jaccard hashed single-pass plan equals the raw string-gram spec") {
+    // Pins the r21 restructure of llm_ngram_jaccard_sampled: the rare-
+    // (2–3-doc)-gram pair selection reconstructed from count/min/max/
+    // sum aggregates over HASHED grams (middle doc of a 3-set =
+    // sum − min − max) and the array_intersect verification over the
+    // char8 sketch arrays must row-for-row equal the direct raw-
+    // string-gram computation (the pre-r21 shape, stated here as the
+    // spec).
+    val g = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 7)")).as("i"), col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 8)").as("s"))
+      .distinct()
+    val rare = g.groupBy("s").agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, 3)).select("s")
+    val rg = g.join(rare, "s")
+    val pairs = rg.as("a").join(rg.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y")).distinct()
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = pairs.join(g.as("ga"), col("x") === col("ga.doc_id"))
+      .join(g.as("gb"),
+        col("y") === col("gb.doc_id") && col("ga.s") === col("gb.s"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val spec = common
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
+      .select(col("x"), col("y"), col("c"),
+        col("sa.n").as("na"), col("sb.n").as("nb"),
+        (col("c").cast("double") /
+          (col("sa.n") + col("sb.n") - col("c")).cast("double")).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val got = llm.Dedup.ngramJaccardSampled(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got.nonEmpty, "sampled-jaccard returned no pairs on the smoke corpus")
+    assert(got == spec,
+      s"hashed plan != string spec: only-got=${(got -- spec).take(3)} " +
+        s"only-spec=${(spec -- got).take(3)}")
+  }
+
   test("native word-shingle hash count equals distinct shingle count") {
     graft.functions.VectorExprs.register(spark)
     val bad = Tables.documents(spark, sf)
