@@ -318,6 +318,12 @@ object Bench {
       val blended = (cpu, mem) match {
         case (Some(c), Some(m)) => math.sqrt(c * m)
         case (Some(c), None)    => c
+        // A mem-only reading (CPU kernel failed on the candidate while
+        // both sides carry the mem stamp) uses the bandwidth ratio
+        // alone — falling through to raw 1.0 silently dropped the one
+        // drift signal available, asymmetric with the CPU-only arm
+        // (r20 advice).
+        case (None, Some(m))    => m
         case _                  => 1.0
       }
       math.max(0.67, math.min(1.5, blended))

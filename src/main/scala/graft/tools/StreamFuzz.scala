@@ -120,8 +120,13 @@ object StreamFuzz {
         val dst = new java.io.File(src, f"b$i%02d.parquet")
         java.nio.file.Files.copy(part.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // 60 s apart: far past any filesystem mtime granularity.
-        dst.setLastModified(1700000000000L + i * 60000L): Unit
+        // 60 s apart: far past any filesystem mtime granularity. The
+        // return value is checked (r20 advice): a filesystem that
+        // rejects the mtime would silently diverge FileStreamSource's
+        // batch ordering from the generated `batch` column and the
+        // per-batch watermark oracle.
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified rejected on $dst — batch-order mtimes unusable")
       }
       java.nio.file.Files.write(done, Array.emptyByteArray)
     }

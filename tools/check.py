@@ -24,7 +24,7 @@ whole gate (the ×100 corpus has no embeddings table by construction).
 --json writes a driver-style correctness artifact: {name: {rows_match,
 schema_match, hash_match, spark_rows, oracle_rows, err}}.
 """
-import sys, os, json, glob, decimal, math, datetime, re
+import sys, os, json, glob, decimal, math, datetime, re, time
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -117,19 +117,33 @@ def main():
             continue
         timer = None
         timed_out = []
+        in_flight = [True]  # cleared the moment execute() returns
+        t0 = time.monotonic()
         if budget:
             import threading
             def interrupt():
-                timed_out.append(True)
-                con.interrupt()
+                # Query-in-flight guard (r20 advice): a timer firing
+                # just AFTER a successful execute() must not interrupt
+                # the idle shared connection — that aborts the NEXT
+                # query as a spurious FAIL.
+                if in_flight:
+                    timed_out.append(True)
+                    con.interrupt()
             timer = threading.Timer(budget, interrupt)
             timer.start()
         try:
             odf = con.execute(sql).arrow()
+            in_flight.clear()
         except Exception as e:
+            in_flight.clear()
             if timer:
                 timer.cancel()
-            if timed_out:
+            # Classify as budget-out only when the budget genuinely
+            # elapsed AND the exception is the interrupt itself — a
+            # real oracle SQL error racing the timer must stay a FAIL,
+            # not be laundered into a skip (r20 advice).
+            if (timed_out and time.monotonic() - t0 >= budget
+                    and type(e).__name__ == "InterruptException"):
                 print(f"BUDGET {name}: oracle exceeded {budget:.0f}s — "
                       "triage as a documented exclusion, not a fail")
                 record(name, err=f"oracle budget exceeded ({budget:.0f}s)")

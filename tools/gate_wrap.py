@@ -24,11 +24,19 @@ def main():
         (exclusions if mode == "x" else notes)[k] = v
     rep = json.load(open(report_p))
     n_pass = sum(1 for r in rep.values() if r.get("hash_match"))
-    n_skip = sum(1 for r in rep.values()
-                 if not r.get("hash_match") and
-                 (str(r.get("err", "")).startswith("table missing") or
-                  str(r.get("err", "")).startswith("oracle budget exceeded")))
-    n_fail = len(rep) - n_pass - n_skip
+    # Split the two skip classes (r20 advice): budget-outs are a
+    # COVERAGE loss check.py's docstring promises to surface as
+    # documented exclusions, not a missing-table artifact of the
+    # corpus layout — folding them into one counter hid the loss from
+    # top-level artifact readers.
+    missing = sorted(k for k, r in rep.items() if not r.get("hash_match")
+                     and str(r.get("err", "")).startswith("table missing"))
+    budget_exceeded = sorted(
+        k for k, r in rep.items() if not r.get("hash_match")
+        and str(r.get("err", "")).startswith("oracle budget exceeded"))
+    for k in budget_exceeded:
+        exclusions.setdefault(k, rep[k].get("err"))
+    n_fail = len(rep) - n_pass - len(missing) - len(budget_exceeded)
     out = {
         "mint_commit": subprocess.run(["git", "rev-parse", "HEAD"],
                                       capture_output=True, text=True).stdout.strip(),
@@ -37,7 +45,8 @@ def main():
         "exclusions": exclusions,
         "pass": n_pass,
         "fail": n_fail,
-        "skipped_absent_tables": n_skip,
+        "skipped_absent_tables": len(missing),
+        "budget_exceeded": budget_exceeded,
         "queries": rep,
     }
     with open(out_p, "w") as f:
