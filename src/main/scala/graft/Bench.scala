@@ -326,7 +326,23 @@ object Bench {
         case (None, Some(m))    => m
         case _                  => 1.0
       }
-      math.max(0.67, math.min(1.5, blended))
+      // Corrupt-stamp fallback (r21): a blended ratio beyond [0.5, 2]
+      // is NOT box drift — 21 rounds of kernel history on this box
+      // span quiet calib_s 0.387–0.456 (±9%) and the worst recorded
+      // whole-sweep drift band is ~30% — it is a stamp measured inside
+      // a burst (the r20 forced mint stamped _calib_s 1.098, 2.5–2.8×
+      // every quiet reading before or since). CLAMPING such a ratio to
+      // the boundary asserts maximum drift exactly when the stamp is
+      // garbage, which stranded every honest r21 re-mint (candidate
+      // 21.4 s raw vs ref 26.5 s read "32.2 s calib-adjusted" at the
+      // 1.5 clamp). Beyond the envelope the gate now degrades to the
+      // RAW ratchet — the same degradation path as a missing stamp —
+      // so a corrupt stamp can strand nothing and launder at most the
+      // raw 1.10×. A >2× genuinely-faster window has never been
+      // observed on this box; if one ever occurs, the raw test err on
+      // the tight side (refuses loosening), never the loose one.
+      if (blended < 0.5 || blended > 2.0) 1.0
+      else math.max(0.67, math.min(1.5, blended))
     }
     val candAdj = candTot * normFactor
     if (stealDelta.isEmpty) Some("steal unreadable")

@@ -186,6 +186,38 @@ class BenchRefSuite extends AnyFunSuite {
       == Map("q1" -> 0.5))
   }
 
+  test("corrupt-stamp fallback: an out-of-envelope calib ratio degrades to the raw ratchet (r21)") {
+    // The r21 stranding, reproduced with the round's real numbers: the
+    // r20 forced mint stamped _calib_s 1.098 / _calib_mem_s 0.145 —
+    // kernels measured inside a burst, 2.2–2.8× every quiet reading
+    // this box has ever produced (0.387–0.456 across 21 rounds) while
+    // the ref's own minted VALUES were only ~1.04× typical. Against
+    // those stamps every honest window blends to ~2.5, clamps to 1.5,
+    // and a candidate FASTER in raw terms (21.4 vs 26.5 s) reads
+    // "32.2 s adjusted" — permanently stranded without force.
+    val poisonedRef = Map("a" -> 13.5, "b" -> 13.0)   // 26.5 s, bar 29.15
+    val honest = Map("a" -> 11.0, "b" -> 10.4)        // 21.4 s raw
+    // Beyond the [0.5, 2.0] plausibility envelope the gate must fall
+    // back to the raw test (factor 1.0), not clamp: the honest faster
+    // candidate mints without force.
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, honest, poisonedRef,
+      calibCandidate = 0.39, calibRef = Some(1.098),
+      calibMemCandidate = 0.065, calibMemRef = Some(0.145)).isEmpty,
+      "a corrupt ref stamp must not strand an honest faster re-mint")
+    // The raw ratchet still holds under corrupt stamps: a genuine
+    // raw regression (33.0 > 1.10 x 26.5) is refused regardless.
+    assert(Bench.refMintRefusal(contaminated = false, Some(0L),
+      100000.0, Map("a" -> 17.0, "b" -> 16.0), poisonedRef,
+      calibCandidate = 0.39, calibRef = Some(1.098),
+      calibMemCandidate = 0.065, calibMemRef = Some(0.145))
+      .exists(_.contains("1.10x")),
+      "corrupt stamps must not launder a raw regression either")
+    // In-envelope ratios keep the exact clamped-normalization
+    // behavior (the 1.533 symmetric-protection case above still
+    // clamps to 1.5 and refuses — pinned by the r16 test).
+  }
+
   test("parseRef drops underscore-prefixed provenance keys (forced-mint stamp)") {
     val m = Bench.parseRef("""{"_ref_forced":1,"q1":0.5}""")
     assert(m == Map("q1" -> 0.5),
