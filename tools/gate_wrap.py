@@ -52,7 +52,8 @@ def main():
     with open(out_p, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"{n_pass} pass, {n_fail} fail, {n_skip} skipped, "
+    print(f"{n_pass} pass, {n_fail} fail, {len(missing)} skipped, "
+          f"{len(budget_exceeded)} budget-out, "
           f"{len(exclusions)} excluded -> {out_p}")
 
 if __name__ == "__main__":
