@@ -895,11 +895,15 @@ object Bench {
     }
     // Truncation-proof summary LAST: the full line above is one giant
     // JSON object and both r2/r3 driver artifacts arrived with its head
-    // (the total) cut off by tail capture. A short final line keeps the
-    // scored number inside any tail window.
+    // (the total) cut off by tail capture. The final line is the
+    // CANONICAL one (r21 verdict #7): it carries the full per-query
+    // map — without the giant runs/steals/crossover/scalesweep embeds —
+    // so a truncated or unparsable full line can never blind the
+    // driver's round-over-round comparison again (BENCH_r20 arrived
+    // parsed:null and PERF_r21 lost every prev column).
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"retimed":$retimedJson,"suspect":$suspectJson,"over_ref":$overRefJson,"slowest":$slowest,$ctx,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":${results.size},"failed":${results.values.count(_ < 0)},"retimed":$retimedJson,"suspect":$suspectJson,"over_ref":$overRefJson,"slowest":$slowest,$ctx,"sf":"$sfDir"}""")
     // Reference-regeneration mode: SPARK_GRAFT_REF_OUT=<path> writes
     // this sweep's per-query mins as the next committed bench_ref.json
     // — ONLY when the sweep itself verified clean (refusing to mint a

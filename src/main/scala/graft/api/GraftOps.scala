@@ -654,12 +654,24 @@ object GraftOps {
     // a limit-n split is n exactly when the text has ≥ n-1 separators)
     // but stops scanning at the (n-1)th space instead of building the
     // whole token array once for the filter and again for the project.
+    //
+    // r22 (guide step 4, non-codegen expressions in the hot path): the
+    // gram strings were built inside a `transform(...)` lambda, and
+    // higher-order functions evaluate their lambda INTERPRETED — the
+    // ×10 stack sample put ~90% of the stage CPU in Slice.nullSafeEval
+    // / ArrayJoin.eval / GenericArrayData allocation, not in real
+    // work. Exploding the INDEX sequence instead and building each
+    // gram with row-level slice + concat_ws keeps the whole pipeline
+    // in whole-stage codegen (same multiset of grams: concat_ws ≡
+    // array_join on split()'s null-free arrays). _graft_toks is
+    // referenced twice (generator bound + projection), so
+    // CollapseProject keeps the split() evaluated once per document.
     df.filter(size(split(col(textCol), " ", n)) >= n)
       .withColumn("_graft_toks", split(col(textCol), " "))
-      .select(explode(expr(
-        s"transform(sequence(0, size(_graft_toks) - $n), " +
-          s"i -> array_join(slice(_graft_toks, i + 1, $n), ' '))"))
-        .as("ngram"))
+      .select(col("_graft_toks"),
+        explode(sequence(lit(0), size(col("_graft_toks")) - n)).as("_graft_i"))
+      .select(concat_ws(" ",
+        slice(col("_graft_toks"), col("_graft_i") + 1, lit(n))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy("ngram")

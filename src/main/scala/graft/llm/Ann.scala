@@ -526,19 +526,35 @@ object Ann {
     (Tables.readCached(spark, bp), Tables.readCached(spark, cp))
   }
 
+  /** ADC scores for every (query, corpus vector) pair, served from a
+    * precomputed lookup table (the FAISS ADC-LUT; r21 verdict #3): the
+    * per-sub-space integer partial p = floor(ddot(qd, ce)·1e6 + 0.5)
+    * depends only on (qid, m, cid), so it is computed ONCE over the
+    * |Q|·M·K-row books⋈queries frame (≤ 10,240 rows here) and the
+    * corpus-scale codes stream pays one broadcast hash probe per row
+    * instead of an 8-wide double dot product (guide §1.2 step 2
+    * "per-task work"). The partials and their exact integer sum are
+    * bit-identical to the per-row evaluation, so the serving contract
+    * and oracle rows are unchanged. */
+  private def adcScores(codes: DataFrame, books: DataFrame,
+      queriesSub: DataFrame): DataFrame = {
+    val lut = books.join(queriesSub, Seq("m"))
+      .withColumn("p",
+        expr("cast(floor(graft_ddot(qd, ce) * 1000000 + 0.5) as bigint)"))
+      .select(col("m"), col("cid"), col("qid"), col("p"))
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("p")).as("adc"))
+  }
+
   /** Probe surface for tools/PqProbe: the ADC rank of the exact top-1
     * per query — the shortlist size needed for recall@1 at this SF. */
   private[graft] def pqAdcRanks(spark: SparkSession, sf: String): DataFrame = {
     val (books, codes) = pqIndex(spark, sf)
     val queriesSub = pqFrame(spark, sf).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("m"), col("sd").as("qd"))
-    val adc = codes.join(broadcast(books), Seq("m", "cid"))
-      .join(broadcast(queriesSub), Seq("m"))
-      .filter(col("qid") =!= col("vec_id"))
-      .withColumn("p",
-        expr("cast(floor(graft_ddot(qd, ce) * 1000000 + 0.5) as bigint)"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("p")).as("adc"))
+    val adc = adcScores(codes, books, queriesSub)
       .withColumn("adc_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(desc("adc"), asc("vec_id"))))
@@ -575,14 +591,9 @@ object Ann {
     val (books, codes) = pqIndex(spark, sf)
     val queriesSub = pqFrame(spark, sf).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("m"), col("sd").as("qd"))
-    // ADC: one integer partial per (query, target, m), summed exactly.
-    val adc = codes.join(broadcast(books), Seq("m", "cid"))
-      .join(broadcast(queriesSub), Seq("m"))
-      .filter(col("qid") =!= col("vec_id"))
-      .withColumn("p",
-        expr("cast(floor(graft_ddot(qd, ce) * 1000000 + 0.5) as bigint)"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("p")).as("adc"))
+    // ADC: one integer partial per (query, target, m), summed exactly —
+    // served from the precomputed LUT (see adcScores).
+    val adc = adcScores(codes, books, queriesSub)
     // Shortlist dial = max(PqShortlist, n/16), derived from a window
     // count in the same pass (no extra action). Measured on this
     // corpus (tools/PqProbe, 8-bit codebooks): the exact top-1's worst
@@ -605,6 +616,15 @@ object Ann {
     // list_cosine_similarity holds).
     val vecs = vecFrame(spark, sf)
       .withColumn("nrm", sqrt(expr("graft_ddot(ed, ed)")))
+    // Both top-1 selections are argmax patterns: `max(struct(sim,
+    // -id))` (the aggArgmax convention — highest sim, ties to the
+    // LOWEST id, exactly the row_number(desc sim, asc id) = 1 row)
+    // replaces the per-qid row_number windows (r22, guide §2.3
+    // "aggregate before you shuffle"): a DeclarativeAggregate reduces
+    // map-side to |Q| rows per task, where the window shipped EVERY
+    // scored row through a |Q|-partition exchange + sort — the serial
+    // bottleneck at corpus scale. Double comparison semantics are the
+    // same total order sorts use, so selection is unchanged.
     val reranked = short
       .join(vecs.select(col("vec_id"), col("ed"), col("nrm")), Seq("vec_id"))
       .join(broadcast(vecs.filter(col("vec_id") < 5)
@@ -612,11 +632,10 @@ object Ann {
             col("nrm").as("qnrm"))), Seq("qid"))
       .withColumn("sim",
         round(expr("graft_ddot(qed, ed)") / (col("qnrm") * col("nrm")), 6))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id").as("top1"), col("sim").as("exact_sim"))
+      .groupBy(col("qid"))
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("nvid"))).as("_top"))
+      .select(col("qid"), (-col("_top.nvid")).as("top1"),
+        col("_top.sim").as("exact_sim"))
     // The exact top-1 over the FULL corpus, for the contract.
     val exact = vecs.select(col("vec_id").as("tid"), col("ed"), col("nrm"))
       .crossJoin(broadcast(vecs.filter(col("vec_id") < 5)
@@ -625,11 +644,9 @@ object Ann {
       .filter(col("qid") =!= col("tid"))
       .withColumn("sim",
         round(expr("graft_ddot(qed, ed)") / (col("qnrm") * col("nrm")), 6))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(desc("sim"), asc("tid"))))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("tid"))
+      .groupBy(col("qid"))
+      .agg(max(struct(col("sim"), (-col("tid")).as("ntid"))).as("_tx"))
+      .select(col("qid"), (-col("_tx.ntid")).as("tid"))
     reranked.join(exact, Seq("qid"))
       .select(col("qid"), col("top1"), col("exact_sim"),
         (col("top1") === col("tid")).as("rerank_ok"))

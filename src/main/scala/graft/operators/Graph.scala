@@ -77,20 +77,50 @@ object Graph {
     * bit-identical to the node-side pre-divide (floor of the same
     * integers), and each iteration collapses to broadcast(rank) ⋈ adj
     * → one keyed sum. The standard adjacency-with-metadata layout any
-    * Pregel-style engine builds once and iterates against. */
+    * Pregel-style engine builds once and iterates against.
+    *
+    * r22: the checkpoint is BUCKETED by the DESTINATION node v — the
+    * key every iteration's contribution sum groups by — so the
+    * per-iteration plan is scan ⋈ broadcast(rank) → complete keyed agg
+    * with ZERO shuffle Exchanges (guide §2.4 "bucketed tables persist
+    * a partitioning so aggregations on the bucket key skip the
+    * shuffle"). The r22 ×10 stack sample motivating it: ~68% of
+    * iteration CPU was two-phase hash-agg machinery whose partial maps
+    * overflowed the 64k-entry codegen fast map into BytesToBytesMap
+    * (keys-per-map-task ≈ rows, so partial aggregation reduced almost
+    * nothing), and ~23% was shuffle-file machinery — bucketing removes
+    * the partial phase, the shuffle files, and shrinks each task's agg
+    * map to nodes/buckets keys (cache-resident). Bucket count derives
+    * from the edge count (~250k directed edges per bucket), never from
+    * the local core count — the same data at a different
+    * SPARK_GRAFT_CPUS reads the same layout, and at 100 TB the count
+    * grows with the graph exactly like an ingest-time lakehouse
+    * layout. */
   private val adjCache = new graft.FitOnce[(String, String), String]
 
   private[graft] def adjacency(spark: SparkSession, sf: String): DataFrame = {
-    val p = adjCache((spark.sparkContext.applicationId, sf)) {
-      val path = Tables.scratchDir("graft_adj_").resolve("adj").toString
+    val tbl = adjCache((spark.sparkContext.applicationId, sf)) {
+      val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+      val name = s"graft_bkt_adj_$tag"
+      val dir = Tables.scratchDir("graft_adj_")
       val e0 = edges(spark, sf)
+      // Footer-only rowcount of the edge checkpoint (no data scan).
+      val adjRows = 2L * e0.count()
+      val buckets = math.max(4L, math.min(4096L, adjRows / 250000L + 1L)).toInt
       e0.select(col("x").as("u"), col("y").as("v"))
         .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
         .join(degrees(spark, sf), "u")
-        .write.parquet(path)
-      path
+        // One write task per bucket (repartition by the bucket key with
+        // matching count) — otherwise every write task emits a file per
+        // bucket it sees and the layout shatters into tiny files.
+        .repartition(buckets, col("v"))
+        .write.mode("overwrite")
+        .option("path", dir.resolve(name).toString)
+        .bucketBy(buckets, "v")
+        .saveAsTable(name)
+      name
     }
-    Tables.readCached(spark, p)
+    spark.table(tbl)
   }
 
   private def edges(spark: SparkSession, sf: String): DataFrame = {

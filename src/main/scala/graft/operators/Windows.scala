@@ -176,7 +176,9 @@ object Windows {
     graft.api.GraftOps.ewma(
       Tables.events(spark, sf)
         .select(col("event_id"), col("user_id"), col("ts"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("vc")),
+          // floor(v+0.5) ≡ round for the exactly-2-dp corpus values —
+          // avoids the per-row BigDecimal round (see Events.evTumbling).
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc")),
       "user_id", Seq("ts", "event_id"), "vc", depth = 8)
       .select(col("event_id"), col("user_id"), col("vc"),
         col("ewma").as("ewma_c128"))

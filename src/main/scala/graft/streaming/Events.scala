@@ -45,7 +45,15 @@ object Events {
       .groupBy(expr("(ts div 1000) div 3600000000 * 3600000000")
         .as("hour_us"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        (sum(round(col("value") * lit(100)).cast("long")).cast("double")
+        // r22 (guide step 4): `round(double)` code-generates a
+        // per-row java.math.BigDecimal.valueOf(...).setScale(...) round
+        // trip — the one allocating call left in this loop (the r16
+        // round(x,6) lesson, applied to the money path). For the
+        // exactly-2-dp values the cents contract already requires,
+        // value*100 sits within ~1e-9 of its integer, so
+        // floor(v*100 + 0.5) selects the SAME integer as HALF_UP for
+        // every sign — pure primitive codegen, zero allocation.
+        (sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).cast("double")
           / lit(100.0)).as("sum_val"))
       .select(ntz(timestamp_micros(col("hour_us"))).as("hour_start"),
         col("event_type"), col("cnt"), col("sum_val"))
@@ -191,7 +199,9 @@ object Events {
     graft.api.GraftOps.zscoreOutliers(
       Tables.events(spark, sf)
         .select(col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("vc")),
+          // floor(v+0.5) ≡ round for the exactly-2-dp corpus values —
+          // avoids the per-row BigDecimal round (see evTumbling).
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc")),
       "event_type", "vc")
       .withColumnRenamed("max_out", "max_out_cents")
 
