@@ -733,12 +733,18 @@ object GraftOps {
     // array a second time just for the filter.
     val toks = df.filter(size(split(col(textCol), " ", 2)) >= 2)
       .select(split(col(textCol), " ").as("_graft_toks"))
+    // r22: same interpreted-HOF class as ngramCounts — the transform()
+    // lambda evaluated its struct(toks[i], toks[i+1]) per element
+    // outside codegen. Explode the index sequence and read the two
+    // tokens with row-level subscripts instead (GetArrayItem, codegen);
+    // same pair multiset, split still evaluated once per document
+    // (_graft_toks referenced by generator bound AND projection).
     val biOcc = toks
-      .select(explode(expr(
-        "transform(sequence(0, size(_graft_toks) - 2), " +
-          "i -> struct(_graft_toks[i] as w1, _graft_toks[i+1] as w2))"))
-        .as("b"))
-      .select(col("b.w1"), col("b.w2"))
+      .select(col("_graft_toks"),
+        explode(sequence(lit(0), size(col("_graft_toks")) - 2))
+          .as("_graft_i"))
+      .select(expr("_graft_toks[_graft_i]").as("w1"),
+        expr("_graft_toks[_graft_i + 1]").as("w2"))
       // Vacuously true (split tokens are never null) but load-bearing:
       // the cx/cy equi-joins push IsNotNull(w1, w2) below the bigram
       // aggregate on their branch; stating it here puts the identical
